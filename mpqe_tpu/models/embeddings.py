@@ -1,0 +1,59 @@
+"""Entity and variable embedding tables.
+
+The reference keeps one ``nn.Embedding`` per entity mode plus per-mode
+variable embeddings inside the model (mpqe/encoders.py ``DirectEncoder``
+and mpqe/model.py; SURVEY.md §2.1).  Here both are single global tables —
+``ent [n_entities, d]`` in a global id space and ``var [n_modes, d]`` —
+so lookups are plain XLA gathers and the entity table can be row-sharded
+over a mesh axis without per-mode bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def init_embeddings(
+    key: jax.Array,
+    n_entities: int,
+    n_modes: int,
+    d: int,
+    dtype=jnp.float32,
+) -> Dict[str, jax.Array]:
+    k1, k2 = jax.random.split(key)
+    # Reference init: nn.Embedding default N(0,1) scaled down; we use a
+    # 1/sqrt(d) normal which keeps cosine scores in a sane range.
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype))
+    return {
+        "ent": jax.random.normal(k1, (n_entities, d), dtype) * scale,
+        "var": jax.random.normal(k2, (n_modes, d), dtype) * scale,
+    }
+
+
+def embed_nodes_dense(
+    emb: Dict[str, jax.Array],
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    is_var_slot: jax.Array,  # [n] float (static template mask)
+) -> jax.Array:
+    """Initial node features for a dense template batch: anchor slots get
+    their entity row, variable/target slots the per-mode variable row."""
+    x_ent = emb["ent"][node_entity]  # [B, n, d]
+    x_var = emb["var"][node_mode]  # [B, n, d]
+    m = is_var_slot[None, :, None].astype(x_ent.dtype)
+    return x_var * m + x_ent * (1.0 - m)
+
+
+def embed_nodes_sparse(
+    emb: Dict[str, jax.Array],
+    node_entity: jax.Array,  # [N] int32
+    node_mode: jax.Array,  # [N] int32
+    node_is_var: jax.Array,  # [N] float
+) -> jax.Array:
+    x_ent = emb["ent"][node_entity]
+    x_var = emb["var"][node_mode]
+    m = node_is_var[:, None].astype(x_ent.dtype)
+    return x_var * m + x_ent * (1.0 - m)

@@ -1,0 +1,221 @@
+"""The MPQE model: R-GCN over batched query DAGs + readout + cosine scoring.
+
+Reference: mpqe/model.py ``RGCNEncoderDecoder`` (SURVEY.md §2.1, §3.2/§3.3)
+— entity + per-mode variable embeddings, ``num_layers`` basis-decomposed
+R-GCN layers with ReLU between layers, a readout (TGT/sum/max/concat/mlp),
+cosine scores against candidate entity embeddings, margin-ranking loss
+against pre-sampled negatives.
+
+TPU-first: parameters are a plain pytree (shardable with NamedSharding),
+the forward is a pure function compiled once per (structure, batch-bucket),
+and the TGT readout's depth coupling (steps = diameter(structure)) is a
+*static* property of the bucket, not dynamic control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpqe_tpu.queries import STRUCTURES
+from mpqe_tpu.ops import rgcn as rgcn_ops
+from mpqe_tpu.models import embeddings as emb_mod
+from mpqe_tpu.models import readout as readout_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class MPQEConfig:
+    n_entities: int
+    n_modes: int
+    n_rels: int  # directed relation vocab (forward + inverse)
+    embed_dim: int = 128
+    n_layers: int = 3
+    num_bases: Optional[int] = None
+    readout: str = "tgt"
+    margin: float = 1.0
+    scale_scores: bool = True  # cosine (normalized) vs raw dot scores
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.readout not in readout_mod.READOUTS:
+            raise ValueError(f"bad readout {self.readout}")
+
+
+def init_mpqe(key: jax.Array, cfg: MPQEConfig) -> Dict[str, Any]:
+    k_emb, k_read, *k_layers = jax.random.split(key, 2 + cfg.n_layers)
+    params: Dict[str, Any] = {
+        "emb": emb_mod.init_embeddings(
+            k_emb, cfg.n_entities, cfg.n_modes, cfg.embed_dim, cfg.dtype
+        ),
+        "layers": [
+            rgcn_ops.init_rgcn_layer(
+                k, cfg.embed_dim, cfg.embed_dim, cfg.n_rels, cfg.num_bases, cfg.dtype
+            )
+            for k in k_layers
+        ],
+        "readout": readout_mod.init_readout(
+            k_read, cfg.readout, cfg.embed_dim, cfg.dtype
+        ),
+    }
+    return params
+
+
+def num_steps(cfg: MPQEConfig, structure: str) -> int:
+    """Message-passing depth for a bucket: TGT runs ``diameter`` steps
+    (reference "TM" readout; SURVEY.md §3.2), others run all layers."""
+    if cfg.readout == "tgt":
+        return min(STRUCTURES[structure].diameter, cfg.n_layers)
+    return cfg.n_layers
+
+
+# ----------------------------------------------------------------------
+# Dense (structure-batched) forward — the hot path
+# ----------------------------------------------------------------------
+def encode_dense(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,  # static
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    edge_rel: jax.Array,  # [n_edges] int32
+    edge_norm: jax.Array,  # [n_edges] float32
+) -> jax.Array:
+    """Embed + message-pass + read out: returns query vectors ``[B, d]``."""
+    spec = STRUCTURES[structure]
+    is_var = jnp.zeros((spec.n_nodes,), cfg.dtype)
+    for s in spec.free_slots:
+        is_var = is_var.at[s].set(1.0)
+    x = emb_mod.embed_nodes_dense(params["emb"], node_entity, node_mode, is_var)
+
+    steps = num_steps(cfg, structure)
+    for li in range(steps):
+        x = rgcn_ops.rgcn_dense_template(
+            x,
+            params["layers"][li],
+            spec.edge_src,
+            spec.edge_dst,
+            edge_rel,
+            edge_norm,
+        )
+        if li < steps - 1:
+            x = jax.nn.relu(x)
+    return readout_mod.readout_dense(
+        cfg.readout, params["readout"], x, spec.target_slot
+    )
+
+
+# ----------------------------------------------------------------------
+# Sparse forward — general graphs / distributed path
+# ----------------------------------------------------------------------
+def encode_sparse(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,  # static (None-like "" => run all layers)
+    node_entity: jax.Array,  # [N]
+    node_mode: jax.Array,  # [N]
+    node_is_var: jax.Array,  # [N]
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    node_query: jax.Array,  # [N]
+    target_node: jax.Array,  # [B]
+    n_queries: int,  # static
+    segment_backend: str = "xla",
+) -> jax.Array:
+    x = emb_mod.embed_nodes_sparse(
+        params["emb"], node_entity, node_mode, node_is_var
+    )
+    steps = num_steps(cfg, structure) if structure else cfg.n_layers
+    for li in range(steps):
+        x = rgcn_ops.rgcn_sparse(
+            x,
+            params["layers"][li],
+            edge_src,
+            edge_dst,
+            edge_rel,
+            edge_norm,
+            cfg.n_rels,
+            segment_backend=segment_backend,
+        )
+        if li < steps - 1:
+            x = jax.nn.relu(x)
+    n_tpl = STRUCTURES[structure].n_nodes if structure else None
+    return readout_mod.readout_sparse(
+        cfg.readout,
+        params["readout"],
+        x,
+        node_query,
+        target_node,
+        n_queries,
+        n_template_nodes=n_tpl,
+        segment_backend=segment_backend,
+    )
+
+
+# ----------------------------------------------------------------------
+# Scoring and loss
+# ----------------------------------------------------------------------
+def score(
+    cfg: MPQEConfig, q: jax.Array, cand: jax.Array
+) -> jax.Array:
+    """Cosine (or dot) affinity between query vectors ``[..., d]`` and
+    candidate entity embeddings of matching shape."""
+    if cfg.scale_scores:
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        cand = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
+    return jnp.sum(q * cand, axis=-1)
+
+
+def score_all_entities(
+    params: Dict[str, Any], cfg: MPQEConfig, q: jax.Array
+) -> jax.Array:
+    """``[B, n_entities]`` affinities — one big MXU matmul (eval sweep)."""
+    e = params["emb"]["ent"]
+    if cfg.scale_scores:
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+    return jnp.dot(q, e.T, preferred_element_type=jnp.float32)
+
+
+def margin_loss_from_queries(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    q: jax.Array,  # [B, d]
+    target: jax.Array,  # [B]
+    negatives: jax.Array,  # [B, K]
+    neg_mask: jax.Array,  # [B, K]
+    query_mask: jax.Array,  # [B]
+) -> jax.Array:
+    """mean(relu(margin - s(q,pos) + s(q,neg))) over real (query, negative)
+    pairs (reference margin_loss; SURVEY.md §3.3/§A.4)."""
+    ent = params["emb"]["ent"]
+    pos = score(cfg, q, ent[target])  # [B]
+    neg = score(cfg, q[:, None, :], ent[negatives])  # [B, K]
+    viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
+    w = neg_mask * query_mask[:, None]
+    return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def dense_batch_loss(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,
+    negatives: jax.Array,
+    neg_mask: jax.Array,
+    query_mask: jax.Array,
+) -> jax.Array:
+    q = encode_dense(
+        params, cfg, structure, node_entity, node_mode, edge_rel, edge_norm
+    )
+    return margin_loss_from_queries(
+        params, cfg, q, target, negatives, neg_mask, query_mask
+    )

@@ -1,0 +1,181 @@
+"""Evaluation: per-structure ROC-AUC and APR (average percentile rank).
+
+Reference: mpqe/utils.py ``eval_auc_queries`` / ``eval_perc_queries``
+(SURVEY.md §3.4, §A.4):
+
+  * AUC per formula: scores of true answers vs. each query's stored
+    negative samples, macro-averaged per query structure; hard-negative
+    AUC reported separately for intersection structures.
+  * APR: per query, the percentile rank of the true answer's score among
+    its negative candidates, averaged.
+
+The reference leans on sklearn.metrics.roc_auc_score; sklearn is not a
+dependency here, so ROC-AUC is computed exactly via the Mann-Whitney U
+statistic (rank formulation with tie correction) — verified against a
+brute-force pairwise count in tests.
+
+Scoring sweeps are batched per formula through the dense encoder — each
+(structure, bucket) compiles once; the candidate scoring itself is one
+batched gather + cosine (MXU) per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpqe_tpu.data.batcher import bucket_size, make_dense_batch
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import INTERSECTION_STRUCTURES, Formula, Query
+
+
+def roc_auc(pos: np.ndarray, neg: np.ndarray) -> float:
+    """Exact ROC-AUC of pos-vs-neg score samples (Mann-Whitney U / ranks,
+    average ties) — equivalent to sklearn.roc_auc_score on the pooled
+    scores with 1/0 labels."""
+    pos = np.asarray(pos, dtype=np.float64).ravel()
+    neg = np.asarray(neg, dtype=np.float64).ravel()
+    if pos.size == 0 or neg.size == 0:
+        return float("nan")
+    scores = np.concatenate([pos, neg])
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty_like(scores)
+    ranks[order] = np.arange(1, scores.size + 1, dtype=np.float64)
+    # average ranks over ties
+    sorted_scores = scores[order]
+    i = 0
+    while i < sorted_scores.size:
+        j = i
+        while j + 1 < sorted_scores.size and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        if j > i:
+            avg = 0.5 * (i + 1 + j + 1)
+            ranks[order[i : j + 1]] = avg
+        i = j + 1
+    u = ranks[: pos.size].sum() - pos.size * (pos.size + 1) / 2.0
+    return float(u / (pos.size * neg.size))
+
+
+@dataclasses.dataclass
+class EvalResult:
+    auc_by_structure: Dict[str, float]
+    apr_by_structure: Dict[str, float]
+    hard_auc_by_structure: Dict[str, float]
+
+    @property
+    def macro_auc(self) -> float:
+        vals = [v for v in self.auc_by_structure.values() if np.isfinite(v)]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    @property
+    def macro_apr(self) -> float:
+        vals = [v for v in self.apr_by_structure.values() if np.isfinite(v)]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    def flat(self) -> Dict[str, float]:
+        out = {"auc_macro": self.macro_auc, "apr_macro": self.macro_apr}
+        for k, v in self.auc_by_structure.items():
+            out[f"auc/{k}"] = v
+        for k, v in self.apr_by_structure.items():
+            out[f"apr/{k}"] = v
+        for k, v in self.hard_auc_by_structure.items():
+            out[f"auc_hard/{k}"] = v
+        return out
+
+
+def _encode_and_score(
+    params,
+    cfg: mpqe_mod.MPQEConfig,
+    formula: Formula,
+    queries: Sequence[Query],
+    n_neg: int,
+    use_hard: bool,
+    encode_fn,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (pos_scores [n_q], neg_scores [n_q, K], neg_mask)."""
+    B = bucket_size(len(queries))
+    b = make_dense_batch(
+        formula, queries, batch_size=B, n_neg=n_neg,
+        use_hard_negatives=use_hard,
+        rng=np.random.default_rng(0),
+    )
+    q = encode_fn(
+        params, cfg, b.structure,
+        jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+    )
+    ent = params["emb"]["ent"]
+    pos = mpqe_mod.score(cfg, q, ent[jnp.asarray(b.target)])
+    neg = mpqe_mod.score(
+        cfg, q[:, None, :], ent[jnp.asarray(b.negatives)]
+    )
+    n_q = b.n_queries
+    return (
+        np.asarray(pos)[:n_q],
+        np.asarray(neg)[:n_q],
+        np.asarray(b.neg_mask)[:n_q],
+    )
+
+
+def evaluate(
+    params,
+    cfg: mpqe_mod.MPQEConfig,
+    queries_by_structure: Dict[str, Dict[Formula, List[Query]]],
+    n_neg: int = 64,
+    max_queries_per_formula: Optional[int] = 1000,
+    encode_fn=None,
+) -> EvalResult:
+    """AUC + APR per structure (macro over formulas), hard-AUC for
+    intersections — the reference's eval protocol (SURVEY.md §3.4)."""
+    if encode_fn is None:
+        encode_fn = jax.jit(mpqe_mod.encode_dense, static_argnums=(1, 2))
+    auc_s: Dict[str, float] = {}
+    apr_s: Dict[str, float] = {}
+    hard_s: Dict[str, float] = {}
+    for structure, by_formula in queries_by_structure.items():
+        f_aucs: List[float] = []
+        f_hard: List[float] = []
+        percentiles: List[float] = []
+        for formula, qs in by_formula.items():
+            if max_queries_per_formula:
+                qs = qs[:max_queries_per_formula]
+            qs = [q for q in qs if q.neg_samples]
+            if not qs:
+                continue
+            pos, neg, mask = _encode_and_score(
+                params, cfg, formula, qs, n_neg, False, encode_fn
+            )
+            valid = mask > 0
+            a = roc_auc(pos[valid.any(axis=1)], neg[valid])
+            if np.isfinite(a):
+                f_aucs.append(a)
+            # APR: per query, fraction of its negatives scored below pos
+            for i in range(len(pos)):
+                m = valid[i]
+                if m.sum() == 0:
+                    continue
+                below = (neg[i][m] < pos[i]).sum() + 0.5 * (
+                    neg[i][m] == pos[i]
+                ).sum()
+                percentiles.append(100.0 * below / m.sum())
+            if structure in INTERSECTION_STRUCTURES:
+                qs_h = [q for q in qs if q.hard_neg_samples]
+                if qs_h:
+                    pos_h, neg_h, mask_h = _encode_and_score(
+                        params, cfg, formula, qs_h, n_neg, True, encode_fn
+                    )
+                    vh = mask_h > 0
+                    ah = roc_auc(pos_h[vh.any(axis=1)], neg_h[vh])
+                    if np.isfinite(ah):
+                        f_hard.append(ah)
+        if f_aucs:
+            auc_s[structure] = float(np.mean(f_aucs))
+        if percentiles:
+            apr_s[structure] = float(np.mean(percentiles))
+        if f_hard:
+            hard_s[structure] = float(np.mean(f_hard))
+    return EvalResult(auc_s, apr_s, hard_s)

@@ -1,0 +1,219 @@
+"""Training loop: curriculum, bucketed jit train steps, convergence checks.
+
+Reference: mpqe/train_helpers.py ``run_train``/``run_batch``/``check_conv``
+(SURVEY.md §2.1, §3.1): each step samples a random formula within a random
+query structure, runs a margin-ranking batch; curriculum trains 1-chain
+("edge") queries only until the loss converges (burn-in), then mixes all
+structures; periodic eval with checkpoint-on-best; early stop on
+validation plateau.
+
+TPU-first differences: one jitted train-step per (structure, batch-bucket,
+n_neg) — compiled ahead of the hot loop, never recompiled; host work per
+step is integer array packing only (and moves to the C++ batcher when
+enabled).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mpqe_tpu.data.batcher import DenseQueryBatch, make_dense_batch
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import (
+    CHAIN_STRUCTURES,
+    INTERSECTION_STRUCTURES,
+    Formula,
+    Query,
+)
+from mpqe_tpu.train import evaluation
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 0.01
+    batch_size: int = 512
+    n_neg: int = 1
+    max_steps: int = 100_000
+    burn_in_structure: str = "1-chain"
+    conv_window: int = 100  # loss window for convergence checks
+    conv_tol: float = 1e-4
+    val_every: int = 1000
+    patience: int = 5  # eval rounds without val improvement -> stop
+    hard_neg_prob: float = 0.5  # P(use hard negatives) on intersection batches
+    seed: int = 0
+    optimizer: str = "adam"
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    if tc.optimizer == "adam":
+        return optax.adam(tc.lr)
+    if tc.optimizer == "sgd":
+        return optax.sgd(tc.lr)
+    raise ValueError(tc.optimizer)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_train_step(
+    cfg: mpqe_mod.MPQEConfig, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Jitted (params, opt_state, batch arrays) -> (params, opt_state, loss).
+
+    ``structure`` is static — jax caches one executable per (structure,
+    array-shape bucket); call ``warmup`` to compile ahead of time.
+    """
+
+    def step_fn(
+        params, opt_state, structure: str,
+        node_entity, node_mode, edge_rel, edge_norm,
+        target, negatives, neg_mask, query_mask,
+    ):
+        def loss_fn(p):
+            return mpqe_mod.dense_batch_loss(
+                p, cfg, structure, node_entity, node_mode, edge_rel,
+                edge_norm, target, negatives, neg_mask, query_mask,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+
+
+def run_step(
+    train_step: Callable,
+    state: TrainState,
+    batch: DenseQueryBatch,
+) -> float:
+    state.params, state.opt_state, loss = train_step(
+        state.params, state.opt_state, batch.structure,
+        jnp.asarray(batch.node_entity), jnp.asarray(batch.node_mode),
+        jnp.asarray(batch.edge_rel), jnp.asarray(batch.edge_norm),
+        jnp.asarray(batch.target), jnp.asarray(batch.negatives),
+        jnp.asarray(batch.neg_mask), jnp.asarray(batch.query_mask),
+    )
+    state.step += 1
+    return float(loss)
+
+
+def check_conv(losses: collections.deque, tol: float) -> bool:
+    """Converged when the relative improvement between the two halves of
+    the loss window falls below tol (reference check_conv semantics)."""
+    if len(losses) < losses.maxlen:
+        return False
+    arr = np.asarray(losses)
+    half = len(arr) // 2
+    old, new = arr[:half].mean(), arr[half:].mean()
+    if old <= 0:
+        return True
+    return (old - new) / abs(old) < tol
+
+
+@dataclasses.dataclass
+class TrainLogEntry:
+    step: int
+    loss: float
+    structure: str
+    phase: str
+    seconds: float
+
+
+def run_train(
+    state: TrainState,
+    cfg: mpqe_mod.MPQEConfig,
+    tc: TrainConfig,
+    train_queries: Dict[str, Dict[Formula, List[Query]]],
+    val_queries: Optional[Dict[str, Dict[Formula, List[Query]]]] = None,
+    log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
+    checkpoint_fn: Optional[Callable[[TrainState, float], None]] = None,
+    train_step: Optional[Callable] = None,
+) -> TrainState:
+    """Curriculum training until convergence / max_steps / patience."""
+    rng = np.random.default_rng(tc.seed)
+    optimizer = make_optimizer(tc)
+    if train_step is None:
+        train_step = make_train_step(cfg, optimizer)
+
+    structures = [s for s in train_queries if train_queries[s]]
+    burn_in = tc.burn_in_structure in structures and len(structures) > 1
+    losses: collections.deque = collections.deque(maxlen=tc.conv_window)
+    best_val = -np.inf
+    bad_evals = 0
+    phase = "burn_in" if burn_in else "full"
+
+    for _ in range(tc.max_steps):
+        if phase == "burn_in":
+            structure = tc.burn_in_structure
+        else:
+            structure = structures[rng.integers(len(structures))]
+        by_formula = train_queries[structure]
+        formulas = list(by_formula)
+        formula = formulas[rng.integers(len(formulas))]
+        pool = by_formula[formula]
+        idx = rng.integers(0, len(pool), size=min(tc.batch_size, len(pool)))
+        use_hard = (
+            structure in INTERSECTION_STRUCTURES
+            and rng.random() < tc.hard_neg_prob
+        )
+        batch = make_dense_batch(
+            formula, [pool[i] for i in idx], batch_size=tc.batch_size,
+            n_neg=tc.n_neg, rng=rng, use_hard_negatives=use_hard,
+        )
+        t0 = time.perf_counter()
+        loss = run_step(train_step, state, batch)
+        dt = time.perf_counter() - t0
+        losses.append(loss)
+        if log_fn:
+            log_fn({
+                "step": state.step, "loss": loss, "structure": structure,
+                "phase": phase, "seconds": dt,
+            })
+
+        if phase == "burn_in" and check_conv(losses, tc.conv_tol):
+            phase = "full"
+            losses.clear()
+            if log_fn:
+                log_fn({"step": state.step, "event": "burn_in_done"})
+
+        if val_queries and state.step % tc.val_every == 0:
+            res = evaluation.evaluate(state.params, cfg, val_queries)
+            metric = res.macro_auc
+            if log_fn:
+                log_fn({"step": state.step, "val": res.flat()})
+            if metric > best_val:
+                best_val = metric
+                bad_evals = 0
+                if checkpoint_fn:
+                    checkpoint_fn(state, metric)
+            else:
+                bad_evals += 1
+                if bad_evals >= tc.patience and phase == "full":
+                    if log_fn:
+                        log_fn({"step": state.step, "event": "early_stop"})
+                    break
+        elif phase == "full" and not val_queries and check_conv(losses, tc.conv_tol):
+            break
+    return state
+
+
+def init_train_state(
+    key: jax.Array, cfg: mpqe_mod.MPQEConfig, tc: TrainConfig
+) -> TrainState:
+    params = mpqe_mod.init_mpqe(key, cfg)
+    optimizer = make_optimizer(tc)
+    return TrainState(params=params, opt_state=optimizer.init(params))

@@ -1,0 +1,92 @@
+"""Loaders: npz round-trip, query tuple round-trip, GQE pickle graph parse,
+one-new-edge split."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mpqe_tpu.data import loader as loader_mod
+from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+from mpqe_tpu.graph import make_knowledge_graph
+
+
+@pytest.fixture(scope="module")
+def kg():
+    return make_random_kg(n_entities=80, n_modes=3, n_base_rels=4,
+                          n_triples=600, seed=13)
+
+
+def test_kg_npz_roundtrip(tmp_path, kg):
+    path = str(tmp_path / "kg.npz")
+    loader_mod.save_kg_npz(path, kg)
+    kg2 = loader_mod.load_kg_npz(path)
+    assert kg2.n_entities == kg.n_entities
+    assert kg2.n_base_rels == kg.n_base_rels
+    np.testing.assert_array_equal(kg2.entity_mode, kg.entity_mode)
+    a = np.stack([kg.heads, kg.rels, kg.tails], 1)
+    b = np.stack([kg2.heads, kg2.rels, kg2.tails], 1)
+    np.testing.assert_array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+
+
+def test_query_tuple_roundtrip(tmp_path, kg):
+    sampler = QuerySampler(kg, seed=1)
+    qs = sampler.sample_queries("3-inter_chain", 10, n_neg=4)
+    path = str(tmp_path / "q.pkl")
+    loader_mod.save_queries_pickle(path, qs)
+    grouped = loader_mod.load_queries_pickle(path, kg)
+    back = [q for by_f in grouped.values() for qs2 in by_f.values() for q in qs2]
+    assert len(back) == len(qs)
+    orig = {(q.anchors, q.target, q.formula.rels) for q in qs}
+    got = {(q.anchors, q.target, q.formula.rels) for q in back}
+    assert orig == got
+    # relation order is target-first on disk, anchor-first in memory
+    t = loader_mod.query_to_tuple(qs[0])
+    assert tuple(reversed(t[1])) == qs[0].formula.rels
+
+
+def test_gqe_graph_pickle_parse(tmp_path):
+    """Build a tiny graph_data.pkl in the GQE format (SURVEY.md §A.3)."""
+    relations = {
+        "person": [("paper", "writes")],
+        "paper": [("person", "writes")],
+    }
+    adj_lists = {
+        ("person", "writes", "paper"): {0: {2, 3}, 1: {3}},
+        ("paper", "writes", "person"): {2: {0}, 3: {0, 1}},
+    }
+    node_maps = {"person": [0, 1], "paper": [2, 3]}
+    path = str(tmp_path / "graph_data.pkl")
+    with open(path, "wb") as f:
+        pickle.dump((relations, adj_lists, node_maps), f)
+
+    kg, mode_to_id, rel_to_id = loader_mod.load_graph_pickle(path)
+    assert kg.n_entities == 4
+    assert kg.n_modes == 2
+    # forward + reverse adj_lists keys collapse into base relations
+    assert ("person", "writes", "paper") in rel_to_id
+    assert ("paper", "writes", "person") in rel_to_id
+    f_id = rel_to_id[("person", "writes", "paper")]
+    r_id = rel_to_id[("paper", "writes", "person")]
+    assert f_id // 2 == r_id // 2 and f_id != r_id
+    # person 0 writes papers 2,3 via some directed relation
+    some = kg.neighbors(f_id, 0).tolist()
+    assert set(some) == {2, 3} or set(kg.neighbors(r_id, 0).tolist()) == {2, 3}
+
+
+def test_split_one_new_edge(kg):
+    sampler = QuerySampler(kg, seed=2)
+    qs = sampler.sample_queries("1-chain", 20, n_neg=2)
+    seen, new = loader_mod.split_one_new_edge(qs, kg)
+    # all sampled from the same KG -> every edge seen
+    assert len(seen) == 20 and len(new) == 0
+    # corrupt a query's relation to fabricate an unseen edge
+    import dataclasses as dc
+    q = qs[0]
+    bad_rel = (q.formula.rels[0] + 2) % kg.n_rels
+    f2 = dc.replace(q.formula, rels=(bad_rel,))
+    q2 = dc.replace(q, formula=f2)
+    if q.target not in kg.neighbors(bad_rel, q.anchors[0]).tolist():
+        seen2, new2 = loader_mod.split_one_new_edge([q2], kg)
+        assert len(new2) == 1

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Experiment driver: config + CLI -> data -> model -> curriculum training.
+
+Replaces the reference's Sacred-based ``train.py`` (SURVEY.md §2.1 L6) with
+a dataclass config + argparse CLI; every run writes its full config and a
+JSONL metrics stream into ``--run_dir`` and checkpoints best-validation
+state via Orbax.
+
+Data sources:
+  --data synthetic         a generated KG + sampled queries (offline-friendly)
+  --data npz:<kg.npz>      native KG array format (queries sampled on the fly)
+  --data pkl:<dir>         GQE pickle directory (graph_data.pkl + query pickles)
+
+Examples:
+  python train.py --data synthetic --readout tgt --n_layers 3 --steps 2000
+  python train.py --data pkl:/data/AIFB --readout sum --num_bases 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from mpqe_tpu.data import loader as loader_mod
+from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import STRUCTURE_NAMES, group_queries_by_formula
+from mpqe_tpu.train import checkpoint as ckpt_mod
+from mpqe_tpu.train import evaluation
+from mpqe_tpu.train import loop as loop_mod
+from mpqe_tpu.train.metrics import MetricsWriter
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", default="synthetic")
+    p.add_argument("--run_dir", default=None)
+    p.add_argument("--embed_dim", type=int, default=128)
+    p.add_argument("--n_layers", type=int, default=3)
+    p.add_argument("--num_bases", type=int, default=0,
+                   help="0 = full per-relation weights")
+    p.add_argument("--readout", default="tgt",
+                   choices=["tgt", "sum", "max", "concat", "mlp"])
+    p.add_argument("--margin", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--n_neg", type=int, default=1)
+    p.add_argument("--steps", type=int, default=10_000)
+    p.add_argument("--val_every", type=int, default=1000)
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--structures", default="all",
+                   help="comma list or 'all' or 'chains'")
+    # synthetic data knobs
+    p.add_argument("--syn_entities", type=int, default=500)
+    p.add_argument("--syn_modes", type=int, default=3)
+    p.add_argument("--syn_rels", type=int, default=6)
+    p.add_argument("--syn_triples", type=int, default=5000)
+    p.add_argument("--syn_train_queries", type=int, default=2000)
+    p.add_argument("--syn_val_queries", type=int, default=200)
+    return p.parse_args(argv)
+
+
+def load_data(args):
+    structures = (
+        list(STRUCTURE_NAMES)
+        if args.structures == "all"
+        else (["1-chain", "2-chain", "3-chain"] if args.structures == "chains"
+              else args.structures.split(","))
+    )
+    if args.data == "synthetic" or args.data.startswith("npz:"):
+        if args.data == "synthetic":
+            kg = make_random_kg(
+                n_entities=args.syn_entities, n_modes=args.syn_modes,
+                n_base_rels=args.syn_rels, n_triples=args.syn_triples,
+                seed=args.seed,
+            )
+        else:
+            kg = loader_mod.load_kg_npz(args.data[4:])
+        sampler = QuerySampler(kg, seed=args.seed)
+        per_s_train = max(1, args.syn_train_queries // len(structures))
+        per_s_val = max(1, args.syn_val_queries // len(structures))
+        train_q, val_q = [], []
+        for s in structures:
+            train_q += sampler.sample_queries(s, per_s_train, n_neg=32)
+            val_q += sampler.sample_queries(s, per_s_val, n_neg=64)
+        return kg, group_queries_by_formula(train_q), group_queries_by_formula(val_q)
+    if args.data.startswith("pkl:"):
+        d = args.data[4:]
+        kg, _, _ = loader_mod.load_graph_pickle(os.path.join(d, "graph_data.pkl"))
+        train_q: dict = {}
+        val_q: dict = {}
+        for arity in (2, 3):
+            tp = os.path.join(d, f"train_queries_{arity}.pkl")
+            vp = os.path.join(d, f"val_queries_{arity}.pkl")
+            if os.path.exists(tp):
+                for s, by_f in loader_mod.load_queries_pickle(tp, kg).items():
+                    train_q.setdefault(s, {}).update(by_f)
+            if os.path.exists(vp):
+                for s, by_f in loader_mod.load_queries_pickle(vp, kg).items():
+                    val_q.setdefault(s, {}).update(by_f)
+        return kg, train_q, val_q
+    raise ValueError(f"unknown --data {args.data}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    run_dir = args.run_dir or os.path.join(
+        "runs", time.strftime("%Y%m%d-%H%M%S")
+    )
+    metrics = MetricsWriter(run_dir)
+    metrics.write_config(vars(args))
+
+    kg, train_q, val_q = load_data(args)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities,
+        n_modes=kg.n_modes,
+        n_rels=kg.n_rels,
+        embed_dim=args.embed_dim,
+        n_layers=args.n_layers,
+        num_bases=args.num_bases or None,
+        readout=args.readout,
+        margin=args.margin,
+    )
+    tc = loop_mod.TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, n_neg=args.n_neg,
+        max_steps=args.steps, val_every=args.val_every,
+        patience=args.patience, seed=args.seed,
+    )
+    metrics.write_config(dataclasses.asdict(cfg), "model_config.json")
+
+    state = loop_mod.init_train_state(jax.random.PRNGKey(args.seed), cfg, tc)
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+
+    def checkpoint_fn(st, metric):
+        path = ckpt_mod.save_checkpoint(ckpt_dir, st)
+        metrics.log({"step": st.step, "event": "checkpoint",
+                     "path": path, "val_auc": metric})
+
+    state = loop_mod.run_train(
+        state, cfg, tc, train_q, val_queries=val_q,
+        log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
+    )
+    res = evaluation.evaluate(state.params, cfg, val_q)
+    metrics.log({"step": state.step, "final": res.flat()})
+    print(f"final step={state.step} macro_auc={res.macro_auc:.4f} "
+          f"macro_apr={res.macro_apr:.2f}")
+    metrics.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()
