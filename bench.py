@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Benchmark driver: R-GCN forward edges/s per chip (primary metric) plus
+train-step queries/s, vs. a reference-spec PyTorch-CPU implementation.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+Timing methodology (important on the remote-relay TPU backend, where
+``block_until_ready`` can return before device execution finishes): the
+benched step runs inside a single jitted ``lax.fori_loop`` with a data
+dependency threaded through iterations, synced by a device->host transfer
+of the final scalar; per-iteration time is overhead-cancelled as
+``(t(N_large) - t(N_small)) / (N_large - N_small)``.
+
+The baseline is a from-spec scatter-based R-GCN forward in PyTorch (the
+reference's PyG RGCNConv execution strategy: per-relation gather -> GEMM ->
+index_add; SURVEY.md §2.2) on CPU — the reference publishes no throughput
+numbers (SURVEY.md §6), so the reference-equivalent implementation measured
+here is the baseline.
+
+Workload: 3-chain_inter query batches (BASELINE.json configs[4] structure),
+flagship model shape (d=128, 3 layers, TGT readout -> diameter-2 steps,
+AM-scale entity/relation vocab).  edges/s counts edge-messages:
+steps x B x n_edges per forward.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+D = 128
+N_ENTITIES = 1_000_000
+N_MODES = 4
+N_RELS = 266  # AM-scale directed relation vocab (133 base x 2)
+NUM_BASES = 16
+N_LAYERS = 3
+STRUCTURE = "3-chain_inter"
+BATCH = 131_072
+N_NEG = 4
+N_SMALL, N_LARGE = 5, 55
+TORCH_BATCH = 8_192
+TORCH_ITERS = 5
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _timed_loop(loop_fn, *args):
+    """Overhead-cancelled per-iteration seconds for loop_fn(*args, n)."""
+    float(loop_fn(*args, 2))  # compile + sync
+    t0 = time.perf_counter()
+    float(loop_fn(*args, N_SMALL))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop_fn(*args, N_LARGE))
+    t_large = time.perf_counter() - t0
+    return max(t_large - t_small, 1e-9) / (N_LARGE - N_SMALL)
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+    from mpqe_tpu.train import loop as loop_mod
+
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
+        embed_dim=D, n_layers=N_LAYERS, num_bases=NUM_BASES, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = BATCH
+    node_entity = jnp.asarray(
+        rng.integers(0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+    node_mode = jnp.asarray(
+        rng.integers(0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    edge_rel = jnp.asarray(rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    edge_norm = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+    target = jnp.asarray(rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+    negatives = jnp.asarray(
+        rng.integers(0, N_ENTITIES, (B, N_NEG)).astype(np.int32))
+    neg_mask = jnp.asarray(np.ones((B, N_NEG), np.float32))
+    query_mask = jnp.asarray(np.ones((B,), np.float32))
+
+    steps = mpqe_mod.num_steps(cfg, STRUCTURE)
+    edge_msgs_per_fwd = steps * B * spec.n_edges
+
+    @jax.jit
+    def fwd_loop(params, en0, n):
+        def body(i, carry):
+            en, acc = carry
+            q = mpqe_mod.encode_dense(
+                params, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en
+            )
+            return en + q[0, :spec.n_edges] * 1e-20, acc + q[0, 0]
+        _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
+        return acc
+
+    log(f"compiling forward (B={B}) on {jax.default_backend()}...")
+    fwd_dt = _timed_loop(fwd_loop, params, edge_norm)
+    fwd_edges_s = edge_msgs_per_fwd / fwd_dt
+    log(f"fwd: {fwd_dt*1e3:.3f} ms -> {fwd_edges_s:.3e} edge-msgs/s")
+
+    # full train step: fwd + bwd + adam, params/opt carried on device
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=B, n_neg=N_NEG)
+    optimizer = loop_mod.make_optimizer(tc)
+    opt_state = optimizer.init(params)
+
+    def one_step(params, opt_state):
+        def loss_fn(p):
+            return mpqe_mod.dense_batch_loss(
+                p, cfg, STRUCTURE, node_entity, node_mode, edge_rel,
+                edge_norm, target, negatives, neg_mask, query_mask,
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def step_loop(params, opt_state, n):
+        def body(i, carry):
+            p, o, _ = carry
+            return one_step(p, o)
+        _, _, loss = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0)))
+        return loss
+
+    log("compiling train step...")
+    step_dt = _timed_loop(step_loop, params, opt_state)
+    queries_s = B / step_dt
+    log(f"train step: {step_dt*1e3:.3f} ms -> {queries_s:.3e} queries/s")
+
+    return {
+        "backend": jax.default_backend(),
+        "fwd_seconds": fwd_dt,
+        "fwd_edges_per_s": fwd_edges_s,
+        "train_step_seconds": step_dt,
+        "train_queries_per_s": queries_s,
+        "batch": B,
+        "edge_msgs_per_fwd": edge_msgs_per_fwd,
+    }
+
+
+def bench_torch_baseline():
+    """Reference-spec forward in torch (CPU): per-relation gather->GEMM->
+    index_add over the flattened batched query graph + TGT readout."""
+    try:
+        import torch
+    except Exception as e:  # pragma: no cover
+        log(f"torch unavailable ({e}); baseline skipped")
+        return None
+    from mpqe_tpu.queries import STRUCTURES
+
+    torch.manual_seed(0)
+    spec = STRUCTURES[STRUCTURE]
+    B = TORCH_BATCH
+    n = spec.n_nodes
+    N = B * n
+    steps = spec.diameter
+    rng = np.random.default_rng(0)
+
+    ent = torch.randn(200_000, D)  # smaller table than TPU run: favors CPU
+    basis = torch.randn(NUM_BASES, D, D) * 0.05
+    coeff = torch.randn(N_RELS, NUM_BASES) * 0.3
+    w_self = torch.randn(D, D) * 0.05
+    bias = torch.zeros(D)
+
+    node_ids = torch.from_numpy(
+        rng.integers(0, 200_000, (N,)).astype(np.int64))
+    offs = np.arange(B)[:, None] * n
+    e_src = torch.from_numpy(
+        (offs + np.array(spec.edge_src)[None]).reshape(-1).astype(np.int64))
+    e_dst = torch.from_numpy(
+        (offs + np.array(spec.edge_dst)[None]).reshape(-1).astype(np.int64))
+    rels = rng.integers(0, N_RELS, (spec.n_edges,))
+    tgt_idx = torch.from_numpy(
+        (np.arange(B) * n + spec.target_slot).astype(np.int64))
+    slot_sel = [torch.arange(j, B * spec.n_edges, spec.n_edges)
+                for j in range(spec.n_edges)]
+
+    def forward():
+        x = ent[node_ids]
+        for _ in range(steps):
+            out = x @ w_self + bias
+            for j in range(spec.n_edges):  # relation blocks of this formula
+                r = int(rels[j])
+                w_r = torch.einsum("b,bio->io", coeff[r], basis)
+                msg = x[e_src[slot_sel[j]]] @ w_r
+                out.index_add_(0, e_dst[slot_sel[j]], msg)
+            x = torch.relu(out)
+        return x[tgt_idx]
+
+    with torch.no_grad():
+        forward()
+        forward()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(TORCH_ITERS):
+            forward()
+        dt = (time.perf_counter() - t0) / TORCH_ITERS
+    edges = steps * B * spec.n_edges
+    log(f"torch baseline fwd: {dt*1e3:.1f} ms")
+    return {"torch_fwd_seconds": dt, "torch_fwd_edges_per_s": edges / dt,
+            "torch_batch": B}
+
+
+def main():
+    tb = bench_torch_baseline()  # run first: clean CPU, no tunnel interference
+    jx = bench_jax()
+    vs = (
+        jx["fwd_edges_per_s"] / tb["torch_fwd_edges_per_s"]
+        if tb else float("nan")
+    )
+    extra = dict(jx)
+    if tb:
+        extra.update(tb)
+    record = {
+        "metric": "rgcn_fwd_edges_per_s_chip",
+        "value": jx["fwd_edges_per_s"],
+        "unit": "edge_messages/s",
+        "vs_baseline": vs,
+        "extra": extra,
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Distributed layer on the 8-fake-device CPU mesh: edge-partitioned
+shard_map R-GCN vs single-device (near-bit equality), relation-partitioned
+EP path, and the full SPMD train step with DP+TP shardings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpqe_tpu.data.batcher import dense_to_sparse, make_dense_batch
+from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.ops import rgcn as rgcn_ops
+from mpqe_tpu.ops.edge_store import build_edge_store
+from mpqe_tpu.parallel import halo, mesh as mesh_lib, sharding as sharding_lib, spmd
+from mpqe_tpu.train import loop as loop_mod
+
+D = 16
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return mesh_lib.make_mesh((8, 1))
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return mesh_lib.make_mesh((4, 2))
+
+
+def _random_graph(rng, n_nodes=100, n_e=400, n_rels=8):
+    src = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    rel = rng.integers(0, n_rels, n_e).astype(np.int32)
+    return build_edge_store(src, dst, rel, n_nodes, n_rels)
+
+
+@pytest.mark.parametrize("num_bases", [None, 4])
+def test_dst_partitioned_matches_single_device(mesh8, rng, num_bases):
+    n_rels = 8
+    st = _random_graph(rng, n_rels=n_rels)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), D, D, n_rels, num_bases)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), n_rels,
+        )
+    )
+
+    pe = halo.partition_edges_by_dst(st, n_parts=8)
+    x_pad = halo.pad_node_features(x, pe)
+    got = np.asarray(
+        halo.rgcn_dst_partitioned(
+            mesh8, p, jnp.asarray(x_pad),
+            jnp.asarray(pe.src), jnp.asarray(pe.dst_local),
+            jnp.asarray(pe.rel), jnp.asarray(pe.norm), n_rels,
+        )
+    )[: st.n_nodes]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_rel_partitioned_matches_single_device(mesh42, rng):
+    n_rels = 8  # divisible by model axis (2)
+    st = _random_graph(rng, n_rels=n_rels)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, n_rels, None)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), n_rels,
+        )
+    )
+    got = np.asarray(
+        halo.rgcn_rel_partitioned(
+            mesh42, p, jnp.asarray(x),
+            jnp.asarray(st.src), jnp.asarray(st.dst),
+            jnp.asarray(st.rel), jnp.asarray(st.norm), n_rels,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_rel_partitioned_basis_coeff(mesh42, rng):
+    n_rels = 8
+    st = _random_graph(rng, n_nodes=40, n_e=150, n_rels=n_rels)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(2), D, D, n_rels, 4)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), n_rels,
+        )
+    )
+    got = np.asarray(
+        halo.rgcn_rel_partitioned(
+            mesh42, p, jnp.asarray(x),
+            jnp.asarray(st.src), jnp.asarray(st.dst),
+            jnp.asarray(st.rel), jnp.asarray(st.norm), n_rels,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _setting():
+    kg = make_random_kg(n_entities=128, n_modes=2, n_base_rels=4,
+                        n_triples=600, seed=21)
+    sampler = QuerySampler(kg, seed=4)
+    qs = sampler.sample_queries("2-chain", 40, n_neg=8)
+    f = qs[0].formula
+    qs = [q for q in qs if q.formula == f]
+    while len(qs) < 16:
+        q = sampler.sample_query("2-chain", n_neg=8)
+        if q and q.formula == f:
+            qs.append(q)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=D, n_layers=2, num_bases=4, readout="tgt",
+    )
+    batch = make_dense_batch(f, qs[:16], batch_size=16, n_neg=8)
+    return kg, cfg, batch
+
+
+def test_spmd_step_matches_single_device(mesh8):
+    """DP+TP sharded train step == unsharded train step (same init)."""
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=16, n_neg=8)
+    key = jax.random.PRNGKey(5)
+
+    # single device
+    state = loop_mod.init_train_state(key, cfg, tc)
+    step = loop_mod.make_train_step(cfg, loop_mod.make_optimizer(tc))
+    loss_single = loop_mod.run_step(step, state, batch)
+
+    # sharded
+    init_fn, jit_step = spmd.make_spmd_train_step(cfg, tc, mesh8)
+    params, opt_state = init_fn(key)
+    params, opt_state, loss_sh = spmd.spmd_train_step(
+        jit_step, params, opt_state, mesh8, batch
+    )
+    np.testing.assert_allclose(float(loss_sh), loss_single, rtol=1e-4)
+    # params updated and still finite
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_spmd_entity_table_is_actually_sharded(mesh42):
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=16, n_neg=8)
+    init_fn, jit_step = spmd.make_spmd_train_step(cfg, tc, mesh42)
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    ent = params["emb"]["ent"]
+    # row-sharded over model axis (2 shards)
+    shards = {s.index[0] for s in ent.addressable_shards}
+    assert len(shards) == 2
+    params, opt_state, loss = spmd.spmd_train_step(
+        jit_step, params, opt_state, mesh42, batch
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_multi_step_spmd_training_decreases_loss(mesh8):
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.02, batch_size=16, n_neg=8)
+    init_fn, jit_step = spmd.make_spmd_train_step(cfg, tc, mesh8)
+    params, opt_state = init_fn(jax.random.PRNGKey(1))
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = spmd.spmd_train_step(
+            jit_step, params, opt_state, mesh8, batch
+        )
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
