@@ -1,0 +1,271 @@
+// mpqe_host: native host-side runtime for the mpqe_tpu framework.
+//
+// The reference's native code lives in its dependencies (torch-scatter /
+// torch-sparse C++/CUDA; SURVEY.md §2.2); its *host* pipeline (per-batch
+// Python graph construction) is its throughput bottleneck (SURVEY.md §3).
+// This library is the TPU build's host runtime: batch packing, relation-
+// sorted edge store construction, synthetic KG generation and query
+// sampling — all flat-array C ABI functions bound via ctypes
+// (mpqe_tpu/data/native.py).  No Python objects, no per-query allocation;
+// every function is O(work) over contiguous int32/float32 buffers.
+//
+// Build: make -C cpp   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// splitmix64 RNG: deterministic, seedable, no global state.
+// ---------------------------------------------------------------------
+static inline uint64_t splitmix64(uint64_t& s) {
+  uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+static inline uint64_t rng_below(uint64_t& s, uint64_t n) {
+  return n ? splitmix64(s) % n : 0;
+}
+
+// ---------------------------------------------------------------------
+// pack_dense_batch: flattened FormulaStore -> dense batch arrays.
+//
+// Mirrors data/store.py::pack_dense_batch_np (different RNG stream).
+// anchors: [n_q, n_anchor_slots]; neg CSR pool/ptr; pick: [n_pick]
+// query indices.  Outputs are caller-allocated:
+//   node_entity [B, n_nodes] (must be pre-zeroed), target [B],
+//   negatives [B, n_neg], neg_mask [B, n_neg], query_mask [B].
+// Returns 0 on success.
+// ---------------------------------------------------------------------
+int pack_dense_batch(
+    const int32_t* anchors, int64_t n_q, int32_t n_anchor_slots,
+    const int32_t* targets,
+    const int32_t* neg_pool, const int64_t* neg_ptr,
+    const int32_t* hard_pool, const int64_t* hard_ptr, int32_t use_hard,
+    const int32_t* anchor_slot_ids,  // [n_anchor_slots] template slots
+    int32_t n_nodes,
+    const int64_t* pick, int64_t n_pick,
+    int64_t batch_size, int32_t n_neg, uint64_t seed,
+    int32_t* node_entity, int32_t* target_out,
+    int32_t* negatives, float* neg_mask, float* query_mask) {
+  if (n_pick > batch_size || n_pick <= 0) return 1;
+  uint64_t s = seed ^ 0xabcdef1234567890ULL;
+  for (int64_t b = 0; b < n_pick; ++b) {
+    const int64_t qi = pick[b];
+    if (qi < 0 || qi >= n_q) return 2;
+    for (int32_t a = 0; a < n_anchor_slots; ++a) {
+      node_entity[b * n_nodes + anchor_slot_ids[a]] =
+          anchors[qi * n_anchor_slots + a];
+    }
+    target_out[b] = targets[qi];
+    const int32_t* pool = neg_pool;
+    int64_t lo = neg_ptr[qi], hi = neg_ptr[qi + 1];
+    if (use_hard && hard_ptr[qi + 1] > hard_ptr[qi]) {
+      pool = hard_pool;
+      lo = hard_ptr[qi];
+      hi = hard_ptr[qi + 1];
+    }
+    if (hi > lo) {
+      for (int32_t k = 0; k < n_neg; ++k) {
+        negatives[b * n_neg + k] = pool[lo + (int64_t)rng_below(s, hi - lo)];
+        neg_mask[b * n_neg + k] = 1.0f;
+      }
+    }
+    query_mask[b] = 1.0f;
+  }
+  // replicate row 0 into padding rows (keeps padded compute in-range)
+  for (int64_t b = n_pick; b < batch_size; ++b) {
+    std::memcpy(node_entity + b * n_nodes, node_entity, n_nodes * 4);
+    target_out[b] = target_out[0];
+    std::memcpy(negatives + b * n_neg, negatives, n_neg * 4);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// build_edge_store: counting sort by (rel, dst) + rel_ptr + 1/c norms.
+//
+// Mirrors ops/edge_store.py::build_edge_store.  Outputs caller-allocated
+// with length `capacity` (>= n_e): src/dst/rel/norm sorted; rel_ptr
+// [n_rels + 2].  Padding: src=dst=n_nodes, rel=n_rels, norm=0.
+// ---------------------------------------------------------------------
+int build_edge_store_c(
+    int64_t n_e, const int32_t* src, const int32_t* dst, const int32_t* rel,
+    int32_t n_nodes, int32_t n_rels, int64_t capacity,
+    int32_t* out_src, int32_t* out_dst, int32_t* out_rel, float* out_norm,
+    int32_t* rel_ptr) {
+  if (capacity < n_e) return 1;
+  // two-pass counting sort on key = rel * (n_nodes+1) + dst
+  const int64_t stride = (int64_t)n_nodes + 1;
+  std::vector<int64_t> key(n_e);
+  for (int64_t e = 0; e < n_e; ++e) {
+    if (rel[e] < 0 || rel[e] >= n_rels) return 2;
+    key[e] = (int64_t)rel[e] * stride + dst[e];
+  }
+  std::vector<int64_t> order(n_e);
+  for (int64_t e = 0; e < n_e; ++e) order[e] = e;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return key[a] < key[b]; });
+  // in-degree counts per (dst, rel): reuse sorted runs
+  for (int64_t i = 0; i < n_e; ++i) {
+    const int64_t e = order[i];
+    out_src[i] = src[e];
+    out_dst[i] = dst[e];
+    out_rel[i] = rel[e];
+  }
+  for (int64_t i = 0; i < n_e;) {
+    int64_t j = i;
+    const int64_t k = key[order[i]];
+    while (j < n_e && key[order[j]] == k) ++j;
+    const float inv = 1.0f / (float)(j - i);
+    for (int64_t t = i; t < j; ++t) out_norm[t] = inv;
+    i = j;
+  }
+  for (int64_t i = n_e; i < capacity; ++i) {
+    out_src[i] = n_nodes;
+    out_dst[i] = n_nodes;
+    out_rel[i] = n_rels;
+    out_norm[i] = 0.0f;
+  }
+  // rel_ptr
+  std::vector<int64_t> counts(n_rels, 0);
+  for (int64_t i = 0; i < n_e; ++i) counts[out_rel[i]]++;
+  rel_ptr[0] = 0;
+  for (int32_t r = 0; r < n_rels; ++r)
+    rel_ptr[r + 1] = rel_ptr[r] + (int32_t)counts[r];
+  rel_ptr[n_rels + 1] = (int32_t)capacity;
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// make_synthetic_kg: mode-typed random triples (schema-respecting).
+//
+// entity_mode [n_entities] (output), rel_domain/rel_range [n_base_rels]
+// (output), triples (h, r, t) written to heads/rels/tails [n_triples].
+// Powers BASELINE config[4] (100M-edge synthetic KG) at C++ speed.
+// ---------------------------------------------------------------------
+int make_synthetic_kg(
+    int64_t n_entities, int32_t n_modes, int32_t n_base_rels,
+    int64_t n_triples, uint64_t seed,
+    int32_t* entity_mode, int32_t* rel_domain, int32_t* rel_range,
+    int32_t* heads, int32_t* rels, int32_t* tails) {
+  if (n_modes <= 0 || n_entities < n_modes) return 1;
+  uint64_t s = seed ^ 0x1234567890abcdefULL;
+  // contiguous mode blocks => O(1) per-mode sampling
+  std::vector<int64_t> mode_start(n_modes + 1);
+  for (int32_t m = 0; m <= n_modes; ++m)
+    mode_start[m] = m * n_entities / n_modes;
+  for (int32_t m = 0; m < n_modes; ++m)
+    for (int64_t i = mode_start[m]; i < mode_start[m + 1]; ++i)
+      entity_mode[i] = m;
+  for (int32_t r = 0; r < n_base_rels; ++r) {
+    rel_domain[r] = (int32_t)rng_below(s, n_modes);
+    rel_range[r] = (int32_t)rng_below(s, n_modes);
+  }
+  for (int64_t e = 0; e < n_triples; ++e) {
+    const int32_t r = (int32_t)rng_below(s, n_base_rels);
+    const int32_t dm = rel_domain[r], rm = rel_range[r];
+    const int64_t h =
+        mode_start[dm] + (int64_t)rng_below(s, mode_start[dm + 1] - mode_start[dm]);
+    const int64_t t =
+        mode_start[rm] + (int64_t)rng_below(s, mode_start[rm + 1] - mode_start[rm]);
+    heads[e] = (int32_t)h;
+    rels[e] = r;
+    tails[e] = (int32_t)t;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// sample_chain_queries: batched backward walks over an incoming-edge CSR.
+//
+// in_ptr [n_entities+1], in_rel / in_src [n_in_edges]: incoming directed
+// edges per entity (built host-side or via build_incoming_csr below).
+// For each of n_samples queries: pick target, walk template edges in
+// reverse (edge j: src_slot[j] -> dst_slot[j], slots pre-bound), sampling
+// a random incoming edge of the bound destination.  Writes per query:
+// entities [n_samples, n_nodes], rels [n_samples, n_edges]; rows that hit
+// a dead end get entities[.,0] = -1.  Negatives are uniform same-mode
+// entities != target (answer-set checking stays in the Python sampler;
+// this fast path powers synthetic-scale benchmarks).
+// ---------------------------------------------------------------------
+int sample_chain_queries(
+    const int64_t* in_ptr, const int32_t* in_rel, const int32_t* in_src,
+    int64_t n_entities, const int32_t* entity_mode,
+    const int64_t* mode_start, int32_t n_modes,  // contiguous-mode layout
+    const int32_t* edge_src_slot, const int32_t* edge_dst_slot,
+    int32_t n_edges, int32_t n_nodes,
+    int64_t n_samples, int32_t n_neg, uint64_t seed,
+    int32_t* out_entities, int32_t* out_rels, int32_t* out_negs) {
+  uint64_t s = seed ^ 0xfeedfacecafebeefULL;
+  std::vector<int32_t> ent(n_nodes);
+  for (int64_t q = 0; q < n_samples; ++q) {
+    bool ok = false;
+    for (int tries = 0; tries < 64 && !ok; ++tries) {
+      std::fill(ent.begin(), ent.end(), -1);
+      ent[n_nodes - 1] = (int32_t)rng_below(s, n_entities);  // target slot
+      ok = true;
+      for (int32_t j = n_edges - 1; j >= 0; --j) {
+        const int32_t d = ent[edge_dst_slot[j]];
+        if (d < 0) { ok = false; break; }
+        const int64_t lo = in_ptr[d], hi = in_ptr[d + 1];
+        if (hi <= lo) { ok = false; break; }
+        const int64_t k = lo + (int64_t)rng_below(s, hi - lo);
+        out_rels[q * n_edges + j] = in_rel[k];
+        const int32_t ss = edge_src_slot[j];
+        if (ent[ss] >= 0 && ent[ss] != in_src[k]) { ok = false; break; }
+        ent[ss] = in_src[k];
+      }
+    }
+    if (!ok) {
+      out_entities[q * n_nodes] = -1;
+      continue;
+    }
+    std::memcpy(out_entities + q * n_nodes, ent.data(), n_nodes * 4);
+    const int32_t tm = entity_mode[ent[n_nodes - 1]];
+    const int64_t mlo = mode_start[tm], mhi = mode_start[tm + 1];
+    for (int32_t k = 0; k < n_neg; ++k) {
+      int32_t c = (int32_t)(mlo + (int64_t)rng_below(s, mhi - mlo));
+      if (c == ent[n_nodes - 1]) c = (int32_t)(mlo + (mhi - 1 - c) % (mhi - mlo));
+      out_negs[q * n_neg + k] = c;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// build_incoming_csr: directed edges (with inverses) grouped by dst.
+// heads/rels/tails are base triples; emits 2*n_triples incoming records:
+//   for (h, r, t): forward 2r arrives at t from h; inverse 2r+1 at h from t.
+// Outputs: in_ptr [n_entities+1], in_rel / in_src [2*n_triples].
+// ---------------------------------------------------------------------
+int build_incoming_csr(
+    int64_t n_triples, const int32_t* heads, const int32_t* rels,
+    const int32_t* tails, int64_t n_entities,
+    int64_t* in_ptr, int32_t* in_rel, int32_t* in_src) {
+  std::vector<int64_t> cnt(n_entities + 1, 0);
+  for (int64_t e = 0; e < n_triples; ++e) {
+    cnt[tails[e] + 1]++;
+    cnt[heads[e] + 1]++;
+  }
+  for (int64_t i = 0; i < n_entities; ++i) cnt[i + 1] += cnt[i];
+  std::memcpy(in_ptr, cnt.data(), (n_entities + 1) * 8);
+  std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+  for (int64_t e = 0; e < n_triples; ++e) {
+    int64_t p = cursor[tails[e]]++;
+    in_rel[p] = 2 * rels[e];
+    in_src[p] = heads[e];
+    p = cursor[heads[e]]++;
+    in_rel[p] = 2 * rels[e] + 1;
+    in_src[p] = tails[e];
+  }
+  return 0;
+}
+
+}  // extern "C"

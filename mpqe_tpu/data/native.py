@@ -1,0 +1,260 @@
+"""ctypes bindings to the C++ host runtime (cpp/libmpqe_host.so).
+
+Exposes the native batch packer, edge-store builder, synthetic-KG
+generator, and batched query sampler; every entry point has a pure-
+NumPy/Python fallback (store.pack_dense_batch_np, edge_store.build_edge_store,
+sampler.make_random_kg) so the framework works without the compiled
+library.  ``available()`` reports whether the native path is active;
+``ensure_built()`` compiles it on demand via make (g++ is in the image).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+from mpqe_tpu.data.batcher import DenseQueryBatch, template_edge_norm
+from mpqe_tpu.data.store import FormulaStore
+from mpqe_tpu.ops.edge_store import EdgeStore
+
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
+_LIB_PATH = os.path.abspath(os.path.join(_CPP_DIR, "libmpqe_host.so"))
+_lib: Optional[ctypes.CDLL] = None
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Compile the library if missing; returns availability."""
+    global _lib
+    if _lib is not None:
+        return True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_CPP_DIR)],
+                check=True,
+                capture_output=quiet,
+            )
+        except Exception:
+            return False
+    try:
+        _lib = _load(_LIB_PATH)
+        return True
+    except Exception:
+        _lib = None
+        return False
+
+
+def _load(path: str) -> ctypes.CDLL:
+    lib = ctypes.CDLL(path)
+    lib.pack_dense_batch.restype = ctypes.c_int
+    lib.pack_dense_batch.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int32,  # anchors, n_q, n_anchor_slots
+        _i32p,  # targets
+        _i32p, _i64p,  # neg pool/ptr
+        _i32p, _i64p, ctypes.c_int32,  # hard pool/ptr, use_hard
+        _i32p, ctypes.c_int32,  # anchor_slot_ids, n_nodes
+        _i64p, ctypes.c_int64,  # pick, n_pick
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,  # B, n_neg, seed
+        _i32p, _i32p, _i32p, _f32p, _f32p,  # outputs
+    ]
+    lib.build_edge_store_c.restype = ctypes.c_int
+    lib.build_edge_store_c.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        _i32p, _i32p, _i32p, _f32p, _i32p,
+    ]
+    lib.make_synthetic_kg.restype = ctypes.c_int
+    lib.make_synthetic_kg.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_uint64,
+        _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+    ]
+    lib.build_incoming_csr.restype = ctypes.c_int
+    lib.build_incoming_csr.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _i32p, ctypes.c_int64,
+        _i64p, _i32p, _i32p,
+    ]
+    lib.sample_chain_queries.restype = ctypes.c_int
+    lib.sample_chain_queries.argtypes = [
+        _i64p, _i32p, _i32p,
+        ctypes.c_int64, _i32p,
+        _i64p, ctypes.c_int32,
+        _i32p, _i32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+        _i32p, _i32p, _i32p,
+    ]
+    return lib
+
+
+def available() -> bool:
+    return _lib is not None or ensure_built()
+
+
+# ----------------------------------------------------------------------
+def pack_dense_batch_native(
+    store: FormulaStore,
+    pick: np.ndarray,
+    batch_size: int,
+    n_neg: int,
+    seed: int,
+    use_hard: bool = False,
+) -> DenseQueryBatch:
+    """Native batch packer (drop-in for store.pack_dense_batch_np)."""
+    assert _lib is not None, "call ensure_built() first"
+    spec = store.formula.spec
+    B = batch_size
+    node_entity = np.zeros((B, spec.n_nodes), np.int32)
+    node_mode = np.broadcast_to(
+        np.asarray(store.formula.node_modes, np.int32)[None, :],
+        (B, spec.n_nodes),
+    ).copy()
+    target = np.zeros((B,), np.int32)
+    negatives = np.zeros((B, n_neg), np.int32)
+    neg_mask = np.zeros((B, n_neg), np.float32)
+    query_mask = np.zeros((B,), np.float32)
+    anchor_slots = np.asarray(spec.anchor_slots, np.int32)
+    pick64 = np.ascontiguousarray(pick, np.int64)
+    # hard pools may be empty -> pass 1-element dummies
+    hp = store.hard_pool if store.hard_pool.size else np.zeros(1, np.int32)
+    rc = _lib.pack_dense_batch(
+        np.ascontiguousarray(store.anchors), store.n_queries,
+        spec.n_anchors,
+        np.ascontiguousarray(store.targets),
+        np.ascontiguousarray(store.neg_pool)
+        if store.neg_pool.size else np.zeros(1, np.int32),
+        np.ascontiguousarray(store.neg_ptr),
+        np.ascontiguousarray(hp),
+        np.ascontiguousarray(store.hard_ptr),
+        1 if use_hard else 0,
+        anchor_slots, spec.n_nodes,
+        pick64, len(pick64),
+        B, n_neg, seed,
+        node_entity, target, negatives, neg_mask, query_mask,
+    )
+    if rc != 0:
+        raise RuntimeError(f"pack_dense_batch failed rc={rc}")
+    return DenseQueryBatch(
+        structure=store.formula.structure,
+        n_queries=len(pick64),
+        node_entity=node_entity,
+        node_mode=node_mode,
+        edge_rel=np.asarray(store.formula.rels, np.int32),
+        edge_norm=template_edge_norm(spec, store.formula.rels),
+        target=target,
+        negatives=negatives,
+        neg_mask=neg_mask,
+        query_mask=query_mask,
+    )
+
+
+def build_edge_store_native(
+    src: np.ndarray, dst: np.ndarray, rel: np.ndarray,
+    n_nodes: int, n_rels: int, capacity: Optional[int] = None,
+) -> EdgeStore:
+    assert _lib is not None, "call ensure_built() first"
+    n_e = int(len(src))
+    cap = capacity if capacity is not None else n_e
+    o_src = np.empty(cap, np.int32)
+    o_dst = np.empty(cap, np.int32)
+    o_rel = np.empty(cap, np.int32)
+    o_norm = np.empty(cap, np.float32)
+    rel_ptr = np.empty(n_rels + 2, np.int32)
+    rc = _lib.build_edge_store_c(
+        n_e, np.ascontiguousarray(src, np.int32),
+        np.ascontiguousarray(dst, np.int32),
+        np.ascontiguousarray(rel, np.int32),
+        n_nodes, n_rels, cap,
+        o_src, o_dst, o_rel, o_norm, rel_ptr,
+    )
+    if rc != 0:
+        raise RuntimeError(f"build_edge_store_c failed rc={rc}")
+    return EdgeStore(
+        src=o_src, dst=o_dst, rel=o_rel, norm=o_norm, rel_ptr=rel_ptr,
+        n_edges=n_e, n_nodes=n_nodes, n_rels=n_rels,
+    )
+
+
+def make_synthetic_kg_native(
+    n_entities: int, n_modes: int, n_base_rels: int, n_triples: int,
+    seed: int = 0,
+):
+    """Schema-respecting random KG at native speed (contiguous mode
+    blocks).  Returns a KnowledgeGraph."""
+    from mpqe_tpu.graph import KnowledgeGraph
+
+    assert _lib is not None, "call ensure_built() first"
+    entity_mode = np.empty(n_entities, np.int32)
+    rel_domain = np.empty(n_base_rels, np.int32)
+    rel_range = np.empty(n_base_rels, np.int32)
+    heads = np.empty(n_triples, np.int32)
+    rels = np.empty(n_triples, np.int32)
+    tails = np.empty(n_triples, np.int32)
+    rc = _lib.make_synthetic_kg(
+        n_entities, n_modes, n_base_rels, n_triples, seed,
+        entity_mode, rel_domain, rel_range, heads, rels, tails,
+    )
+    if rc != 0:
+        raise RuntimeError(f"make_synthetic_kg failed rc={rc}")
+    return KnowledgeGraph(
+        n_entities=n_entities, n_base_rels=n_base_rels,
+        entity_mode=entity_mode, rel_domain=rel_domain, rel_range=rel_range,
+        heads=heads, rels=rels, tails=tails,
+    )
+
+
+def sample_queries_native(
+    kg, structure: str, n_samples: int, n_neg: int, seed: int = 0
+) -> Dict[str, np.ndarray]:
+    """Batched backward-walk query sampling (benchmark-scale fast path;
+    negatives are uniform same-mode non-target entities, not answer-set
+    checked — use data.sampler.QuerySampler for protocol-exact data).
+
+    Requires a contiguous-mode KG (the native synthetic generator's
+    layout).  Returns {entities [n, n_nodes], rels [n, n_edges],
+    negatives [n, n_neg]}; failed rows have entities[:,0] == -1.
+    """
+    from mpqe_tpu.queries import STRUCTURES
+
+    assert _lib is not None, "call ensure_built() first"
+    spec = STRUCTURES[structure]
+    n_ent = kg.n_entities
+    mode_start = np.searchsorted(
+        kg.entity_mode, np.arange(kg.n_modes + 1)
+    ).astype(np.int64)
+    if not np.all(np.diff(kg.entity_mode) >= 0):
+        raise ValueError("native sampler needs contiguous-mode entity ids")
+    n_in = 2 * kg.n_triples
+    in_ptr = np.empty(n_ent + 1, np.int64)
+    in_rel = np.empty(max(n_in, 1), np.int32)
+    in_src = np.empty(max(n_in, 1), np.int32)
+    rc = _lib.build_incoming_csr(
+        kg.n_triples, np.ascontiguousarray(kg.heads),
+        np.ascontiguousarray(kg.rels), np.ascontiguousarray(kg.tails),
+        n_ent, in_ptr, in_rel, in_src,
+    )
+    if rc != 0:
+        raise RuntimeError(f"build_incoming_csr failed rc={rc}")
+    entities = np.empty((n_samples, spec.n_nodes), np.int32)
+    rels = np.empty((n_samples, spec.n_edges), np.int32)
+    negs = np.empty((n_samples, max(n_neg, 1)), np.int32)
+    rc = _lib.sample_chain_queries(
+        in_ptr, in_rel, in_src, n_ent,
+        np.ascontiguousarray(kg.entity_mode),
+        mode_start, kg.n_modes,
+        np.asarray(spec.edge_src, np.int32),
+        np.asarray(spec.edge_dst, np.int32),
+        spec.n_edges, spec.n_nodes,
+        n_samples, n_neg, seed,
+        entities, rels, negs,
+    )
+    if rc != 0:
+        raise RuntimeError(f"sample_chain_queries failed rc={rc}")
+    return {"entities": entities, "rels": rels, "negatives": negs}

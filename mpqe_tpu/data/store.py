@@ -1,0 +1,129 @@
+"""FormulaStore: flattened, array-native storage of a formula's queries.
+
+The reference keeps queries as Python object lists and rebuilds batch
+tensors in Python per step (its host bottleneck; SURVEY.md §3 "hot
+loops").  Here each (formula -> query list) collapses once into flat
+numpy arrays — anchors ``[n_q, n_anchors]``, targets ``[n_q]``, CSR
+negative pools — which the batch packer (C++ via ctypes, with a numpy
+fallback) turns into device-ready dense batches with zero Python-object
+work per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mpqe_tpu.data.batcher import DenseQueryBatch, template_edge_norm
+from mpqe_tpu.queries import STRUCTURES, Formula, Query
+
+
+@dataclasses.dataclass(frozen=True)
+class FormulaStore:
+    """All queries of one formula, flattened."""
+
+    formula: Formula
+    anchors: np.ndarray  # [n_q, n_anchors] int32
+    targets: np.ndarray  # [n_q] int32
+    neg_pool: np.ndarray  # [sum |negs|] int32
+    neg_ptr: np.ndarray  # [n_q + 1] int64
+    hard_pool: np.ndarray  # [sum |hard|] int32
+    hard_ptr: np.ndarray  # [n_q + 1] int64
+
+    @property
+    def n_queries(self) -> int:
+        return int(self.targets.shape[0])
+
+
+def build_formula_store(formula: Formula, queries: Sequence[Query]) -> FormulaStore:
+    n_q = len(queries)
+    n_a = formula.spec.n_anchors
+    anchors = np.zeros((n_q, n_a), np.int32)
+    targets = np.zeros((n_q,), np.int32)
+    neg_ptr = np.zeros((n_q + 1,), np.int64)
+    hard_ptr = np.zeros((n_q + 1,), np.int64)
+    for i, q in enumerate(queries):
+        anchors[i] = q.anchors
+        targets[i] = q.target
+        neg_ptr[i + 1] = neg_ptr[i] + len(q.neg_samples)
+        hard_ptr[i + 1] = hard_ptr[i] + len(q.hard_neg_samples)
+    neg_pool = np.zeros((int(neg_ptr[-1]),), np.int32)
+    hard_pool = np.zeros((int(hard_ptr[-1]),), np.int32)
+    for i, q in enumerate(queries):
+        neg_pool[neg_ptr[i] : neg_ptr[i + 1]] = q.neg_samples
+        hard_pool[hard_ptr[i] : hard_ptr[i + 1]] = q.hard_neg_samples
+    return FormulaStore(
+        formula=formula, anchors=anchors, targets=targets,
+        neg_pool=neg_pool, neg_ptr=neg_ptr,
+        hard_pool=hard_pool, hard_ptr=hard_ptr,
+    )
+
+
+def build_stores(
+    grouped: Dict[str, Dict[Formula, List[Query]]]
+) -> Dict[str, List[FormulaStore]]:
+    return {
+        s: [build_formula_store(f, qs) for f, qs in by_f.items()]
+        for s, by_f in grouped.items()
+    }
+
+
+def pack_dense_batch_np(
+    store: FormulaStore,
+    pick: np.ndarray,  # [n_pick] query indices
+    batch_size: int,
+    n_neg: int,
+    seed: int,
+    use_hard: bool = False,
+) -> DenseQueryBatch:
+    """NumPy reference packer (the C++ packer in data/native.py must match
+    this behavior modulo RNG streams)."""
+    spec = store.formula.spec
+    rng = np.random.default_rng(seed)
+    n_pick = len(pick)
+    B = batch_size
+    node_entity = np.zeros((B, spec.n_nodes), np.int32)
+    node_mode = np.broadcast_to(
+        np.asarray(store.formula.node_modes, np.int32)[None, :], (B, spec.n_nodes)
+    ).copy()
+    target = np.zeros((B,), np.int32)
+    negatives = np.zeros((B, n_neg), np.int32)
+    neg_mask = np.zeros((B, n_neg), np.float32)
+    query_mask = np.zeros((B,), np.float32)
+
+    pool, ptr = (
+        (store.hard_pool, store.hard_ptr) if use_hard
+        else (store.neg_pool, store.neg_ptr)
+    )
+    for b, qi in enumerate(pick):
+        for a_i, slot in enumerate(spec.anchor_slots):
+            node_entity[b, slot] = store.anchors[qi, a_i]
+        target[b] = store.targets[qi]
+        lo, hi = int(ptr[qi]), int(ptr[qi + 1])
+        if hi == lo and use_hard:  # fall back to regular negatives
+            lo, hi = int(store.neg_ptr[qi]), int(store.neg_ptr[qi + 1])
+            pool_b = store.neg_pool
+        else:
+            pool_b = pool
+        if hi > lo:
+            negatives[b] = pool_b[lo + rng.integers(0, hi - lo, n_neg)]
+            neg_mask[b] = 1.0
+        query_mask[b] = 1.0
+    if n_pick < B:
+        node_entity[n_pick:] = node_entity[0]
+        target[n_pick:] = target[0]
+        negatives[n_pick:] = negatives[0]
+    return DenseQueryBatch(
+        structure=store.formula.structure,
+        n_queries=n_pick,
+        node_entity=node_entity,
+        node_mode=node_mode,
+        edge_rel=np.asarray(store.formula.rels, np.int32),
+        edge_norm=template_edge_norm(spec, store.formula.rels),
+        target=target,
+        negatives=negatives,
+        neg_mask=neg_mask,
+        query_mask=query_mask,
+    )

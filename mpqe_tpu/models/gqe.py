@@ -1,0 +1,216 @@
+"""GQE baseline models: metapath composition + set intersection.
+
+The reference retains the GQE (Hamilton et al. 2018) baselines alongside
+MPQE: metapath decoders (mpqe/decoders.py — ``BilinearMetapathDecoder``,
+``BilinearDiagMetapathDecoder``, ``TransEMetapathDecoder``) and set
+intersections (``SimpleSetIntersection``, ``SetIntersection``) wired by
+``QueryEncoderDecoder`` / ``SoftAndEncoderDecoder`` (mpqe/model.py); see
+SURVEY.md §2.1.  Rebuilt here TPU-first over the same dense template
+batches the MPQE encoder uses — per template edge slot the relation
+composition is a batched gather + MXU matmul (bilinear) or VPU op
+(TransE/DistMult), unrolled statically over the ≤4-node template.
+
+Query evaluation walks template nodes in slot order (templates guarantee
+``edge_src < edge_dst``): each node's representation is the intersection
+of its incoming-edge compositions; the target node's representation scores
+against candidate entities by cosine.  ``SoftAnd`` instead scores each
+conjunct separately and takes the minimum score (soft conjunction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpqe_tpu.models import embeddings as emb_mod
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import STRUCTURES
+
+DECODERS = ("bilinear", "transe", "distmult")
+INTERSECTIONS = ("min", "mean", "deepsets")
+
+
+@dataclasses.dataclass(frozen=True)
+class GQEConfig:
+    n_entities: int
+    n_modes: int
+    n_rels: int
+    embed_dim: int = 128
+    decoder: str = "bilinear"
+    intersection: str = "deepsets"
+    soft_and: bool = False  # SoftAndEncoderDecoder scoring
+    margin: float = 1.0
+    scale_scores: bool = True
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.decoder not in DECODERS:
+            raise ValueError(f"decoder {self.decoder}")
+        if self.intersection not in INTERSECTIONS:
+            raise ValueError(f"intersection {self.intersection}")
+
+
+def init_gqe(key: jax.Array, cfg: GQEConfig) -> Dict[str, Any]:
+    k_emb, k_dec, k_i1, k_i2 = jax.random.split(key, 4)
+    d, r = cfg.embed_dim, cfg.n_rels
+    params: Dict[str, Any] = {
+        "emb": emb_mod.init_embeddings(
+            k_emb, cfg.n_entities, cfg.n_modes, d, cfg.dtype
+        )
+    }
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, cfg.dtype))
+    if cfg.decoder == "bilinear":
+        # near-identity init keeps deep compositions stable
+        eye = jnp.eye(d, dtype=cfg.dtype)
+        noise = jax.random.normal(k_dec, (r, d, d), cfg.dtype) * (0.1 * scale)
+        params["rel_mat"] = eye[None, :, :] + noise
+    elif cfg.decoder == "transe":
+        params["rel_vec"] = jax.random.normal(k_dec, (r, d), cfg.dtype) * scale
+    else:  # distmult
+        params["rel_diag"] = 1.0 + jax.random.normal(
+            k_dec, (r, d), cfg.dtype
+        ) * (0.1 * scale)
+    if cfg.intersection == "deepsets":
+        s2 = jnp.sqrt(2.0 / (2 * d)).astype(cfg.dtype)
+        params["int_pre"] = jax.random.normal(k_i1, (d, d), cfg.dtype) * s2
+        params["int_pre_b"] = jnp.zeros((d,), cfg.dtype)
+        params["int_post"] = jax.random.normal(k_i2, (d, d), cfg.dtype) * s2
+        params["int_post_b"] = jnp.zeros((d,), cfg.dtype)
+    return params
+
+
+def _compose(
+    cfg: GQEConfig, params: Dict[str, Any], vec: jax.Array, rel: jax.Array
+) -> jax.Array:
+    """Apply one relation hop to a batch of vectors ``[B, d]``; ``rel`` is
+    a traced scalar relation id (shared across the same-formula batch)."""
+    if cfg.decoder == "bilinear":
+        w = params["rel_mat"][rel]  # [d, d]
+        return jnp.dot(vec, w, preferred_element_type=jnp.float32).astype(vec.dtype)
+    if cfg.decoder == "transe":
+        return vec + params["rel_vec"][rel]
+    return vec * params["rel_diag"][rel]  # distmult
+
+
+def _intersect(
+    cfg: GQEConfig, params: Dict[str, Any], branches: List[jax.Array]
+) -> jax.Array:
+    if len(branches) == 1:
+        return branches[0]
+    stack = jnp.stack(branches, axis=0)  # [K, B, d]
+    if cfg.intersection == "min":
+        return jnp.min(stack, axis=0)
+    if cfg.intersection == "mean":
+        return jnp.mean(stack, axis=0)
+    h = jax.nn.relu(
+        jnp.einsum("kbd,do->kbo", stack, params["int_pre"]) + params["int_pre_b"]
+    )
+    pooled = jnp.min(h, axis=0)
+    return jnp.dot(pooled, params["int_post"]) + params["int_post_b"]
+
+
+def branch_vectors(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    structure: str,
+    node_entity: jax.Array,  # [B, n]
+    edge_rel: jax.Array,  # [n_edges]
+) -> List[jax.Array]:
+    """Per-incoming-edge composed vectors at the target node (the query's
+    conjunct branches), each ``[B, d]``."""
+    spec = STRUCTURES[structure]
+    ent = params["emb"]["ent"]
+    # per-node list of composed branch vectors
+    node_branches: List[Optional[List[jax.Array]]] = [None] * spec.n_nodes
+    for s in spec.anchor_slots:
+        node_branches[s] = [ent[node_entity[:, s]]]
+    for node in range(spec.n_nodes):
+        in_edges = [j for j in range(spec.n_edges) if spec.edge_dst[j] == node]
+        if not in_edges:
+            continue
+        contribs = []
+        for j in in_edges:
+            src_vecs = node_branches[spec.edge_src[j]]
+            assert src_vecs is not None
+            src_vec = (
+                src_vecs[0]
+                if len(src_vecs) == 1
+                else _intersect(cfg, params, src_vecs)
+            )
+            contribs.append(_compose(cfg, params, src_vec, edge_rel[j]))
+        node_branches[node] = contribs
+    out = node_branches[spec.target_slot]
+    assert out is not None
+    return out
+
+
+def encode_dense(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,  # unused (kept for API parity with MPQE)
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,  # unused
+) -> jax.Array:
+    """Query vector ``[B, d]``: intersected target representation
+    (QueryEncoderDecoder semantics)."""
+    branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
+    return _intersect(cfg, params, branches)
+
+
+def score_queries(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    edge_rel: jax.Array,
+    targets: jax.Array,  # [B] or [B, K]
+) -> jax.Array:
+    """Affinity scores; SoftAnd scores each conjunct and takes the min."""
+    ent = params["emb"]["ent"]
+    cand = ent[targets]
+    m_cfg = _score_cfg(cfg)
+    if cfg.soft_and:
+        branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
+        scores = []
+        for b in branches:
+            q = b if targets.ndim == 1 else b[:, None, :]
+            scores.append(mpqe_mod.score(m_cfg, q, cand))
+        return jnp.min(jnp.stack(scores, 0), axis=0)
+    q = encode_dense(params, cfg, structure, node_entity, None, edge_rel, None)
+    if targets.ndim > 1:
+        q = q[:, None, :]
+    return mpqe_mod.score(m_cfg, q, cand)
+
+
+def _score_cfg(cfg: GQEConfig) -> mpqe_mod.MPQEConfig:
+    return mpqe_mod.MPQEConfig(
+        n_entities=cfg.n_entities, n_modes=cfg.n_modes, n_rels=cfg.n_rels,
+        embed_dim=cfg.embed_dim, margin=cfg.margin,
+        scale_scores=cfg.scale_scores,
+    )
+
+
+def dense_batch_loss(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,
+    negatives: jax.Array,
+    neg_mask: jax.Array,
+    query_mask: jax.Array,
+) -> jax.Array:
+    """Margin ranking loss (same protocol as MPQE; SURVEY.md §A.4)."""
+    pos = score_queries(params, cfg, structure, node_entity, edge_rel, target)
+    neg = score_queries(params, cfg, structure, node_entity, edge_rel, negatives)
+    viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
+    w = neg_mask * query_mask[:, None]
+    return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)

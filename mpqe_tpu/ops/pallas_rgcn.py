@@ -116,10 +116,10 @@ def _fused_kernel(
     c = src_ref.shape[0]
 
     # combine the chunk's relation weight from the basis: [d, d]
+    # (elementwise-scale + reduce — rank-1 dot_general contractions are
+    # not supported by the Mosaic TPU compiler)
     a = coeff_ref[rel_cl, :] * valid  # [Bb]
-    w = jnp.einsum(
-        "b,bio->io", a, basis_ref[:], preferred_element_type=jnp.float32
-    )
+    w = jnp.sum(a[:, None, None] * basis_ref[:], axis=0)
 
     node_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_pad), 1)
     onehot_src = (src_ref[:] == node_iota).astype(x_ref.dtype)  # [C, N]

@@ -68,13 +68,19 @@ class TrainState:
 
 
 def make_train_step(
-    cfg: mpqe_mod.MPQEConfig, optimizer: optax.GradientTransformation
+    cfg,
+    optimizer: optax.GradientTransformation,
+    batch_loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Jitted (params, opt_state, batch arrays) -> (params, opt_state, loss).
 
     ``structure`` is static — jax caches one executable per (structure,
-    array-shape bucket); call ``warmup`` to compile ahead of time.
+    array-shape bucket).  ``batch_loss_fn(params, cfg, structure, *arrays)``
+    defaults to the MPQE dense-batch margin loss; pass
+    ``models.gqe.dense_batch_loss`` (with a GQEConfig) for the baselines.
     """
+    if batch_loss_fn is None:
+        batch_loss_fn = mpqe_mod.dense_batch_loss
 
     def step_fn(
         params, opt_state, structure: str,
@@ -82,7 +88,7 @@ def make_train_step(
         target, negatives, neg_mask, query_mask,
     ):
         def loss_fn(p):
-            return mpqe_mod.dense_batch_loss(
+            return batch_loss_fn(
                 p, cfg, structure, node_entity, node_mode, edge_rel,
                 edge_norm, target, negatives, neg_mask, query_mask,
             )
@@ -135,21 +141,32 @@ class TrainLogEntry:
 
 def run_train(
     state: TrainState,
-    cfg: mpqe_mod.MPQEConfig,
+    cfg,
     tc: TrainConfig,
     train_queries: Dict[str, Dict[Formula, List[Query]]],
     val_queries: Optional[Dict[str, Dict[Formula, List[Query]]]] = None,
     log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
     checkpoint_fn: Optional[Callable[[TrainState, float], None]] = None,
     train_step: Optional[Callable] = None,
+    batch_loss_fn: Optional[Callable] = None,
+    eval_encode_fn: Optional[Callable] = None,
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience."""
     rng = np.random.default_rng(tc.seed)
     optimizer = make_optimizer(tc)
     if train_step is None:
-        train_step = make_train_step(cfg, optimizer)
+        train_step = make_train_step(cfg, optimizer, batch_loss_fn)
 
-    structures = [s for s in train_queries if train_queries[s]]
+    # Flatten query lists into array-native FormulaStores once; per-step
+    # batch packing then runs through the C++ host runtime when available
+    # (pure-numpy packer otherwise) — no Python-object work in the hot loop.
+    from mpqe_tpu.data import native as native_mod
+    from mpqe_tpu.data.store import build_stores, pack_dense_batch_np
+
+    stores = build_stores(train_queries)
+    use_native = native_mod.available()
+
+    structures = [s for s in stores if stores[s]]
     burn_in = tc.burn_in_structure in structures and len(structures) > 1
     losses: collections.deque = collections.deque(maxlen=tc.conv_window)
     best_val = -np.inf
@@ -161,19 +178,24 @@ def run_train(
             structure = tc.burn_in_structure
         else:
             structure = structures[rng.integers(len(structures))]
-        by_formula = train_queries[structure]
-        formulas = list(by_formula)
-        formula = formulas[rng.integers(len(formulas))]
-        pool = by_formula[formula]
-        idx = rng.integers(0, len(pool), size=min(tc.batch_size, len(pool)))
+        f_stores = stores[structure]
+        fstore = f_stores[rng.integers(len(f_stores))]
+        pick = rng.integers(
+            0, fstore.n_queries, size=min(tc.batch_size, fstore.n_queries)
+        ).astype(np.int64)
         use_hard = (
             structure in INTERSECTION_STRUCTURES
             and rng.random() < tc.hard_neg_prob
         )
-        batch = make_dense_batch(
-            formula, [pool[i] for i in idx], batch_size=tc.batch_size,
-            n_neg=tc.n_neg, rng=rng, use_hard_negatives=use_hard,
-        )
+        seed = int(rng.integers(2**62))
+        if use_native:
+            batch = native_mod.pack_dense_batch_native(
+                fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+            )
+        else:
+            batch = pack_dense_batch_np(
+                fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+            )
         t0 = time.perf_counter()
         loss = run_step(train_step, state, batch)
         dt = time.perf_counter() - t0
@@ -191,7 +213,7 @@ def run_train(
                 log_fn({"step": state.step, "event": "burn_in_done"})
 
         if val_queries and state.step % tc.val_every == 0:
-            res = evaluation.evaluate(state.params, cfg, val_queries)
+            res = evaluation.evaluate(state.params, cfg, val_queries, encode_fn=eval_encode_fn)
             metric = res.macro_auc
             if log_fn:
                 log_fn({"step": state.step, "val": res.flat()})
@@ -212,8 +234,9 @@ def run_train(
 
 
 def init_train_state(
-    key: jax.Array, cfg: mpqe_mod.MPQEConfig, tc: TrainConfig
+    key: jax.Array, cfg, tc: TrainConfig,
+    init_fn: Optional[Callable] = None,
 ) -> TrainState:
-    params = mpqe_mod.init_mpqe(key, cfg)
+    params = (init_fn or mpqe_mod.init_mpqe)(key, cfg)
     optimizer = make_optimizer(tc)
     return TrainState(params=params, opt_state=optimizer.init(params))

@@ -1,0 +1,132 @@
+"""Profiling & timing: relay-safe timers, jax.profiler traces, rooflines.
+
+The reference has no profiling subsystem (SURVEY.md §5).  This module is
+the TPU build's: a timing harness that stays correct on remote-relay
+backends (where ``block_until_ready`` can return before execution — see
+bench.py), a ``jax.profiler`` trace context for TensorBoard, and a v5e
+roofline estimator for the R-GCN forward so measured edges/s can be
+compared against speed-of-light.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# v5e per-chip peaks (public figures)
+TPU_V5E_BF16_FLOPS = 197e12
+TPU_V5E_FP32_FLOPS = 49e12  # fp32 via 4 bf16 passes (approx)
+TPU_V5E_HBM_GBS = 819e9
+
+
+def loop_time(
+    step_fn: Callable,
+    n_small: int = 5,
+    n_large: int = 55,
+) -> float:
+    """Overhead-cancelled seconds/iteration for ``step_fn(n) -> scalar``.
+
+    ``step_fn`` must run its workload n times *inside one jitted call*
+    (lax.fori_loop with a threaded data dependency) and return a scalar;
+    the float() conversion here is the only reliable sync on relay
+    backends.
+    """
+    float(step_fn(2))  # compile + sync
+    t0 = time.perf_counter()
+    float(step_fn(n_small))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(step_fn(n_large))
+    t_large = time.perf_counter() - t0
+    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/mpqe_trace"):
+    """jax.profiler trace context (view with TensorBoard)."""
+    try:
+        jax.profiler.start_trace(log_dir)
+        yield log_dir
+    finally:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
+
+
+@dataclasses.dataclass
+class RGCNRoofline:
+    """Speed-of-light analysis of one dense-template R-GCN forward."""
+
+    flops: float
+    hbm_bytes: float
+    compute_s: float
+    memory_s: float
+
+    @property
+    def bound(self) -> str:
+        return "memory" if self.memory_s > self.compute_s else "compute"
+
+    @property
+    def min_seconds(self) -> float:
+        return max(self.compute_s, self.memory_s)
+
+
+def rgcn_dense_roofline(
+    batch: int,
+    n_nodes: int,
+    n_edges: int,
+    steps: int,
+    d: int,
+    n_entities: int,
+    dtype_bytes: int = 4,
+    flops_peak: float = TPU_V5E_FP32_FLOPS,
+    hbm_peak: float = TPU_V5E_HBM_GBS,
+) -> RGCNRoofline:
+    """FLOPs: per step, self-loop [B*n, d]@[d, d] + n_edges [B, d]@[d, d].
+    HBM: embedding gather (B*n rows) + activations per step (read+write)."""
+    flops = 2.0 * steps * batch * d * d * (n_nodes + n_edges)
+    act = batch * n_nodes * d * dtype_bytes
+    hbm = act  # initial gather write
+    hbm += batch * n_nodes * dtype_bytes * 2  # index reads (int32)
+    hbm += act  # embedding rows read from the table
+    hbm += steps * 2 * act  # per-step activation read+write (upper bound;
+    # XLA fusion usually keeps intermediates on-chip, so this is pessimistic)
+    return RGCNRoofline(
+        flops=flops,
+        hbm_bytes=hbm,
+        compute_s=flops / flops_peak,
+        memory_s=hbm / hbm_peak,
+    )
+
+
+class StepTimer:
+    """Lightweight wall-clock step timer with percentile summaries for the
+    training loop's JSONL metrics."""
+
+    def __init__(self):
+        self.samples: list = []
+
+    @contextlib.contextmanager
+    def measure(self):
+        t0 = time.perf_counter()
+        yield
+        self.samples.append(time.perf_counter() - t0)
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {}
+        a = np.asarray(self.samples)
+        return {
+            "steps": len(a),
+            "mean_s": float(a.mean()),
+            "p50_s": float(np.percentile(a, 50)),
+            "p95_s": float(np.percentile(a, 95)),
+        }

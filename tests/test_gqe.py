@@ -1,0 +1,132 @@
+"""GQE baselines: metapath decoders, set intersections, SoftAnd, training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpqe_tpu.data.batcher import make_dense_batch
+from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+from mpqe_tpu.models import gqe as gqe_mod
+from mpqe_tpu.queries import STRUCTURES
+
+
+@pytest.fixture(scope="module")
+def kg():
+    return make_random_kg(n_entities=100, n_modes=2, n_base_rels=4,
+                          n_triples=400, seed=17)
+
+
+def _cfg(kg, **kw):
+    return gqe_mod.GQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, **kw,
+    )
+
+
+def _batch(kg, structure, B=8, seed=1):
+    sampler = QuerySampler(kg, seed=seed)
+    qs = sampler.sample_queries(structure, B, n_neg=4)
+    f = qs[0].formula
+    qs = [q for q in qs if q.formula == f]
+    while len(qs) < B:
+        q = sampler.sample_query(structure, n_neg=4)
+        if q and q.formula == f:
+            qs.append(q)
+    return make_dense_batch(f, qs[:B], batch_size=B, n_neg=4)
+
+
+@pytest.mark.parametrize("decoder", ["bilinear", "transe", "distmult"])
+@pytest.mark.parametrize("structure", ["2-chain", "3-inter", "3-chain_inter"])
+def test_encode_shapes_and_finiteness(kg, decoder, structure):
+    cfg = _cfg(kg, decoder=decoder, intersection="min")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(0), cfg)
+    b = _batch(kg, structure)
+    q = gqe_mod.encode_dense(
+        params, cfg, structure, jnp.asarray(b.node_entity),
+        jnp.asarray(b.node_mode), jnp.asarray(b.edge_rel),
+        jnp.asarray(b.edge_norm),
+    )
+    assert q.shape == (b.batch_size, cfg.embed_dim)
+    assert np.isfinite(np.asarray(q)).all()
+
+
+def test_chain_composition_matches_manual(kg):
+    """2-chain bilinear: q = e_a @ W_r0 @ W_r1 exactly."""
+    cfg = _cfg(kg, decoder="bilinear", intersection="min")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(1), cfg)
+    b = _batch(kg, "2-chain")
+    q = np.asarray(gqe_mod.encode_dense(
+        params, cfg, "2-chain", jnp.asarray(b.node_entity),
+        jnp.asarray(b.node_mode), jnp.asarray(b.edge_rel),
+        jnp.asarray(b.edge_norm)))
+    ent = np.asarray(params["emb"]["ent"])
+    w = np.asarray(params["rel_mat"])
+    r0, r1 = b.edge_rel
+    want = ent[b.node_entity[:, 0]] @ w[r0] @ w[r1]
+    np.testing.assert_allclose(q, want, rtol=2e-4, atol=2e-4)
+
+
+def test_intersection_min_matches_manual(kg):
+    """2-inter distmult with min intersection: elementwise min of branches."""
+    cfg = _cfg(kg, decoder="distmult", intersection="min")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(2), cfg)
+    b = _batch(kg, "2-inter")
+    q = np.asarray(gqe_mod.encode_dense(
+        params, cfg, "2-inter", jnp.asarray(b.node_entity),
+        jnp.asarray(b.node_mode), jnp.asarray(b.edge_rel),
+        jnp.asarray(b.edge_norm)))
+    ent = np.asarray(params["emb"]["ent"])
+    diag = np.asarray(params["rel_diag"])
+    b0 = ent[b.node_entity[:, 0]] * diag[b.edge_rel[0]]
+    b1 = ent[b.node_entity[:, 1]] * diag[b.edge_rel[1]]
+    np.testing.assert_allclose(q, np.minimum(b0, b1), rtol=2e-4, atol=2e-4)
+
+
+def test_softand_scores_min_of_branches(kg):
+    cfg = _cfg(kg, decoder="transe", intersection="min", soft_and=True)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(3), cfg)
+    b = _batch(kg, "3-inter")
+    s = np.asarray(gqe_mod.score_queries(
+        params, cfg, "3-inter", jnp.asarray(b.node_entity),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.target)))
+    # manual: min over per-branch cosine scores
+    ent = np.asarray(params["emb"]["ent"])
+    rv = np.asarray(params["rel_vec"])
+    branches = [ent[b.node_entity[:, i]] + rv[b.edge_rel[i]] for i in range(3)]
+    tgt = ent[b.target]
+    def cos(a, c):
+        a = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-12)
+        c = c / (np.linalg.norm(c, axis=-1, keepdims=True) + 1e-12)
+        return (a * c).sum(-1)
+    want = np.min(np.stack([cos(x, tgt) for x in branches]), axis=0)
+    np.testing.assert_allclose(s, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("intersection", ["min", "deepsets"])
+def test_gqe_trains(kg, intersection):
+    import optax
+    cfg = _cfg(kg, decoder="bilinear", intersection=intersection)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(4), cfg)
+    b = _batch(kg, "2-inter", B=16)
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return gqe_mod.dense_batch_loss(
+                p, cfg, "2-inter",
+                jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+                jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+                jnp.asarray(b.target), jnp.asarray(b.negatives),
+                jnp.asarray(b.neg_mask), jnp.asarray(b.query_mask))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses[::10]

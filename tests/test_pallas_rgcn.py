@@ -1,0 +1,105 @@
+"""Fused Pallas R-GCN kernel vs the XLA sparse path (interpreter mode on
+CPU; compiled-mode parity runs on TPU via tools/tpu_smoke.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpqe_tpu.ops import pallas_rgcn as pr
+from mpqe_tpu.ops import rgcn as rgcn_ops
+from mpqe_tpu.ops.edge_store import build_edge_store
+
+D = 16
+N_RELS = 6
+
+
+def _graph(rng, n_nodes=50, n_e=200):
+    src = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    rel = rng.integers(0, N_RELS, n_e).astype(np.int32)
+    return build_edge_store(src, dst, rel, n_nodes, N_RELS)
+
+
+def test_chunk_by_relation_invariants(rng):
+    st = _graph(rng)
+    ch = pr.chunk_by_relation(st, chunk=32)
+    n_chunks = len(ch["chunk_rel"])
+    assert len(ch["src"]) == n_chunks * 32
+    # every chunk single-relation; padded edges have norm 0 and pad node
+    rel_e = np.repeat(ch["chunk_rel"], 32)
+    for c in range(n_chunks):
+        r = ch["chunk_rel"][c]
+        sl = slice(c * 32, (c + 1) * 32)
+        pad = ch["norm"][sl] == 0.0
+        assert np.all(ch["src"][sl][pad] == st.n_nodes)
+    # real edges preserved
+    m = st.pad_mask
+    orig = sorted(zip(st.src[m], st.dst[m], st.rel[m]))
+    realm = ch["norm"] > 0
+    got = sorted(zip(ch["src"][realm], ch["dst"][realm], rel_e[realm]))
+    # norm>0 filter drops real edges with zero norm; regenerate via node!=pad
+    realm2 = ch["src"] != st.n_nodes
+    got2 = sorted(zip(ch["src"][realm2], ch["dst"][realm2], rel_e[realm2]))
+    assert got2 == orig
+
+
+@pytest.mark.parametrize("num_bases", [3, None])
+def test_fused_matches_sparse(rng, num_bases):
+    st = _graph(rng)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), D, D, N_RELS, num_bases)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), N_RELS,
+        )
+    )
+    ch = pr.chunk_by_relation(st, chunk=32)
+    got = np.asarray(
+        pr.rgcn_sparse_fused(jnp.asarray(x), p, ch, N_RELS, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gradients_match_xla(rng):
+    st = _graph(rng, n_nodes=30, n_e=100)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, N_RELS, 3)
+    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+    ch = pr.chunk_by_relation(st, chunk=32)
+
+    def loss_fused(x, basis, coeff):
+        out = pr.rgcn_messages_fused(
+            x, basis, coeff,
+            jnp.asarray(ch["src"]), jnp.asarray(ch["dst"]),
+            jnp.asarray(ch["norm"]), jnp.asarray(ch["chunk_rel"]),
+            N_RELS, ch["chunk"], True,
+        )
+        return jnp.sum(out**2)
+
+    def loss_xla(x, basis, coeff):
+        out = pr._messages_xla(
+            x, basis, coeff,
+            jnp.asarray(ch["src"]), jnp.asarray(ch["dst"]),
+            jnp.asarray(ch["norm"]), jnp.asarray(ch["chunk_rel"]),
+            N_RELS, ch["chunk"],
+        )
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, p["basis"], p["coeff"])
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(x, p["basis"], p["coeff"])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_node_cap():
+    st = build_edge_store(
+        np.zeros(1, np.int32), np.zeros(1, np.int32), np.zeros(1, np.int32),
+        n_nodes=pr.MAX_PALLAS_NODES + 10, n_rels=1,
+    )
+    ch = pr.chunk_by_relation(st, chunk=8)
+    x = jnp.zeros((pr.MAX_PALLAS_NODES + 10, 8), jnp.float32)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), 8, 8, 1, 1)
+    with pytest.raises(ValueError):
+        pr.rgcn_sparse_fused(x, p, ch, 1, interpret=True)

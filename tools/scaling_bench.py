@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: edges/s of the edge-partitioned R-GCN
+layer across mesh sizes (BASELINE.md target: >=80% efficiency 1 chip ->
+1 host -> N hosts).
+
+On real multi-chip hardware this measures true ICI scaling; on a single
+host it runs on the forced-host-device CPU mesh (validates the harness
+and the partitioning overheads, not ICI bandwidth).  Prints one JSON line
+per mesh size plus a summary line with parallel efficiency vs. the
+1-device run.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_bench.py --devices 1 2 4 8 --edges 200000
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpqe_tpu.ops import rgcn as rgcn_ops
+from mpqe_tpu.ops.edge_store import build_edge_store
+from mpqe_tpu.parallel import halo, mesh as mesh_lib
+from mpqe_tpu.utils import profiling
+
+
+def bench_mesh(n_dev, n_nodes, n_e, n_rels, d, num_bases):
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    rel = rng.integers(0, n_rels, n_e).astype(np.int32)
+    st = build_edge_store(src, dst, rel, n_nodes, n_rels)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), d, d, n_rels, num_bases)
+    x = rng.normal(size=(n_nodes, d)).astype(np.float32)
+
+    mesh = mesh_lib.make_mesh((n_dev, 1), devices=jax.devices()[:n_dev])
+    pe = halo.partition_edges_by_dst(st, n_parts=n_dev)
+    x_pad = jnp.asarray(halo.pad_node_features(x, pe))
+    args = (jnp.asarray(pe.src), jnp.asarray(pe.dst_local),
+            jnp.asarray(pe.rel), jnp.asarray(pe.norm))
+
+    @jax.jit
+    def loop(x0, n):
+        def body(i, carry):
+            xx, acc = carry
+            out = halo.rgcn_dst_partitioned(mesh, p, xx, *args, n_rels)
+            return xx + out * 1e-20, acc + out[0, 0]
+        _, acc = jax.lax.fori_loop(0, n, body, (x0, 0.0))
+        return acc
+
+    dt = profiling.loop_time(loop_fn := (lambda n: loop(x_pad, n)))
+    return {"devices": n_dev, "seconds_per_layer": dt, "edges_per_s": n_e / dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--nodes", type=int, default=32_768)
+    ap.add_argument("--edges", type=int, default=200_000)
+    ap.add_argument("--n_rels", type=int, default=64)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--num_bases", type=int, default=16)
+    args = ap.parse_args()
+
+    n_avail = len(jax.devices())
+    sizes = args.devices or sorted(
+        {d for d in (1, 2, 4, 8) if d <= n_avail}
+    )
+    results = []
+    for n_dev in sizes:
+        r = bench_mesh(
+            n_dev, args.nodes, args.edges, args.n_rels, args.d, args.num_bases
+        )
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    base = results[0]
+    summary = {
+        "metric": "halo_rgcn_scaling_efficiency",
+        "sizes": [r["devices"] for r in results],
+        "edges_per_s": [r["edges_per_s"] for r in results],
+        "efficiency": [
+            r["edges_per_s"] / (base["edges_per_s"] * r["devices"] / base["devices"])
+            for r in results
+        ],
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

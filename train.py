@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data", default="synthetic")
     p.add_argument("--run_dir", default=None)
+    p.add_argument("--model", default="rgcn",
+                   choices=["rgcn", "gqe", "gqe_softand"],
+                   help="rgcn = MPQE; gqe / gqe_softand = GQE baselines")
+    p.add_argument("--decoder", default="bilinear",
+                   choices=["bilinear", "transe", "distmult"])
+    p.add_argument("--intersection", default="deepsets",
+                   choices=["min", "mean", "deepsets"])
     p.add_argument("--embed_dim", type=int, default=128)
     p.add_argument("--n_layers", type=int, default=3)
     p.add_argument("--num_bases", type=int, default=0,
@@ -117,16 +124,34 @@ def main(argv=None):
     metrics.write_config(vars(args))
 
     kg, train_q, val_q = load_data(args)
-    cfg = mpqe_mod.MPQEConfig(
-        n_entities=kg.n_entities,
-        n_modes=kg.n_modes,
-        n_rels=kg.n_rels,
-        embed_dim=args.embed_dim,
-        n_layers=args.n_layers,
-        num_bases=args.num_bases or None,
-        readout=args.readout,
-        margin=args.margin,
-    )
+    if args.model == "rgcn":
+        cfg = mpqe_mod.MPQEConfig(
+            n_entities=kg.n_entities,
+            n_modes=kg.n_modes,
+            n_rels=kg.n_rels,
+            embed_dim=args.embed_dim,
+            n_layers=args.n_layers,
+            num_bases=args.num_bases or None,
+            readout=args.readout,
+            margin=args.margin,
+        )
+        init_fn, batch_loss_fn, eval_encode_fn = None, None, None
+    else:
+        import jax as _jax
+        from mpqe_tpu.models import gqe as gqe_mod
+        cfg = gqe_mod.GQEConfig(
+            n_entities=kg.n_entities,
+            n_modes=kg.n_modes,
+            n_rels=kg.n_rels,
+            embed_dim=args.embed_dim,
+            decoder=args.decoder,
+            intersection=args.intersection,
+            soft_and=args.model == "gqe_softand",
+            margin=args.margin,
+        )
+        init_fn = gqe_mod.init_gqe
+        batch_loss_fn = gqe_mod.dense_batch_loss
+        eval_encode_fn = _jax.jit(gqe_mod.encode_dense, static_argnums=(1, 2))
     tc = loop_mod.TrainConfig(
         lr=args.lr, batch_size=args.batch_size, n_neg=args.n_neg,
         max_steps=args.steps, val_every=args.val_every,
@@ -134,7 +159,10 @@ def main(argv=None):
     )
     metrics.write_config(dataclasses.asdict(cfg), "model_config.json")
 
-    state = loop_mod.init_train_state(jax.random.PRNGKey(args.seed), cfg, tc)
+    state = loop_mod.init_train_state(
+        jax.random.PRNGKey(args.seed), cfg, tc,
+        init_fn=init_fn if args.model != "rgcn" else None,
+    )
     ckpt_dir = os.path.join(run_dir, "ckpt")
 
     def checkpoint_fn(st, metric):
@@ -145,8 +173,9 @@ def main(argv=None):
     state = loop_mod.run_train(
         state, cfg, tc, train_q, val_queries=val_q,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
+        batch_loss_fn=batch_loss_fn, eval_encode_fn=eval_encode_fn,
     )
-    res = evaluation.evaluate(state.params, cfg, val_q)
+    res = evaluation.evaluate(state.params, cfg, val_q, encode_fn=eval_encode_fn)
     metrics.log({"step": state.step, "final": res.flat()})
     print(f"final step={state.step} macro_auc={res.macro_auc:.4f} "
           f"macro_apr={res.macro_apr:.2f}")
