@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Evaluate a trained checkpoint: AUC/APR per structure, optionally split
+into seen-edges vs one-new-edge generalization buckets (reference's test
+protocol; SURVEY.md §A.3).
+
+Usage:
+  python evaluate.py --run_dir runs/xyz [--data synthetic ...] [--split]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from mpqe_tpu.data import loader as loader_mod
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import group_queries_by_formula
+from mpqe_tpu.train import checkpoint as ckpt_mod
+from mpqe_tpu.train import evaluation
+from mpqe_tpu.train import loop as loop_mod
+from train import load_data, parse_args as train_parse_args
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--ckpt", default=None, help="defaults to latest in run_dir/ckpt")
+    p.add_argument("--split", action="store_true",
+                   help="report seen-edges vs one-new-edge buckets")
+    p.add_argument("--n_neg", type=int, default=64)
+    args, _ = p.parse_known_args(argv)
+
+    with open(os.path.join(args.run_dir, "config.json")) as f:
+        run_cfg = json.load(f)
+    with open(os.path.join(args.run_dir, "model_config.json")) as f:
+        mc = json.load(f)
+    if "readout" not in mc:
+        raise SystemExit("GQE checkpoints: use train.py's final eval for now")
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=mc["n_entities"], n_modes=mc["n_modes"], n_rels=mc["n_rels"],
+        embed_dim=mc["embed_dim"], n_layers=mc["n_layers"],
+        num_bases=mc["num_bases"], readout=mc["readout"], margin=mc["margin"],
+    )
+
+    # rebuild the data exactly as the run saw it
+    targs = train_parse_args(
+        [f"--{k}" if v is True else f"--{k}={v}"
+         for k, v in run_cfg.items()
+         if k in ("data", "structures", "seed", "syn_entities", "syn_modes",
+                  "syn_rels", "syn_triples", "syn_train_queries",
+                  "syn_val_queries") and v is not None]
+    )
+    kg, _, val_q = load_data(targs)
+
+    tc = loop_mod.TrainConfig()
+    template = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    ckpt = args.ckpt or ckpt_mod.latest_checkpoint(
+        os.path.join(args.run_dir, "ckpt"))
+    if ckpt is None:
+        raise SystemExit("no checkpoint found")
+    state = ckpt_mod.restore_checkpoint(ckpt, template)
+
+    res = evaluation.evaluate(state.params, cfg, val_q, n_neg=args.n_neg)
+    print(json.dumps({"checkpoint": ckpt, "step": state.step,
+                      **res.flat()}))
+
+    if args.split:
+        flat = [q for by_f in val_q.values() for qs in by_f.values() for q in qs]
+        seen, new = loader_mod.split_one_new_edge(flat, kg)
+        for name, bucket in (("seen_edges", seen), ("one_new_edge", new)):
+            if not bucket:
+                continue
+            r = evaluation.evaluate(
+                state.params, cfg, group_queries_by_formula(bucket),
+                n_neg=args.n_neg)
+            print(json.dumps({"bucket": name, "n": len(bucket), **r.flat()}))
+
+
+if __name__ == "__main__":
+    main()

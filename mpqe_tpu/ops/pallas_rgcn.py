@@ -115,21 +115,26 @@ def _fused_kernel(
     n_pad = x_ref.shape[0]
     c = src_ref.shape[0]
 
-    # combine the chunk's relation weight from the basis: [d, d]
-    # (elementwise-scale + reduce — rank-1 dot_general contractions are
-    # not supported by the Mosaic TPU compiler)
-    a = coeff_ref[rel_cl, :] * valid  # [Bb]
-    w = jnp.sum(a[:, None, None] * basis_ref[:], axis=0)
+    # combine the chunk's relation weight from the basis: [d, d].
+    # Static unroll over bases with scalar * matrix — Mosaic supports
+    # neither rank-1 dot_general nor 1D->3D broadcasts in one op.
+    bb = basis_ref.shape[0]
+    w = (coeff_ref[rel_cl, 0] * valid) * basis_ref[0]
+    for b in range(1, bb):
+        w += (coeff_ref[rel_cl, b] * valid) * basis_ref[b]
 
     node_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_pad), 1)
     onehot_src = (src_ref[:] == node_iota).astype(x_ref.dtype)  # [C, N]
-    xs = jnp.dot(onehot_src, x_ref[:], preferred_element_type=jnp.float32)
-    msg = jnp.dot(xs, w, preferred_element_type=jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    xs = jnp.dot(onehot_src, x_ref[:], preferred_element_type=jnp.float32,
+                 precision=hp)
+    msg = jnp.dot(xs, w, preferred_element_type=jnp.float32, precision=hp)
     msg = msg * norm_ref[:]  # [C, 1] broadcast
 
     onehot_dst = (dst_ref[:] == node_iota).astype(msg.dtype)  # [C, N]
-    out_ref[:] += jnp.dot(
-        onehot_dst.T, msg, preferred_element_type=jnp.float32
+    out_ref[:] += jax.lax.dot_general(
+        onehot_dst.T, msg, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hp,
     ).astype(out_ref.dtype)
 
 

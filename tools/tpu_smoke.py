@@ -19,26 +19,32 @@ from mpqe_tpu.ops.edge_store import build_edge_store
 from mpqe_tpu.utils import oracle
 
 
+def stage(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def check(name, got, want, rtol=2e-3, atol=2e-3):
     got, want = np.asarray(got), np.asarray(want)
     ok = np.allclose(got, want, rtol=rtol, atol=atol)
     err = np.max(np.abs(got - want)) if got.size else 0.0
-    print(f"{name}: {'OK' if ok else 'MISMATCH'} (max abs err {err:.2e})")
+    print(f"{name}: {'OK' if ok else 'MISMATCH'} (max abs err {err:.2e})", flush=True)
     return ok
 
 
 def main():
-    print("backend:", jax.default_backend())
+    print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
     ok = True
 
     # segment sum / max
     data = rng.normal(size=(1000, 128)).astype(np.float32)
     ids = rng.integers(0, 64, 1000).astype(np.int32)
+    stage("compiling segment_sum_pallas...")
     got = ps.segment_sum_pallas(jnp.asarray(data), jnp.asarray(ids), 64)
     got = np.asarray(got)  # device->host sync (relay-safe)
     ok &= check("segment_sum_pallas", got, oracle.segment_sum_np(data, ids, 64))
 
+    stage("compiling segment_max_pallas...")
     got = np.asarray(
         ps.segment_max_pallas(jnp.asarray(data), jnp.asarray(ids), 64))
     ok &= check("segment_max_pallas", got,
@@ -56,6 +62,7 @@ def main():
         rgcn_ops.rgcn_sparse(jnp.asarray(x), p, st.src, st.dst, st.rel,
                              jnp.asarray(st.norm), n_rels))
     ch = pr.chunk_by_relation(st, chunk=128)
+    stage("compiling rgcn_sparse_fused...")
     got = np.asarray(
         pr.rgcn_sparse_fused(jnp.asarray(x), p, ch, n_rels))
     ok &= check("rgcn_sparse_fused", got, want)
