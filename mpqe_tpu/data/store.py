@@ -37,22 +37,42 @@ class FormulaStore:
         return int(self.targets.shape[0])
 
 
-def build_formula_store(formula: Formula, queries: Sequence[Query]) -> FormulaStore:
+def build_formula_store(
+    formula: Formula,
+    queries: Sequence[Query],
+    fallback_pool: Optional[np.ndarray] = None,
+    fallback_size: int = 64,
+    seed: int = 0,
+) -> FormulaStore:
+    """Flatten queries; queries with empty ``neg_samples`` get a uniform
+    same-mode fallback pool (``fallback_pool`` = candidate entity ids of the
+    target's mode) materialized here, so packers never see empty pools —
+    this is how raw-edge ("train_edges.pkl"-style) data trains without
+    pre-sampled negatives."""
+    rng = np.random.default_rng(seed)
     n_q = len(queries)
     n_a = formula.spec.n_anchors
     anchors = np.zeros((n_q, n_a), np.int32)
     targets = np.zeros((n_q,), np.int32)
+    neg_lists = []
     neg_ptr = np.zeros((n_q + 1,), np.int64)
     hard_ptr = np.zeros((n_q + 1,), np.int64)
     for i, q in enumerate(queries):
         anchors[i] = q.anchors
         targets[i] = q.target
-        neg_ptr[i + 1] = neg_ptr[i] + len(q.neg_samples)
+        negs = q.neg_samples
+        if not negs and fallback_pool is not None and fallback_pool.size:
+            draw = fallback_pool[
+                rng.integers(0, fallback_pool.size, fallback_size)
+            ]
+            negs = tuple(int(x) for x in draw[draw != q.target])
+        neg_lists.append(negs)
+        neg_ptr[i + 1] = neg_ptr[i] + len(negs)
         hard_ptr[i + 1] = hard_ptr[i] + len(q.hard_neg_samples)
     neg_pool = np.zeros((int(neg_ptr[-1]),), np.int32)
     hard_pool = np.zeros((int(hard_ptr[-1]),), np.int32)
     for i, q in enumerate(queries):
-        neg_pool[neg_ptr[i] : neg_ptr[i + 1]] = q.neg_samples
+        neg_pool[neg_ptr[i] : neg_ptr[i + 1]] = neg_lists[i]
         hard_pool[hard_ptr[i] : hard_ptr[i + 1]] = q.hard_neg_samples
     return FormulaStore(
         formula=formula, anchors=anchors, targets=targets,
@@ -62,12 +82,20 @@ def build_formula_store(formula: Formula, queries: Sequence[Query]) -> FormulaSt
 
 
 def build_stores(
-    grouped: Dict[str, Dict[Formula, List[Query]]]
+    grouped: Dict[str, Dict[Formula, List[Query]]],
+    kg=None,
 ) -> Dict[str, List[FormulaStore]]:
-    return {
-        s: [build_formula_store(f, qs) for f, qs in by_f.items()]
-        for s, by_f in grouped.items()
-    }
+    """Flatten grouped queries.  Pass the KnowledgeGraph to enable the
+    uniform same-mode negative fallback for queries without pre-sampled
+    negatives (raw-edge training data)."""
+    out: Dict[str, List[FormulaStore]] = {}
+    for s, by_f in grouped.items():
+        stores = []
+        for f, qs in by_f.items():
+            fb = kg.entities_of_mode(f.target_mode) if kg is not None else None
+            stores.append(build_formula_store(f, qs, fallback_pool=fb))
+        out[s] = stores
+    return out
 
 
 def pack_dense_batch_np(

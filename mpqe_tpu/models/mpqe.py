@@ -99,7 +99,7 @@ def encode_dense(
             spec.edge_dst,
             edge_rel,
             edge_norm,
-        )
+        ).astype(cfg.dtype)  # fp32 MXU accumulation, cfg-dtype activations
         if li < steps - 1:
             x = jax.nn.relu(x)
     return readout_mod.readout_dense(
@@ -163,7 +163,9 @@ def score(
     cfg: MPQEConfig, q: jax.Array, cand: jax.Array
 ) -> jax.Array:
     """Cosine (or dot) affinity between query vectors ``[..., d]`` and
-    candidate entity embeddings of matching shape."""
+    candidate entity embeddings of matching shape (fp32 internally)."""
+    q = q.astype(jnp.float32)
+    cand = cand.astype(jnp.float32)
     if cfg.scale_scores:
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
         cand = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)

@@ -132,9 +132,8 @@ def _fused_kernel(
     msg = msg * norm_ref[:]  # [C, 1] broadcast
 
     onehot_dst = (dst_ref[:] == node_iota).astype(msg.dtype)  # [C, N]
-    out_ref[:] += jax.lax.dot_general(
-        onehot_dst.T, msg, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=hp,
+    out_ref[:] += jnp.dot(
+        onehot_dst.T, msg, preferred_element_type=jnp.float32, precision=hp,
     ).astype(out_ref.dtype)
 
 

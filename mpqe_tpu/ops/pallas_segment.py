@@ -47,9 +47,8 @@ def _segment_sum_kernel(ids_ref, data_ref, out_ref, *, n_seg_padded: int):
     c = ids.shape[0]
     seg_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_seg_padded), 1)
     onehot = (ids == seg_iota).astype(data_ref.dtype)  # [C, S]
-    out_ref[:] += jax.lax.dot_general(
-        onehot.T, data_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    out_ref[:] += jnp.dot(
+        onehot.T, data_ref[:], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(out_ref.dtype)
 

@@ -232,3 +232,85 @@ def rgcn_rel_partitioned(
         + agg
         + params["bias"]
     )
+
+
+# ----------------------------------------------------------------------
+# combined 2-D partitioning: dst blocks (data axis) x relation blocks
+# (model axis) — the full pod-slice layout
+# ----------------------------------------------------------------------
+def rgcn_2d_partitioned(
+    mesh: Mesh,
+    params: Dict[str, jax.Array],
+    x_padded: jax.Array,  # [n_nodes_padded, d] sharded (data, None)
+    pe_src: jax.Array,  # [n_data_parts, e_max]
+    pe_dst_local: jax.Array,
+    pe_rel: jax.Array,
+    pe_norm: jax.Array,
+    n_rels: int,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jax.Array:
+    """One R-GCN layer on a (data, model) mesh: each chip owns the
+    (destination-node block, relation block) tile of the edge set.  The
+    halo (remote source features) all-gathers over the data axis; each
+    chip aggregates messages for its relation slice only and the partial
+    sums ``psum`` over the model axis.  Composes the bandwidth pattern of
+    ``rgcn_dst_partitioned`` with the EP layout of
+    ``rgcn_rel_partitioned``."""
+    n_model = mesh.shape[model_axis]
+    if n_rels % n_model != 0:
+        raise ValueError(
+            f"n_rels {n_rels} must divide by model axis size {n_model}"
+        )
+    r_block = n_rels // n_model
+    block = x_padded.shape[0] // mesh.shape[data_axis]
+    w_key = "w_rel" if "w_rel" in params else "coeff"
+
+    def local_fn(w_local, others, x_local, src, dst_local, rel, norm):
+        x_full = jax.lax.all_gather(x_local, data_axis, axis=0, tiled=True)
+        m_idx = jax.lax.axis_index(model_axis)
+        lo = m_idx * r_block
+        rel_local = rel[0] - lo
+        mine = (rel_local >= 0) & (rel_local < r_block)
+        rel_cl = jnp.clip(rel_local, 0, r_block - 1)
+        if w_local.ndim == 3:
+            basis = w_local
+            coeff_e = jax.nn.one_hot(rel_cl, r_block, dtype=x_local.dtype)
+        else:
+            basis = others["basis"]
+            coeff_e = w_local[rel_cl]
+        coeff_e = coeff_e * mine[:, None].astype(coeff_e.dtype)
+        h_b = jnp.einsum(
+            "nd,bdo->nbo", x_full, basis, preferred_element_type=jnp.float32
+        )
+        msg = jnp.einsum(
+            "eb,ebo->eo", coeff_e, h_b[src[0]],
+            preferred_element_type=jnp.float32,
+        )
+        msg = msg * norm[0][:, None].astype(msg.dtype)
+        agg = segment_ops.segment_sum(msg, dst_local[0], block)
+        agg = jax.lax.psum(agg, model_axis)
+        return (
+            jnp.dot(x_local, others["w_self"],
+                    preferred_element_type=jnp.float32)
+            + agg
+            + others["bias"]
+        )
+
+    others = {k: v for k, v in params.items() if k != w_key}
+    o_specs = jax.tree_util.tree_map(lambda _: P(), others)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(model_axis, *([None] * (params[w_key].ndim - 1))),
+            o_specs,
+            P(data_axis, None),
+            P(data_axis, None), P(data_axis, None),
+            P(data_axis, None), P(data_axis, None),
+        ),
+        out_specs=P(data_axis, None),
+        check_vma=False,
+    )
+    return fn(params[w_key], others, x_padded,
+              pe_src, pe_dst_local, pe_rel, pe_norm)

@@ -150,6 +150,7 @@ def run_train(
     train_step: Optional[Callable] = None,
     batch_loss_fn: Optional[Callable] = None,
     eval_encode_fn: Optional[Callable] = None,
+    kg=None,
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience."""
     rng = np.random.default_rng(tc.seed)
@@ -163,7 +164,7 @@ def run_train(
     from mpqe_tpu.data import native as native_mod
     from mpqe_tpu.data.store import build_stores, pack_dense_batch_np
 
-    stores = build_stores(train_queries)
+    stores = build_stores(train_queries, kg=kg)
     use_native = native_mod.available()
 
     structures = [s for s in stores if stores[s]]

@@ -172,3 +172,27 @@ def test_multi_step_spmd_training_decreases_loss(mesh8):
         )
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0]
+
+
+@pytest.mark.parametrize("num_bases", [None, 4])
+def test_2d_partitioned_matches_single_device(mesh42, rng, num_bases):
+    n_rels = 8
+    st = _random_graph(rng, n_nodes=96, n_e=300, n_rels=n_rels)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(7), D, D, n_rels, num_bases)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), n_rels,
+        )
+    )
+    pe = halo.partition_edges_by_dst(st, n_parts=4)
+    x_pad = halo.pad_node_features(x, pe)
+    got = np.asarray(
+        halo.rgcn_2d_partitioned(
+            mesh42, p, jnp.asarray(x_pad),
+            jnp.asarray(pe.src), jnp.asarray(pe.dst_local),
+            jnp.asarray(pe.rel), jnp.asarray(pe.norm), n_rels,
+        )
+    )[: st.n_nodes]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Decompose the train-step time on the real chip: forward, loss+grad,
+optimizer update, and embedding-gradient scatter — to target optimization
+work.  Prints one JSON line per phase (relay-safe timing)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import STRUCTURES
+from mpqe_tpu.utils import profiling
+
+D = 128
+N_ENTITIES = 1_000_000
+N_RELS = 266
+STRUCTURE = "3-chain_inter"
+B = 131_072
+N_NEG = 4
+
+
+def main():
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=4, n_rels=N_RELS, embed_dim=D,
+        n_layers=3, num_bases=16, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ne = jnp.asarray(rng.integers(0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(0, 4, (B, spec.n_nodes)).astype(np.int32))
+    er = jnp.asarray(rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    en = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+    tgt = jnp.asarray(rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+    neg = jnp.asarray(rng.integers(0, N_ENTITIES, (B, N_NEG)).astype(np.int32))
+    nmask = jnp.asarray(np.ones((B, N_NEG), np.float32))
+    qmask = jnp.asarray(np.ones((B,), np.float32))
+
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    def loss_of(p):
+        return mpqe_mod.dense_batch_loss(
+            p, cfg, STRUCTURE, ne, nm, er, en, tgt, neg, nmask, qmask)
+
+    grads_once = jax.jit(lambda p: jax.grad(loss_of)(p))(params)
+
+    def report(name, dt):
+        print(json.dumps({"phase": name, "ms": dt * 1e3}), flush=True)
+
+    # 1) forward (loss only)
+    @jax.jit
+    def fwd_loop(p, n):
+        def body(i, acc):
+            return acc + loss_of(p) * 1e-9
+        return jax.lax.fori_loop(0, n, body, 0.0)
+    report("forward_loss", profiling.loop_time(lambda n: fwd_loop(params, n)))
+
+    # 2) loss + grad
+    @jax.jit
+    def grad_loop(p, n):
+        def body(i, carry):
+            acc, pp = carry
+            l, g = jax.value_and_grad(loss_of)(pp)
+            return acc + l * 1e-9, jax.tree_util.tree_map(
+                lambda a, b: a + b * 1e-20, pp, g)
+        acc, _ = jax.lax.fori_loop(0, n, body, (0.0, p))
+        return acc
+    report("loss_plus_grad", profiling.loop_time(lambda n: grad_loop(params, n)))
+
+    # 3) optimizer update only (fixed grads)
+    @jax.jit
+    def opt_loop(p, o, g, n):
+        def body(i, carry):
+            pp, oo = carry
+            up, oo = opt.update(g, oo, pp)
+            return optax.apply_updates(pp, up), oo
+        pp, _ = jax.lax.fori_loop(0, n, body, (p, o))
+        return pp["emb"]["ent"][0, 0]
+    report("adam_update", profiling.loop_time(
+        lambda n: opt_loop(params, opt_state, grads_once, n)))
+
+    # 4) full step
+    @jax.jit
+    def step_loop(p, o, n):
+        def body(i, carry):
+            pp, oo, _ = carry
+            l, g = jax.value_and_grad(loss_of)(pp)
+            up, oo = opt.update(g, oo, pp)
+            return optax.apply_updates(pp, up), oo, l
+        _, _, l = jax.lax.fori_loop(0, n, body, (p, o, jnp.float32(0)))
+        return l
+    report("full_step", profiling.loop_time(
+        lambda n: step_loop(params, opt_state, n)))
+
+
+if __name__ == "__main__":
+    main()

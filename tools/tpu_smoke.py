@@ -40,13 +40,15 @@ def main():
     data = rng.normal(size=(1000, 128)).astype(np.float32)
     ids = rng.integers(0, 64, 1000).astype(np.int32)
     stage("compiling segment_sum_pallas...")
-    got = ps.segment_sum_pallas(jnp.asarray(data), jnp.asarray(ids), 64)
-    got = np.asarray(got)  # device->host sync (relay-safe)
+    got = np.asarray(jax.jit(
+        lambda d, i: ps.segment_sum_pallas(d, i, 64)
+    )(jnp.asarray(data), jnp.asarray(ids)))
     ok &= check("segment_sum_pallas", got, oracle.segment_sum_np(data, ids, 64))
 
     stage("compiling segment_max_pallas...")
-    got = np.asarray(
-        ps.segment_max_pallas(jnp.asarray(data), jnp.asarray(ids), 64))
+    got = np.asarray(jax.jit(
+        lambda d, i: ps.segment_max_pallas(d, i, 64)
+    )(jnp.asarray(data), jnp.asarray(ids)))
     ok &= check("segment_max_pallas", got,
                 oracle.segment_max_np(data, ids, 64, empty_value=ps.NEG_INF))
 
@@ -58,13 +60,17 @@ def main():
     st = build_edge_store(src, dst, rel, n_nodes, n_rels)
     p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), d, d, n_rels, 8)
     x = rng.normal(size=(n_nodes, d)).astype(np.float32)
-    want = np.asarray(
-        rgcn_ops.rgcn_sparse(jnp.asarray(x), p, st.src, st.dst, st.rel,
-                             jnp.asarray(st.norm), n_rels))
+    stage("compiling rgcn_sparse (xla oracle)...")
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jax.jit(
+            lambda xx, pp, no: rgcn_ops.rgcn_sparse(
+                xx, pp, st.src, st.dst, st.rel, no, n_rels)
+        )(jnp.asarray(x), p, jnp.asarray(st.norm)))
     ch = pr.chunk_by_relation(st, chunk=128)
     stage("compiling rgcn_sparse_fused...")
-    got = np.asarray(
-        pr.rgcn_sparse_fused(jnp.asarray(x), p, ch, n_rels))
+    got = np.asarray(jax.jit(
+        lambda xx, pp: pr.rgcn_sparse_fused(xx, pp, ch, n_rels)
+    )(jnp.asarray(x), p))
     ok &= check("rgcn_sparse_fused", got, want)
 
     sys.exit(0 if ok else 1)

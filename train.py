@@ -174,6 +174,7 @@ def main(argv=None):
         state, cfg, tc, train_q, val_queries=val_q,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
         batch_loss_fn=batch_loss_fn, eval_encode_fn=eval_encode_fn,
+        kg=kg,
     )
     res = evaluation.evaluate(state.params, cfg, val_q, encode_fn=eval_encode_fn)
     metrics.log({"step": state.step, "final": res.flat()})
