@@ -210,8 +210,28 @@ def make_synthetic_kg_native(
     )
 
 
+def build_incoming_csr_native(kg) -> Dict[str, np.ndarray]:
+    """One-time incoming-edge CSR build (cache and pass to
+    sample_queries_native — the build is the expensive part)."""
+    assert _lib is not None, "call ensure_built() first"
+    n_ent = kg.n_entities
+    n_in = 2 * kg.n_triples
+    in_ptr = np.empty(n_ent + 1, np.int64)
+    in_rel = np.empty(max(n_in, 1), np.int32)
+    in_src = np.empty(max(n_in, 1), np.int32)
+    rc = _lib.build_incoming_csr(
+        kg.n_triples, np.ascontiguousarray(kg.heads),
+        np.ascontiguousarray(kg.rels), np.ascontiguousarray(kg.tails),
+        n_ent, in_ptr, in_rel, in_src,
+    )
+    if rc != 0:
+        raise RuntimeError(f"build_incoming_csr failed rc={rc}")
+    return {"in_ptr": in_ptr, "in_rel": in_rel, "in_src": in_src}
+
+
 def sample_queries_native(
-    kg, structure: str, n_samples: int, n_neg: int, seed: int = 0
+    kg, structure: str, n_samples: int, n_neg: int, seed: int = 0,
+    csr: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
     """Batched backward-walk query sampling (benchmark-scale fast path;
     negatives are uniform same-mode non-target entities, not answer-set
@@ -231,17 +251,9 @@ def sample_queries_native(
     ).astype(np.int64)
     if not np.all(np.diff(kg.entity_mode) >= 0):
         raise ValueError("native sampler needs contiguous-mode entity ids")
-    n_in = 2 * kg.n_triples
-    in_ptr = np.empty(n_ent + 1, np.int64)
-    in_rel = np.empty(max(n_in, 1), np.int32)
-    in_src = np.empty(max(n_in, 1), np.int32)
-    rc = _lib.build_incoming_csr(
-        kg.n_triples, np.ascontiguousarray(kg.heads),
-        np.ascontiguousarray(kg.rels), np.ascontiguousarray(kg.tails),
-        n_ent, in_ptr, in_rel, in_src,
-    )
-    if rc != 0:
-        raise RuntimeError(f"build_incoming_csr failed rc={rc}")
+    if csr is None:
+        csr = build_incoming_csr_native(kg)
+    in_ptr, in_rel, in_src = csr["in_ptr"], csr["in_rel"], csr["in_src"]
     entities = np.empty((n_samples, spec.n_nodes), np.int32)
     rels = np.empty((n_samples, spec.n_edges), np.int32)
     negs = np.empty((n_samples, max(n_neg, 1)), np.int32)

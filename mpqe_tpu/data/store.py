@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from mpqe_tpu.data.batcher import DenseQueryBatch, template_edge_norm
-from mpqe_tpu.queries import STRUCTURES, Formula, Query
+from mpqe_tpu.queries import Formula, Query
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,16 +91,13 @@ def chunk_by_relation(
 # Kernel
 # ----------------------------------------------------------------------
 def _fused_kernel(
-    chunk_rel_ref,  # scalar prefetch [n_chunks]
+    ccoeff_ref,  # scalar prefetch (SMEM): [n_chunks, Bb] masked coefficients
     x_ref,  # [N_pad, d] VMEM (whole grid)
     basis_ref,  # [Bb, d, d] VMEM
-    coeff_ref,  # [R_pad, Bb] VMEM
     src_ref,  # [C, 1] VMEM
     dst_ref,  # [C, 1] VMEM
     norm_ref,  # [C, 1] VMEM
     out_ref,  # [N_pad, d] VMEM accumulator
-    *,
-    n_rels: int,
 ):
     i = pl.program_id(0)
 
@@ -108,20 +105,19 @@ def _fused_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    rel = chunk_rel_ref[i]
-    valid = (rel < n_rels).astype(x_ref.dtype)
-    rel_cl = jnp.minimum(rel, n_rels - 1)
-
     n_pad = x_ref.shape[0]
     c = src_ref.shape[0]
 
     # combine the chunk's relation weight from the basis: [d, d].
-    # Static unroll over bases with scalar * matrix — Mosaic supports
-    # neither rank-1 dot_general nor 1D->3D broadcasts in one op.
+    # Per-chunk coefficients arrive pre-gathered (XLA side) through scalar
+    # prefetch — SMEM scalars support the dynamic row read (VMEM dynamic
+    # scalar rows miscompiled under Mosaic).  Static unroll: scalar *
+    # matrix accumulation (Mosaic supports neither rank-1 dot_general nor
+    # 1D->3D broadcasts).
     bb = basis_ref.shape[0]
-    w = (coeff_ref[rel_cl, 0] * valid) * basis_ref[0]
+    w = ccoeff_ref[i, 0] * basis_ref[0]
     for b in range(1, bb):
-        w += (coeff_ref[rel_cl, b] * valid) * basis_ref[b]
+        w += ccoeff_ref[i, b] * basis_ref[b]
 
     node_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_pad), 1)
     onehot_src = (src_ref[:] == node_iota).astype(x_ref.dtype)  # [C, N]
@@ -167,8 +163,11 @@ def rgcn_messages_pallas(
     x_p = jnp.zeros((n_pad, d_pad), x.dtype).at[:n, :d].set(x)
     basis_p = jnp.zeros((bb, d_pad, do_pad), basis.dtype)
     basis_p = basis_p.at[:, :d_in, :d_out].set(basis)
-    r_pad = _round_up(n_rels, 8)
-    coeff_p = jnp.zeros((r_pad, bb), coeff.dtype).at[:n_rels].set(coeff)
+    # per-chunk coefficients, gathered + padding-masked in XLA; delivered
+    # via scalar prefetch (SMEM): [n_chunks, Bb]
+    rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
+    valid = (chunk_rel < n_rels).astype(coeff.dtype)
+    chunk_coeff = coeff[rel_cl] * valid[:, None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -177,8 +176,6 @@ def rgcn_messages_pallas(
             pl.BlockSpec((n_pad, d_pad), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, d_pad, do_pad), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, bb), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -191,15 +188,14 @@ def rgcn_messages_pallas(
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, n_rels=n_rels),
+        _fused_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
         interpret=interpret,
     )(
-        chunk_rel.astype(jnp.int32),
+        chunk_coeff.astype(jnp.float32),
         x_p,
         basis_p,
-        coeff_p,
         src.reshape(-1, 1).astype(jnp.int32),
         dst.reshape(-1, 1).astype(jnp.int32),
         norm.reshape(-1, 1).astype(jnp.float32),

@@ -16,9 +16,6 @@ zero weight — both are handled by clamping + masking).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

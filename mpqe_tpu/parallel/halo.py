@@ -29,8 +29,7 @@ self-loop GEMM here).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ covers the edge-partitioned sparse encoder; both are exercised by
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

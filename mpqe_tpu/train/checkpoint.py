@@ -9,7 +9,7 @@ moments, and step counter.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

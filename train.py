@@ -61,6 +61,8 @@ def parse_args(argv=None):
     p.add_argument("--val_every", type=int, default=1000)
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --run_dir")
     p.add_argument("--structures", default="all",
                    help="comma list or 'all' or 'chains'")
     # synthetic data knobs
@@ -164,6 +166,14 @@ def main(argv=None):
         init_fn=init_fn if args.model != "rgcn" else None,
     )
     ckpt_dir = os.path.join(run_dir, "ckpt")
+    if args.resume:
+        latest = ckpt_mod.latest_checkpoint(ckpt_dir)
+        if latest:
+            state = ckpt_mod.restore_checkpoint(latest, state)
+            metrics.log({"step": state.step, "event": "resumed",
+                         "path": latest})
+        else:
+            metrics.log({"event": "resume_requested_no_checkpoint"})
 
     def checkpoint_fn(st, metric):
         path = ckpt_mod.save_checkpoint(ckpt_dir, st)
