@@ -207,8 +207,49 @@ def bench_torch_baseline():
         dt = (time.perf_counter() - t0) / TORCH_ITERS
     edges = steps * B * spec.n_edges
     log(f"torch baseline fwd: {dt*1e3:.1f} ms")
+
+    # full train step: margin loss + backward + Adam over the same model
+    ent_p = ent.clone().requires_grad_(True)
+    basis_p = basis.clone().requires_grad_(True)
+    coeff_p = coeff.clone().requires_grad_(True)
+    w_self_p = w_self.clone().requires_grad_(True)
+    bias_p = bias.clone().requires_grad_(True)
+    opt = torch.optim.Adam(
+        [ent_p, basis_p, coeff_p, w_self_p, bias_p], lr=0.01)
+    tgt_ids = torch.from_numpy(
+        rng.integers(0, 200_000, (B,)).astype(np.int64))
+    neg_ids = torch.from_numpy(
+        rng.integers(0, 200_000, (B, N_NEG)).astype(np.int64))
+
+    def train_step():
+        opt.zero_grad()
+        x = ent_p[node_ids]
+        for _ in range(steps):
+            out = x @ w_self_p + bias_p
+            for j in range(spec.n_edges):
+                r = int(rels[j])
+                w_r = torch.einsum("b,bio->io", coeff_p[r], basis_p)
+                msg = x[e_src[slot_sel[j]]] @ w_r
+                out = out.index_add(0, e_dst[slot_sel[j]], msg)
+            x = torch.relu(out)
+        q = x[tgt_idx]
+        qn = torch.nn.functional.normalize(q, dim=-1)
+        pos = (qn * torch.nn.functional.normalize(ent_p[tgt_ids], dim=-1)).sum(-1)
+        neg = (qn[:, None, :] * torch.nn.functional.normalize(
+            ent_p[neg_ids], dim=-1)).sum(-1)
+        loss = torch.relu(1.0 - pos[:, None] + neg).mean()
+        loss.backward()
+        opt.step()
+
+    train_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TORCH_ITERS):
+        train_step()
+    step_dt = (time.perf_counter() - t0) / TORCH_ITERS
+    log(f"torch baseline train step: {step_dt*1e3:.1f} ms")
     return {"torch_fwd_seconds": dt, "torch_fwd_edges_per_s": edges / dt,
-            "torch_batch": B}
+            "torch_batch": B, "torch_train_step_seconds": step_dt,
+            "torch_train_queries_per_s": B / step_dt}
 
 
 def main():

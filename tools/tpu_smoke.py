@@ -68,9 +68,12 @@ def main():
         )(jnp.asarray(x), p, jnp.asarray(st.norm)))
     ch = pr.chunk_by_relation(st, chunk=128)
     stage("compiling rgcn_sparse_fused...")
-    got = np.asarray(jax.jit(
-        lambda xx, pp: pr.rgcn_sparse_fused(xx, pp, ch, n_rels)
-    )(jnp.asarray(x), p))
+    # the wrapper's self-loop dot is XLA: pin it to the same precision as
+    # the oracle (the Pallas kernel itself always runs HIGHEST)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jax.jit(
+            lambda xx, pp: pr.rgcn_sparse_fused(xx, pp, ch, n_rels)
+        )(jnp.asarray(x), p))
     ok &= check("rgcn_sparse_fused", got, want)
 
     sys.exit(0 if ok else 1)
