@@ -130,6 +130,41 @@ def check_conv(losses: collections.deque, tol: float) -> bool:
     return (old - new) / abs(old) < tol
 
 
+def warmup_train_step(
+    train_step: Callable,
+    cfg,
+    tc: TrainConfig,
+    structures,
+) -> None:
+    """Ahead-of-time compile every (structure, batch-bucket) executable so
+    the hot loop never hits a compile (SURVEY.md §7 step 6: bucket AOT
+    compilation cache).  Throwaway params/opt_state are built, threaded
+    through the compiles, and discarded."""
+    from mpqe_tpu.queries import STRUCTURES as _S
+
+    optimizer = make_optimizer(tc)
+    try:
+        params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    except Exception:
+        return  # non-MPQE configs: caller compiles via its first step
+    opt_state = optimizer.init(params)
+    B, K = tc.batch_size, tc.n_neg
+    for structure in structures:
+        spec = _S[structure]
+        ne = jnp.zeros((B, spec.n_nodes), jnp.int32)
+        nm = jnp.zeros((B, spec.n_nodes), jnp.int32)
+        er = jnp.zeros((spec.n_edges,), jnp.int32)
+        en = jnp.ones((spec.n_edges,), jnp.float32)
+        tgt = jnp.zeros((B,), jnp.int32)
+        neg = jnp.zeros((B, K), jnp.int32)
+        nmask = jnp.ones((B, K), jnp.float32)
+        qmask = jnp.ones((B,), jnp.float32)
+        params, opt_state, _ = train_step(
+            params, opt_state, structure, ne, nm, er, en, tgt, neg,
+            nmask, qmask,
+        )
+
+
 @dataclasses.dataclass
 class TrainLogEntry:
     step: int
@@ -151,6 +186,7 @@ def run_train(
     batch_loss_fn: Optional[Callable] = None,
     eval_encode_fn: Optional[Callable] = None,
     kg=None,
+    warmup: bool = False,
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience."""
     rng = np.random.default_rng(tc.seed)
@@ -168,6 +204,8 @@ def run_train(
     use_native = native_mod.available()
 
     structures = [s for s in stores if stores[s]]
+    if warmup:
+        warmup_train_step(train_step, cfg, tc, structures)
     burn_in = tc.burn_in_structure in structures and len(structures) > 1
     losses: collections.deque = collections.deque(maxlen=tc.conv_window)
     best_val = -np.inf
