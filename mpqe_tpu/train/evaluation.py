@@ -179,3 +179,58 @@ def evaluate(
         if f_hard:
             hard_s[structure] = float(np.mean(f_hard))
     return EvalResult(auc_s, apr_s, hard_s)
+
+
+def full_ranking(
+    params,
+    cfg: mpqe_mod.MPQEConfig,
+    queries_by_structure: Dict[str, Dict[Formula, List[Query]]],
+    entity_mode: np.ndarray,
+    hits_at: Tuple[int, ...] = (1, 3, 10),
+    max_queries_per_formula: Optional[int] = 200,
+    encode_fn=None,
+) -> Dict[str, Dict[str, float]]:
+    """Full-candidate ranking metrics (MRR / Hits@K) per structure.
+
+    Goes beyond the reference's sampled-negative APR: scores every
+    same-mode entity via one ``[B, n_entities]`` MXU matmul
+    (score_all_entities) and ranks the true answer among candidates of the
+    target's mode.  Unfiltered (other true answers count as competitors),
+    like raw KG-completion ranking.
+    """
+    if encode_fn is None:
+        encode_fn = jax.jit(mpqe_mod.encode_dense, static_argnums=(1, 2))
+    entity_mode = np.asarray(entity_mode)
+    out: Dict[str, Dict[str, float]] = {}
+    for structure, by_formula in queries_by_structure.items():
+        ranks: List[float] = []
+        for formula, qs in by_formula.items():
+            if max_queries_per_formula:
+                qs = qs[:max_queries_per_formula]
+            if not qs:
+                continue
+            B = bucket_size(len(qs))
+            b = make_dense_batch(formula, qs, batch_size=B, n_neg=1,
+                                 rng=np.random.default_rng(0))
+            q = encode_fn(
+                params, cfg, b.structure,
+                jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+                jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+            )
+            scores = np.asarray(
+                mpqe_mod.score_all_entities(params, cfg, q))[: b.n_queries]
+            mode_ok = entity_mode[None, :] == entity_mode[b.target[: b.n_queries], None]
+            scores = np.where(mode_ok, scores, -np.inf)
+            true_s = scores[np.arange(b.n_queries), b.target[: b.n_queries]]
+            rank = 1 + (scores > true_s[:, None]).sum(axis=1)
+            ranks.extend(rank.tolist())
+        if ranks:
+            r = np.asarray(ranks, dtype=np.float64)
+            m: Dict[str, float] = {
+                "mrr": float(np.mean(1.0 / r)),
+                "mean_rank": float(r.mean()),
+            }
+            for k in hits_at:
+                m[f"hits@{k}"] = float(np.mean(r <= k))
+            out[structure] = m
+    return out

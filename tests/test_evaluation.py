@@ -61,3 +61,22 @@ def test_evaluate_end_to_end():
     assert "auc_macro" in flat and np.isfinite(flat["auc_macro"])
     # random model ~ chance level
     assert 0.2 <= res.macro_auc <= 0.8
+
+
+def test_full_ranking_metrics():
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+    kg = make_random_kg(n_entities=80, n_modes=2, n_base_rels=3,
+                        n_triples=300, seed=61)
+    sampler = QuerySampler(kg, seed=3)
+    qs = sampler.sample_queries("1-chain", 20, n_neg=4)
+    grouped = group_queries_by_formula(qs)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=1, readout="sum")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    m = evaluation.full_ranking(params, cfg, grouped, kg.entity_mode)
+    assert "1-chain" in m
+    s = m["1-chain"]
+    assert 0 <= s["mrr"] <= 1
+    assert s["hits@1"] <= s["hits@3"] <= s["hits@10"]
+    assert s["mean_rank"] >= 1

@@ -121,3 +121,19 @@ def test_checkpoint_roundtrip(tmp_path, setting):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert ckpt_mod.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_training_is_deterministic(setting):
+    """Same seed -> bit-identical parameters after training."""
+    kg, cfg, train_q, _ = setting
+    tc = loop_mod.TrainConfig(max_steps=20, batch_size=32, n_neg=4,
+                              val_every=10_000, conv_tol=-1.0, seed=123)
+
+    def run():
+        st = loop_mod.init_train_state(jax.random.PRNGKey(5), cfg, tc)
+        return loop_mod.run_train(st, cfg, tc, train_q)
+
+    p1 = jax.tree_util.tree_leaves(run().params)
+    p2 = jax.tree_util.tree_leaves(run().params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
