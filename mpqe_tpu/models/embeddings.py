@@ -47,6 +47,28 @@ def embed_nodes_dense(
     return x_var * m + x_ent * (1.0 - m)
 
 
+def embed_nodes_template(
+    emb: Dict[str, jax.Array],
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    anchor_slots,  # static tuple of ints
+    n_nodes: int,  # static
+) -> jax.Array:
+    """Slot-static variant of :func:`embed_nodes_dense`: only anchor slots
+    touch the (large, HBM-resident) entity table; variable/target slots
+    read the tiny per-mode table.  Halves the big-table gather traffic of
+    the masked version — the forward pass is HBM-bound, so this is a real
+    win, and the result is identical (tested against embed_nodes_dense)."""
+    anchors = set(anchor_slots)
+    cols = []
+    for s in range(n_nodes):
+        if s in anchors:
+            cols.append(emb["ent"][node_entity[:, s]])
+        else:
+            cols.append(emb["var"][node_mode[:, s]])
+    return jnp.stack(cols, axis=1)  # [B, n, d]
+
+
 def embed_nodes_sparse(
     emb: Dict[str, jax.Array],
     node_entity: jax.Array,  # [N] int32
