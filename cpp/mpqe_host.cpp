@@ -198,7 +198,7 @@ int make_synthetic_kg(
 int sample_chain_queries(
     const int64_t* in_ptr, const int32_t* in_rel, const int32_t* in_src,
     int64_t n_entities, const int32_t* entity_mode,
-    const int64_t* mode_start, int32_t n_modes,  // contiguous-mode layout
+    const int64_t* mode_start, int32_t /*n_modes*/,  // contiguous-mode layout
     const int32_t* edge_src_slot, const int32_t* edge_dst_slot,
     int32_t n_edges, int32_t n_nodes,
     int64_t n_samples, int32_t n_neg, uint64_t seed,

@@ -187,8 +187,15 @@ def run_train(
     eval_encode_fn: Optional[Callable] = None,
     kg=None,
     warmup: bool = False,
+    prefetch: int = 0,
 ) -> TrainState:
-    """Curriculum training until convergence / max_steps / patience."""
+    """Curriculum training until convergence / max_steps / patience.
+
+    ``prefetch > 0`` packs batches in a background thread (C++ packer,
+    device-put ahead of use) via data.pipeline.BatchPipeline — one
+    pipeline per curriculum phase (burn-in draws only the burn-in
+    structure).  ``prefetch == 0`` packs synchronously in-loop.
+    """
     rng = np.random.default_rng(tc.seed)
     optimizer = make_optimizer(tc)
     if train_step is None:
@@ -212,29 +219,48 @@ def run_train(
     bad_evals = 0
     phase = "burn_in" if burn_in else "full"
 
+    pipeline = None
+
+    def make_pipeline(ph):
+        from mpqe_tpu.data.pipeline import BatchPipeline
+
+        structs = [tc.burn_in_structure] if ph == "burn_in" else structures
+        return BatchPipeline(
+            stores, batch_size=tc.batch_size, n_neg=tc.n_neg,
+            structures=structs, hard_neg_prob=tc.hard_neg_prob,
+            seed=tc.seed, prefetch=prefetch,
+        ).start()
+
+    if prefetch > 0:
+        pipeline = make_pipeline(phase)
+
     for _ in range(tc.max_steps):
-        if phase == "burn_in":
-            structure = tc.burn_in_structure
+        if pipeline is not None:
+            batch = next(pipeline)
+            structure = batch.structure
         else:
-            structure = structures[rng.integers(len(structures))]
-        f_stores = stores[structure]
-        fstore = f_stores[rng.integers(len(f_stores))]
-        pick = rng.integers(
-            0, fstore.n_queries, size=min(tc.batch_size, fstore.n_queries)
-        ).astype(np.int64)
-        use_hard = (
-            structure in INTERSECTION_STRUCTURES
-            and rng.random() < tc.hard_neg_prob
-        )
-        seed = int(rng.integers(2**62))
-        if use_native:
-            batch = native_mod.pack_dense_batch_native(
-                fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+            if phase == "burn_in":
+                structure = tc.burn_in_structure
+            else:
+                structure = structures[rng.integers(len(structures))]
+            f_stores = stores[structure]
+            fstore = f_stores[rng.integers(len(f_stores))]
+            pick = rng.integers(
+                0, fstore.n_queries, size=min(tc.batch_size, fstore.n_queries)
+            ).astype(np.int64)
+            use_hard = (
+                structure in INTERSECTION_STRUCTURES
+                and rng.random() < tc.hard_neg_prob
             )
-        else:
-            batch = pack_dense_batch_np(
-                fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
-            )
+            seed = int(rng.integers(2**62))
+            if use_native:
+                batch = native_mod.pack_dense_batch_native(
+                    fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+                )
+            else:
+                batch = pack_dense_batch_np(
+                    fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+                )
         t0 = time.perf_counter()
         loss = run_step(train_step, state, batch)
         dt = time.perf_counter() - t0
@@ -248,6 +274,9 @@ def run_train(
         if phase == "burn_in" and check_conv(losses, tc.conv_tol):
             phase = "full"
             losses.clear()
+            if pipeline is not None:
+                pipeline.stop()
+                pipeline = make_pipeline(phase)
             if log_fn:
                 log_fn({"step": state.step, "event": "burn_in_done"})
 
@@ -269,6 +298,8 @@ def run_train(
                     break
         elif phase == "full" and not val_queries and check_conv(losses, tc.conv_tol):
             break
+    if pipeline is not None:
+        pipeline.stop()
     return state
 
 
