@@ -227,6 +227,43 @@ def encode_sparse(
     )
 
 
+def encode_sparse_fused(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    node_is_var: jax.Array,
+    chunked: Dict[str, Any],  # from ops.pallas_rgcn.chunk_by_relation
+    node_query: jax.Array,
+    target_node: jax.Array,
+    n_queries: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sparse forward through the fused Pallas R-GCN kernel (VMEM-resident
+    gather->basis-GEMM->scatter; ops/pallas_rgcn.py).  Same math as
+    encode_sparse — the edge list arrives relation-chunk-aligned
+    (chunk_by_relation) instead of as a flat EdgeStore."""
+    from mpqe_tpu.ops import pallas_rgcn
+
+    x = emb_mod.embed_nodes_sparse(
+        params["emb"], node_entity, node_mode, node_is_var
+    )
+    steps = num_steps(cfg, structure) if structure else cfg.n_layers
+    for li in range(steps):
+        x = pallas_rgcn.rgcn_sparse_fused(
+            x, params["layers"][li], chunked, cfg.n_rels,
+            interpret=interpret,
+        ).astype(cfg.dtype)
+        if li < steps - 1:
+            x = jax.nn.relu(x)
+    n_tpl = STRUCTURES[structure].n_nodes if structure else None
+    return readout_mod.readout_sparse(
+        cfg.readout, params["readout"], x, node_query, target_node,
+        n_queries, n_template_nodes=n_tpl,
+    )
+
+
 # ----------------------------------------------------------------------
 # Scoring and loss
 # ----------------------------------------------------------------------

@@ -103,3 +103,46 @@ def test_node_cap():
     p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), 8, 8, 1, 1)
     with pytest.raises(ValueError):
         pr.rgcn_sparse_fused(x, p, ch, 1, interpret=True)
+
+
+def test_encode_sparse_fused_matches_encode_sparse(rng):
+    """Full model forward through the fused kernel == XLA sparse path."""
+    import jax.numpy as jnp
+    from mpqe_tpu.data.batcher import dense_to_sparse, make_dense_batch
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+    from mpqe_tpu.models import mpqe as mpqe_mod
+
+    kg = make_random_kg(n_entities=60, n_modes=2, n_base_rels=3,
+                        n_triples=400, seed=71)
+    sampler = QuerySampler(kg, seed=2)
+    qs = sampler.sample_queries("3-chain_inter", 8, n_neg=2)
+    f = qs[0].formula
+    qs = [q for q in qs if q.formula == f]
+    while len(qs) < 8:
+        q = sampler.sample_query("3-chain_inter", n_neg=2)
+        if q and q.formula == f:
+            qs.append(q)
+    b = make_dense_batch(f, qs[:8], batch_size=8, n_neg=2)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=3, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    sb = dense_to_sparse(b, n_rels=cfg.n_rels)
+
+    want = np.asarray(mpqe_mod.encode_sparse(
+        params, cfg, "3-chain_inter",
+        jnp.asarray(sb.node_entity), jnp.asarray(sb.node_mode),
+        jnp.asarray(sb.node_is_var),
+        jnp.asarray(sb.edges.src), jnp.asarray(sb.edges.dst),
+        jnp.asarray(sb.edges.rel), jnp.asarray(sb.edges.norm),
+        jnp.asarray(sb.node_query), jnp.asarray(sb.target_node),
+        n_queries=8))
+
+    ch = pr.chunk_by_relation(sb.edges, chunk=32)
+    got = np.asarray(mpqe_mod.encode_sparse_fused(
+        params, cfg, "3-chain_inter",
+        jnp.asarray(sb.node_entity), jnp.asarray(sb.node_mode),
+        jnp.asarray(sb.node_is_var), ch,
+        jnp.asarray(sb.node_query), jnp.asarray(sb.target_node),
+        n_queries=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)

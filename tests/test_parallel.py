@@ -196,3 +196,29 @@ def test_2d_partitioned_matches_single_device(mesh42, rng, num_bases):
         )
     )[: st.n_nodes]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_host_local_batch_single_process(mesh8):
+    """host_local_batch: with one process, local arrays == global arrays."""
+    from mpqe_tpu.parallel import multihost
+    rng = np.random.default_rng(0)
+    arrays = {
+        "node_entity": rng.integers(0, 100, (16, 4)).astype(np.int32),
+        "target": rng.integers(0, 100, (16,)).astype(np.int32),
+        "edge_rel": np.array([1, 2, 3], np.int32),
+        "edge_norm": np.ones(3, np.float32),
+    }
+    out = multihost.host_local_batch(mesh8, arrays)
+    np.testing.assert_array_equal(np.asarray(out["node_entity"]),
+                                  arrays["node_entity"])
+    np.testing.assert_array_equal(np.asarray(out["edge_rel"]),
+                                  arrays["edge_rel"])
+    # batch arrays sharded over data axis, scalars replicated
+    assert len({s.index[0] for s in out["node_entity"].addressable_shards}) == 8
+    assert multihost is not None
+
+
+def test_multihost_initialize_noop_single_process():
+    from mpqe_tpu.parallel import multihost
+    multihost.initialize()  # must not raise on a single process
+    assert jax.process_count() == 1
