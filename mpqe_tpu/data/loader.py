@@ -250,3 +250,38 @@ def split_one_new_edge(
                     break
         (new if has_new else seen).append(q)
     return seen, new
+
+
+def save_graph_pickle(path: str, kg: KnowledgeGraph) -> None:
+    """Write a KnowledgeGraph as a GQE-format ``graph_data.pkl``
+    (inverse of load_graph_pickle; useful for round-trip tests and for
+    exporting synthetic KGs to reference-compatible form)."""
+    mode_name = (
+        list(kg.mode_names)
+        if kg.mode_names
+        else [f"mode{m}" for m in range(kg.n_modes)]
+    )
+    rel_name = (
+        list(kg.rel_names)
+        if kg.rel_names
+        else [f"rel{r}" for r in range(kg.n_base_rels)]
+    )
+    relations: Dict = {m: [] for m in mode_name}
+    adj_lists: Dict = {}
+    for r in range(kg.n_base_rels):
+        d, rg = mode_name[kg.rel_domain[r]], mode_name[kg.rel_range[r]]
+        relations[d].append((rg, rel_name[r]))
+        if rg != d or True:
+            relations[rg].append((d, rel_name[r]))
+        adj_lists[(d, rel_name[r], rg)] = {}
+        adj_lists[(rg, rel_name[r], d)] = {}
+    for h, r, t in zip(kg.heads, kg.rels, kg.tails):
+        d, rg = mode_name[kg.rel_domain[r]], mode_name[kg.rel_range[r]]
+        adj_lists[(d, rel_name[r], rg)].setdefault(int(h), set()).add(int(t))
+        adj_lists[(rg, rel_name[r], d)].setdefault(int(t), set()).add(int(h))
+    node_maps = {
+        m: [int(e) for e in np.where(kg.entity_mode == mi)[0]]
+        for mi, m in enumerate(mode_name)
+    }
+    with open(path, "wb") as f:
+        pickle.dump((relations, adj_lists, node_maps), f)

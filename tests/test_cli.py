@@ -45,3 +45,41 @@ def test_train_gqe_cli(tmp_path):
     assert state.step == 40
     mc = json.load(open(os.path.join(run_dir, "model_config.json")))
     assert mc["decoder"] == "distmult"
+
+
+def test_train_from_gqe_pickle_dir(tmp_path):
+    """Full reference-format path: synthetic KG -> graph_data.pkl + query
+    pickles -> train.py --data pkl:<dir>."""
+    import numpy as np
+    import train as train_mod
+    from mpqe_tpu.data import loader as loader_mod
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+
+    kg = make_random_kg(n_entities=100, n_modes=2, n_base_rels=3,
+                        n_triples=400, seed=81)
+    d = tmp_path / "dataset"
+    d.mkdir()
+    loader_mod.save_graph_pickle(str(d / "graph_data.pkl"), kg)
+    # reload through the GQE parser: relation ids may be remapped, so
+    # sample queries against the RELOADED kg (as the reference would)
+    kg2, _, _ = loader_mod.load_graph_pickle(str(d / "graph_data.pkl"))
+    sampler = QuerySampler(kg2, seed=4)
+    loader_mod.save_queries_pickle(
+        str(d / "train_queries_2.pkl"),
+        sampler.sample_queries("2-inter", 60, n_neg=8))
+    loader_mod.save_queries_pickle(
+        str(d / "val_queries_2.pkl"),
+        sampler.sample_queries("2-inter", 20, n_neg=8))
+    # 1-chain as arity-3 file slot (loader scans both)
+    loader_mod.save_queries_pickle(
+        str(d / "train_queries_3.pkl"),
+        sampler.sample_queries("1-chain", 60, n_neg=8))
+
+    run_dir = str(tmp_path / "run")
+    state = train_mod.main([
+        "--data", f"pkl:{d}", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "30", "--val_every", "25",
+        "--batch_size", "32", "--n_neg", "4", "--run_dir", run_dir,
+    ])
+    assert state.step == 30
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))

@@ -55,12 +55,18 @@ def main():
     def report(name, dt):
         print(json.dumps({"phase": name, "ms": dt * 1e3}), flush=True)
 
-    # 1) forward (loss only)
+    # 1) forward (loss only) — thread a perturbation through iterations so
+    # XLA cannot hoist the loop-invariant loss out of the loop
     @jax.jit
     def fwd_loop(p, n):
-        def body(i, acc):
-            return acc + loss_of(p) * 1e-9
-        return jax.lax.fori_loop(0, n, body, 0.0)
+        def body(i, carry):
+            pp, acc = carry
+            l = loss_of(pp)
+            pp = jax.tree_util.tree_map(
+                lambda a: a + (l * 1e-20).astype(a.dtype), pp)
+            return pp, acc + l
+        _, acc = jax.lax.fori_loop(0, n, body, (p, 0.0))
+        return acc
     report("forward_loss", profiling.loop_time(lambda n: fwd_loop(params, n)))
 
     # 2) loss + grad
