@@ -222,3 +222,29 @@ def test_multihost_initialize_noop_single_process():
     from mpqe_tpu.parallel import multihost
     multihost.initialize()  # must not raise on a single process
     assert jax.process_count() == 1
+
+
+@pytest.mark.parametrize("num_bases", [None, 4])
+def test_ring_halo_matches_single_device(mesh8, rng, num_bases):
+    n_rels = 8
+    st = _random_graph(rng, n_nodes=120, n_e=500, n_rels=n_rels)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(9), D, D, n_rels, num_bases)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), n_rels,
+        )
+    )
+    pe = halo.partition_edges_ring(st, n_parts=8)
+    # pad x like the dst partitioner does
+    x_pad = np.zeros((pe.n_nodes_padded, D), np.float32)
+    x_pad[: st.n_nodes] = x
+    got = np.asarray(
+        halo.rgcn_ring_halo(
+            mesh8, p, jnp.asarray(x_pad),
+            jnp.asarray(pe.src_local), jnp.asarray(pe.dst_local),
+            jnp.asarray(pe.rel), jnp.asarray(pe.norm), n_rels,
+        )
+    )[: st.n_nodes]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -39,7 +39,7 @@ from mpqe_tpu.parallel import halo, mesh as mesh_lib
 from mpqe_tpu.utils import profiling
 
 
-def bench_mesh(n_dev, n_nodes, n_e, n_rels, d, num_bases):
+def bench_mesh(n_dev, n_nodes, n_e, n_rels, d, num_bases, layer="allgather"):
     rng = np.random.default_rng(0)
     src = rng.integers(0, n_nodes, n_e).astype(np.int32)
     dst = rng.integers(0, n_nodes, n_e).astype(np.int32)
@@ -49,16 +49,26 @@ def bench_mesh(n_dev, n_nodes, n_e, n_rels, d, num_bases):
     x = rng.normal(size=(n_nodes, d)).astype(np.float32)
 
     mesh = mesh_lib.make_mesh((n_dev, 1), devices=jax.devices()[:n_dev])
-    pe = halo.partition_edges_by_dst(st, n_parts=n_dev)
-    x_pad = jnp.asarray(halo.pad_node_features(x, pe))
-    args = (jnp.asarray(pe.src), jnp.asarray(pe.dst_local),
-            jnp.asarray(pe.rel), jnp.asarray(pe.norm))
+    if layer == "ring":
+        pe = halo.partition_edges_ring(st, n_parts=n_dev)
+        x_pad_np = np.zeros((pe.n_nodes_padded, d), np.float32)
+        x_pad_np[: st.n_nodes] = x
+        x_pad = jnp.asarray(x_pad_np)
+        args = (jnp.asarray(pe.src_local), jnp.asarray(pe.dst_local),
+                jnp.asarray(pe.rel), jnp.asarray(pe.norm))
+        layer_fn = halo.rgcn_ring_halo
+    else:
+        pe = halo.partition_edges_by_dst(st, n_parts=n_dev)
+        x_pad = jnp.asarray(halo.pad_node_features(x, pe))
+        args = (jnp.asarray(pe.src), jnp.asarray(pe.dst_local),
+                jnp.asarray(pe.rel), jnp.asarray(pe.norm))
+        layer_fn = halo.rgcn_dst_partitioned
 
     @jax.jit
     def loop(x0, n):
         def body(i, carry):
             xx, acc = carry
-            out = halo.rgcn_dst_partitioned(mesh, p, xx, *args, n_rels)
+            out = layer_fn(mesh, p, xx, *args, n_rels)
             return xx + out * 1e-20, acc + out[0, 0]
         _, acc = jax.lax.fori_loop(0, n, body, (x0, 0.0))
         return acc
@@ -75,6 +85,7 @@ def main():
     ap.add_argument("--n_rels", type=int, default=64)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--num_bases", type=int, default=16)
+    ap.add_argument("--layer", default="allgather", choices=["allgather", "ring"])
     args = ap.parse_args()
 
     n_avail = len(jax.devices())
@@ -84,7 +95,8 @@ def main():
     results = []
     for n_dev in sizes:
         r = bench_mesh(
-            n_dev, args.nodes, args.edges, args.n_rels, args.d, args.num_bases
+            n_dev, args.nodes, args.edges, args.n_rels, args.d,
+            args.num_bases, layer=args.layer,
         )
         results.append(r)
         print(json.dumps(r), flush=True)
