@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -285,3 +285,24 @@ def save_graph_pickle(path: str, kg: KnowledgeGraph) -> None:
     }
     with open(path, "wb") as f:
         pickle.dump((relations, adj_lists, node_maps), f)
+
+
+def load_test_queries_pickle(
+    path: str, kg: KnowledgeGraph, train_kg: Optional[KnowledgeGraph] = None
+) -> Dict[str, Dict[str, Dict[Formula, List[Query]]]]:
+    """Reference ``load_test_queries_by_formula`` semantics (SURVEY.md
+    §2.1): load eval queries and split them into the ``full_neg`` bucket
+    (every query edge present in the training graph) and the
+    ``one_new_edge`` generalization bucket (at least one unseen edge).
+
+    ``train_kg`` defaults to ``kg`` (then everything lands in full_neg —
+    pass the training-split KG for a real generalization split).
+    """
+    with open(path, "rb") as f:
+        tuples = pickle.load(f)
+    queries = [tuple_to_query_with_schema(t, kg) for t in tuples]
+    seen, new = split_one_new_edge(queries, train_kg or kg)
+    return {
+        "full_neg": group_queries_by_formula(seen),
+        "one_new_edge": group_queries_by_formula(new),
+    }

@@ -90,3 +90,23 @@ def test_split_one_new_edge(kg):
     if q.target not in kg.neighbors(bad_rel, q.anchors[0]).tolist():
         seen2, new2 = loader_mod.split_one_new_edge([q2], kg)
         assert len(new2) == 1
+
+
+def test_load_test_queries_split(tmp_path, kg):
+    import dataclasses as dc
+    sampler = QuerySampler(kg, seed=5)
+    qs = sampler.sample_queries("2-chain", 12, n_neg=4)
+    # corrupt some queries' first relation to force unseen edges
+    bad = []
+    for q in qs[:4]:
+        r2 = (q.formula.rels[0] + 2) % kg.n_rels
+        if q.target and q.anchors[0] is not None:
+            f2 = dc.replace(q.formula, rels=(r2, q.formula.rels[1]))
+            bad.append(dc.replace(q, formula=f2))
+    path = str(tmp_path / "tq.pkl")
+    loader_mod.save_queries_pickle(path, qs[4:] + bad)
+    out = loader_mod.load_test_queries_pickle(path, kg, kg)
+    n_full = sum(len(v) for bf in out["full_neg"].values() for v in bf.values())
+    n_new = sum(len(v) for bf in out["one_new_edge"].values() for v in bf.values())
+    assert n_full + n_new == len(qs[4:] + bad)
+    assert n_full >= 8  # genuine queries have all edges present
