@@ -64,14 +64,6 @@ def _timed_loop(loop_fn, *args):
 
 def bench_jax():
     import jax
-
-    # persistent compilation cache: repeated bench runs (and the driver's)
-    # skip the multi-minute remote compiles
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/mpqe_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
     import jax.numpy as jnp
     import optax
     from mpqe_tpu.models import mpqe as mpqe_mod
