@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
-from mpqe_tpu.graph import KnowledgeGraph, invert_rel_id, make_knowledge_graph
+from mpqe_tpu.graph import KnowledgeGraph, make_knowledge_graph
 from mpqe_tpu.queries import (
     INTERSECTION_STRUCTURES,
     STRUCTURES,

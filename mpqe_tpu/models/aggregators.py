@@ -13,8 +13,7 @@ id), so the device-side encoder is a static gather + masked mean/max/pool
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ and the TGT readout's depth coupling (steps = diameter(structure)) is a
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

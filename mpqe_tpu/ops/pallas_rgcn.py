@@ -28,7 +28,7 @@ matters, autodiff correctness for free.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

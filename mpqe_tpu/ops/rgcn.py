@@ -30,7 +30,7 @@ A fused Pallas kernel for path 2 lives in ``ops/pallas_rgcn.py``.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,8 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.parallel import sharding as sharding_lib

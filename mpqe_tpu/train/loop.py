@@ -18,21 +18,16 @@ from __future__ import annotations
 import collections
 import dataclasses
 import time
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mpqe_tpu.data.batcher import DenseQueryBatch, make_dense_batch
+from mpqe_tpu.data.batcher import DenseQueryBatch
 from mpqe_tpu.models import mpqe as mpqe_mod
-from mpqe_tpu.queries import (
-    CHAIN_STRUCTURES,
-    INTERSECTION_STRUCTURES,
-    Formula,
-    Query,
-)
+from mpqe_tpu.queries import INTERSECTION_STRUCTURES, Formula, Query
 from mpqe_tpu.train import evaluation
 
 

@@ -13,7 +13,7 @@ bench.py to compute vs_baseline ratios.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

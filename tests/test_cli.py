@@ -3,9 +3,6 @@
 import json
 import os
 
-import pytest
-
-
 def test_train_then_evaluate(tmp_path):
     import train as train_mod
     import evaluate as eval_mod

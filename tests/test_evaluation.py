@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import pytest
 
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
 from mpqe_tpu.models import mpqe as mpqe_mod

@@ -8,7 +8,6 @@ import pytest
 from mpqe_tpu.data.batcher import make_dense_batch
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
 from mpqe_tpu.models import gqe as gqe_mod
-from mpqe_tpu.queries import STRUCTURES
 
 
 @pytest.fixture(scope="module")

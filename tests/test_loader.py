@@ -1,7 +1,6 @@
 """Loaders: npz round-trip, query tuple round-trip, GQE pickle graph parse,
 one-new-edge split."""
 
-import os
 import pickle
 
 import numpy as np
@@ -9,7 +8,6 @@ import pytest
 
 from mpqe_tpu.data import loader as loader_mod
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
-from mpqe_tpu.graph import make_knowledge_graph
 
 
 @pytest.fixture(scope="module")

@@ -9,7 +9,6 @@ from mpqe_tpu.data.batcher import dense_to_sparse, make_dense_batch
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.models import embeddings as emb_mod
-from mpqe_tpu.queries import STRUCTURES
 from mpqe_tpu.utils import oracle
 
 

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from mpqe_tpu.data import native
-from mpqe_tpu.data.batcher import make_dense_batch
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
 from mpqe_tpu.data.store import build_formula_store, pack_dense_batch_np
 from mpqe_tpu.ops.edge_store import build_edge_store, coo_roundtrip_check

@@ -7,12 +7,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mpqe_tpu.data.batcher import dense_to_sparse, make_dense_batch
+from mpqe_tpu.data.batcher import make_dense_batch
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.ops import rgcn as rgcn_ops
 from mpqe_tpu.ops.edge_store import build_edge_store
-from mpqe_tpu.parallel import halo, mesh as mesh_lib, sharding as sharding_lib, spmd
+from mpqe_tpu.parallel import halo, mesh as mesh_lib, spmd
 from mpqe_tpu.train import loop as loop_mod
 
 D = 16

@@ -1,6 +1,5 @@
 """Async batch pipeline: shapes, determinism of the draw sequence, stop."""
 
-import numpy as np
 import pytest
 
 from mpqe_tpu.data.pipeline import BatchPipeline

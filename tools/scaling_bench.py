@@ -73,7 +73,7 @@ def bench_mesh(n_dev, n_nodes, n_e, n_rels, d, num_bases, layer="allgather"):
         _, acc = jax.lax.fori_loop(0, n, body, (x0, 0.0))
         return acc
 
-    dt = profiling.loop_time(loop_fn := (lambda n: loop(x_pad, n)))
+    dt = profiling.loop_time(lambda n: loop(x_pad, n))
     return {"devices": n_dev, "seconds_per_layer": dt, "edges_per_s": n_e / dt}
 
 
