@@ -96,6 +96,63 @@ def make_train_step(
     return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
 
 
+def make_multistep_train_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    batch_loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """K train steps per dispatch: batch arrays gain a leading [K] axis and
+    a ``lax.scan`` consumes them on-device.  Amortizes host->device dispatch
+    latency K-fold (essential on remote-relay backends, useful everywhere);
+    returns per-step losses ``[K]``."""
+    if batch_loss_fn is None:
+        batch_loss_fn = mpqe_mod.dense_batch_loss
+
+    def step_fn(
+        params, opt_state, structure: str,
+        node_entity, node_mode, edge_rel, edge_norm,
+        target, negatives, neg_mask, query_mask,
+    ):
+        def body(carry, xs):
+            p, o = carry
+            ne, nm, er, en, tg, ng, nmsk, qmsk = xs
+
+            def loss_fn(pp):
+                return batch_loss_fn(
+                    pp, cfg, structure, ne, nm, er, en, tg, ng, nmsk, qmsk
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (node_entity, node_mode, edge_rel, edge_norm,
+             target, negatives, neg_mask, query_mask),
+        )
+        return params, opt_state, losses
+
+    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+
+
+def run_multistep(
+    train_step: Callable, state: TrainState, batches
+) -> List[float]:
+    """Stack K same-structure batches and run one scanned dispatch."""
+    structure = batches[0].structure
+    stack = lambda f: jnp.asarray(np.stack([getattr(b, f) for b in batches]))
+    state.params, state.opt_state, losses = train_step(
+        state.params, state.opt_state, structure,
+        stack("node_entity"), stack("node_mode"),
+        stack("edge_rel"), stack("edge_norm"),
+        stack("target"), stack("negatives"),
+        stack("neg_mask"), stack("query_mask"),
+    )
+    state.step += len(batches)
+    return [float(l) for l in np.asarray(losses)]
+
+
 def run_step(
     train_step: Callable,
     state: TrainState,
@@ -183,6 +240,7 @@ def run_train(
     kg=None,
     warmup: bool = False,
     prefetch: int = 0,
+    steps_per_call: int = 1,
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience.
 
@@ -193,8 +251,12 @@ def run_train(
     """
     rng = np.random.default_rng(tc.seed)
     optimizer = make_optimizer(tc)
+    multi_step = None
     if train_step is None:
         train_step = make_train_step(cfg, optimizer, batch_loss_fn)
+        if steps_per_call > 1:
+            multi_step = make_multistep_train_step(
+                cfg, optimizer, batch_loss_fn)
 
     # Flatten query lists into array-native FormulaStores once; per-step
     # batch packing then runs through the C++ host runtime when available
@@ -229,7 +291,8 @@ def run_train(
     if prefetch > 0:
         pipeline = make_pipeline(phase)
 
-    for _ in range(tc.max_steps):
+    target_step = state.step + tc.max_steps
+    while state.step < target_step:
         if pipeline is not None:
             batch = next(pipeline)
             structure = batch.structure
@@ -257,14 +320,39 @@ def run_train(
                     fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
                 )
         t0 = time.perf_counter()
-        loss = run_step(train_step, state, batch)
-        dt = time.perf_counter() - t0
-        losses.append(loss)
-        if log_fn:
-            log_fn({
-                "step": state.step, "loss": loss, "structure": structure,
-                "phase": phase, "seconds": dt,
-            })
+        if multi_step is not None and pipeline is None:
+            # pack K-1 more same-formula batches and scan them on-device
+            extra = []
+            for _ in range(steps_per_call - 1):
+                pk = rng.integers(
+                    0, fstore.n_queries,
+                    size=min(tc.batch_size, fstore.n_queries),
+                ).astype(np.int64)
+                sd = int(rng.integers(2**62))
+                pack = (native_mod.pack_dense_batch_native if use_native
+                        else pack_dense_batch_np)
+                extra.append(pack(fstore, pk, tc.batch_size, tc.n_neg, sd,
+                                  use_hard))
+            k_losses = run_multistep(multi_step, state, [batch] + extra)
+            dt = time.perf_counter() - t0
+            losses.extend(k_losses)
+            loss = k_losses[-1]
+            if log_fn:
+                log_fn({
+                    "step": state.step, "loss": loss,
+                    "loss_mean_k": float(np.mean(k_losses)),
+                    "structure": structure, "phase": phase, "seconds": dt,
+                    "k": len(k_losses),
+                })
+        else:
+            loss = run_step(train_step, state, batch)
+            dt = time.perf_counter() - t0
+            losses.append(loss)
+            if log_fn:
+                log_fn({
+                    "step": state.step, "loss": loss, "structure": structure,
+                    "phase": phase, "seconds": dt,
+                })
 
         if phase == "burn_in" and check_conv(losses, tc.conv_tol):
             phase = "full"

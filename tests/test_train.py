@@ -137,3 +137,20 @@ def test_training_is_deterministic(setting):
     p2 = jax.tree_util.tree_leaves(run().params)
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multistep_scan_matches_per_step_semantics(setting):
+    """steps_per_call > 1 trains correctly (loss decreases, step count
+    advances by K per dispatch)."""
+    kg, cfg, train_q, _ = setting
+    tc = loop_mod.TrainConfig(max_steps=120, batch_size=64, n_neg=4,
+                              val_every=10_000, conv_tol=-1.0, seed=3)
+    state = loop_mod.init_train_state(jax.random.PRNGKey(7), cfg, tc)
+    records = []
+    state = loop_mod.run_train(state, cfg, tc, train_q,
+                               steps_per_call=4, log_fn=records.append)
+    assert state.step == 120
+    ks = [r["k"] for r in records if "k" in r]
+    assert ks and all(k == 4 for k in ks)
+    losses = [r["loss_mean_k"] for r in records if "loss_mean_k" in r]
+    assert losses[-1] < 0.6 * losses[0]

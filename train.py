@@ -61,6 +61,8 @@ def parse_args(argv=None):
     p.add_argument("--val_every", type=int, default=1000)
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help=">1: scan K train steps per device dispatch")
     p.add_argument("--prefetch", type=int, default=0,
                    help=">0: background batch pipeline depth")
     p.add_argument("--warmup", action="store_true",
@@ -189,6 +191,7 @@ def main(argv=None):
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
         batch_loss_fn=batch_loss_fn, eval_encode_fn=eval_encode_fn,
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
+        steps_per_call=args.steps_per_call,
     )
     res = evaluation.evaluate(state.params, cfg, val_q, encode_fn=eval_encode_fn)
     metrics.log({"step": state.step, "final": res.flat()})
