@@ -193,6 +193,11 @@ def main(argv=None):
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
     )
+    # always save a final checkpoint (best-val checkpoints only exist when
+    # validation ran during training)
+    final_path = ckpt_mod.save_checkpoint(ckpt_dir, state)
+    metrics.log({"step": state.step, "event": "final_checkpoint",
+                 "path": final_path})
     res = evaluation.evaluate(state.params, cfg, val_q, encode_fn=eval_encode_fn)
     metrics.log({"step": state.step, "final": res.flat()})
     print(f"final step={state.step} macro_auc={res.macro_auc:.4f} "
