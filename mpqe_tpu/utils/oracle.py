@@ -118,3 +118,23 @@ def mpqe_forward_np(
     if readout == "max":
         return segment_max_np(x, node_query, n_queries)
     raise NotImplementedError(readout)
+
+
+MAX_TEMPLATE_NODES = 4
+
+
+def readout_concat_np(params, x_bnd: np.ndarray) -> np.ndarray:
+    """CONCAT readout oracle: pad slots to 4, flatten, linear."""
+    b, n, d = x_bnd.shape
+    pad = np.zeros((b, MAX_TEMPLATE_NODES - n, d), x_bnd.dtype)
+    flat = np.concatenate([x_bnd, pad], axis=1).reshape(b, MAX_TEMPLATE_NODES * d)
+    return flat @ np.asarray(params["w_cat"]) + np.asarray(params["b_cat"])
+
+
+def readout_mlp_np(params, x_bnd: np.ndarray) -> np.ndarray:
+    """Deep-sets MLP readout oracle: per-node MLP, sum, outer linear."""
+    h = np.maximum(
+        np.einsum("bnd,do->bno", x_bnd, np.asarray(params["w_pre"]))
+        + np.asarray(params["b_pre"]), 0.0)
+    pooled = h.sum(axis=1)
+    return pooled @ np.asarray(params["w_post"]) + np.asarray(params["b_post"])

@@ -169,3 +169,31 @@ def test_score_all_entities_shape(kg):
     s = mpqe_mod.score_all_entities(params, cfg, q)
     assert s.shape == (5, kg.n_entities)
     assert np.all(np.abs(np.asarray(s)) <= 1.0 + 1e-5)
+
+
+@pytest.mark.parametrize("readout", ["concat", "mlp"])
+def test_concat_mlp_match_numpy_oracle(kg, readout):
+    """Exact parity for the concat/mlp readouts (not just shapes)."""
+    from mpqe_tpu.models import readout as readout_mod
+    cfg = _cfg(kg, readout=readout, n_layers=1)
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(8), cfg)
+    b = _batch(kg, "3-inter_chain")
+    q = np.asarray(mpqe_mod.encode_dense(
+        params, cfg, "3-inter_chain",
+        jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm)))
+    # oracle: embed + 1 rgcn layer (flattened) + numpy readout
+    sb = dense_to_sparse(b, n_rels=cfg.n_rels)
+    x0 = np.asarray(emb_mod.embed_nodes_sparse(
+        params["emb"], jnp.asarray(sb.node_entity),
+        jnp.asarray(sb.node_mode), jnp.asarray(sb.node_is_var)))
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    x1 = oracle.rgcn_layer_np(
+        x0, np_params["layers"][0], sb.edges.src, sb.edges.dst,
+        sb.edges.rel, sb.edges.norm, cfg.n_rels)
+    x_bnd = x1.reshape(b.batch_size, 4, cfg.embed_dim)
+    if readout == "concat":
+        want = oracle.readout_concat_np(np_params["readout"], x_bnd)
+    else:
+        want = oracle.readout_mlp_np(np_params["readout"], x_bnd)
+    np.testing.assert_allclose(q, want, rtol=3e-4, atol=3e-4)
