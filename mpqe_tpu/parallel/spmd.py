@@ -92,3 +92,34 @@ def spmd_train_step(jit_step, params, opt_state, mesh: Mesh, batch):
         arrays["target"], arrays["negatives"],
         arrays["neg_mask"], arrays["query_mask"],
     )
+
+
+def make_spmd_multistep_train_step(
+    cfg: mpqe_mod.MPQEConfig,
+    tc: loop_mod.TrainConfig,
+    mesh: Mesh,
+    shard_entity_table: bool = True,
+    shard_relations: bool = False,
+):
+    """Sharded + scanned: K train steps per dispatch over the mesh (the
+    production configuration — GSPMD shards each scanned step's batch over
+    `data` and the tables over `model`; lax.scan amortizes dispatch).
+
+    Returns (init_fn, jit_step) where jit_step takes batch arrays with a
+    leading [K] axis (see train.loop.run_multistep for the stacking
+    convention) and returns (params, opt_state, losses[K]).
+    """
+    optimizer = loop_mod.make_optimizer(tc)
+
+    def init_fn(key):
+        params = mpqe_mod.init_mpqe(key, cfg)
+        p_sh = sharding_lib.param_shardings(
+            params, mesh,
+            shard_entity_table=shard_entity_table,
+            shard_relations=shard_relations,
+        )
+        params = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+        return params, optimizer.init(params)
+
+    step_fn = loop_mod.make_multistep_train_step(cfg, optimizer)
+    return init_fn, step_fn

@@ -248,3 +248,21 @@ def test_ring_halo_matches_single_device(mesh8, rng, num_bases):
         )
     )[: st.n_nodes]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spmd_multistep_scan(mesh8):
+    """Sharded K-step scanned training step runs and reduces loss."""
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.02, batch_size=16, n_neg=8)
+    init_fn, jit_step = spmd.make_spmd_multistep_train_step(cfg, tc, mesh8)
+    params, opt_state = init_fn(jax.random.PRNGKey(2))
+    K = 8
+    import mpqe_tpu.train.loop as loop_mod2
+    state = loop_mod2.TrainState(params=params, opt_state=opt_state)
+    first = None
+    for _ in range(5):
+        losses = loop_mod2.run_multistep(jit_step, state, [batch] * K)
+        if first is None:
+            first = losses[0]
+    assert state.step == 5 * K
+    assert losses[-1] < 0.6 * first, (first, losses[-1])
