@@ -76,6 +76,19 @@ def main():
         )(jnp.asarray(x), p))
     ok &= check("rgcn_sparse_fused", got, want)
 
+    # SDDMM
+    from mpqe_tpu.ops import pallas_sddmm as sd
+    y = rng.normal(size=(n_nodes, d)).astype(np.float32)
+    e_src = rng.integers(0, n_nodes, 2048).astype(np.int32)
+    e_dst = rng.integers(0, n_nodes, 2048).astype(np.int32)
+    stage("compiling sddmm_pallas...")
+    got = np.asarray(jax.jit(
+        lambda a, b: sd.sddmm_pallas(a, b, jnp.asarray(e_src), jnp.asarray(e_dst))
+    )(jnp.asarray(x), jnp.asarray(y)))
+    want = np.einsum("ed,ed->e", x.astype(np.float64)[e_src],
+                     y.astype(np.float64)[e_dst])
+    ok &= check("sddmm_pallas", got, want)
+
     sys.exit(0 if ok else 1)
 
 
