@@ -37,13 +37,26 @@ def main(argv=None):
         run_cfg = json.load(f)
     with open(os.path.join(args.run_dir, "model_config.json")) as f:
         mc = json.load(f)
-    if "readout" not in mc:
-        raise SystemExit("GQE checkpoints: use train.py's final eval for now")
-    cfg = mpqe_mod.MPQEConfig(
-        n_entities=mc["n_entities"], n_modes=mc["n_modes"], n_rels=mc["n_rels"],
-        embed_dim=mc["embed_dim"], n_layers=mc["n_layers"],
-        num_bases=mc["num_bases"], readout=mc["readout"], margin=mc["margin"],
-    )
+    init_fn = None
+    eval_encode_fn = None
+    if "readout" in mc:  # MPQE
+        cfg = mpqe_mod.MPQEConfig(
+            n_entities=mc["n_entities"], n_modes=mc["n_modes"],
+            n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
+            n_layers=mc["n_layers"], num_bases=mc["num_bases"],
+            readout=mc["readout"], margin=mc["margin"],
+        )
+    else:  # GQE baseline
+        from mpqe_tpu.models import gqe as gqe_mod
+
+        cfg = gqe_mod.GQEConfig(
+            n_entities=mc["n_entities"], n_modes=mc["n_modes"],
+            n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
+            decoder=mc["decoder"], intersection=mc["intersection"],
+            soft_and=mc["soft_and"], margin=mc["margin"],
+        )
+        init_fn = gqe_mod.init_gqe
+        eval_encode_fn = jax.jit(gqe_mod.encode_dense, static_argnums=(1, 2))
 
     # rebuild the data exactly as the run saw it
     targs = train_parse_args(
@@ -56,14 +69,16 @@ def main(argv=None):
     kg, _, val_q = load_data(targs)
 
     tc = loop_mod.TrainConfig()
-    template = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    template = loop_mod.init_train_state(
+        jax.random.PRNGKey(0), cfg, tc, init_fn=init_fn)
     ckpt = args.ckpt or ckpt_mod.latest_checkpoint(
         os.path.join(args.run_dir, "ckpt"))
     if ckpt is None:
         raise SystemExit("no checkpoint found")
     state = ckpt_mod.restore_checkpoint(ckpt, template)
 
-    res = evaluation.evaluate(state.params, cfg, val_q, n_neg=args.n_neg)
+    res = evaluation.evaluate(state.params, cfg, val_q, n_neg=args.n_neg,
+                              encode_fn=eval_encode_fn)
     print(json.dumps({"checkpoint": ckpt, "step": state.step,
                       **res.flat()}))
 
@@ -75,7 +90,7 @@ def main(argv=None):
                 continue
             r = evaluation.evaluate(
                 state.params, cfg, group_queries_by_formula(bucket),
-                n_neg=args.n_neg)
+                n_neg=args.n_neg, encode_fn=eval_encode_fn)
             print(json.dumps({"bucket": name, "n": len(bucket), **r.flat()}))
 
 
