@@ -43,6 +43,10 @@ def test_train_gqe_cli(tmp_path):
     mc = json.load(open(os.path.join(run_dir, "model_config.json")))
     assert mc["decoder"] == "distmult"
 
+    # GQE checkpoint restores through the eval CLI
+    import evaluate as eval_mod
+    eval_mod.main(["--run_dir", run_dir, "--n_neg", "8"])
+
 
 def test_train_from_gqe_pickle_dir(tmp_path):
     """Full reference-format path: synthetic KG -> graph_data.pkl + query
