@@ -18,7 +18,6 @@ scalar-prefetched coefficients, like pallas_rgcn).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

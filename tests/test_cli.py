@@ -51,7 +51,6 @@ def test_train_gqe_cli(tmp_path):
 def test_train_from_gqe_pickle_dir(tmp_path):
     """Full reference-format path: synthetic KG -> graph_data.pkl + query
     pickles -> train.py --data pkl:<dir>."""
-    import numpy as np
     import train as train_mod
     from mpqe_tpu.data import loader as loader_mod
     from mpqe_tpu.data.sampler import QuerySampler, make_random_kg

@@ -174,7 +174,6 @@ def test_score_all_entities_shape(kg):
 @pytest.mark.parametrize("readout", ["concat", "mlp"])
 def test_concat_mlp_match_numpy_oracle(kg, readout):
     """Exact parity for the concat/mlp readouts (not just shapes)."""
-    from mpqe_tpu.models import readout as readout_mod
     cfg = _cfg(kg, readout=readout, n_layers=1)
     params = mpqe_mod.init_mpqe(jax.random.PRNGKey(8), cfg)
     b = _batch(kg, "3-inter_chain")
