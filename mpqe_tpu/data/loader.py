@@ -207,9 +207,27 @@ def tuple_to_query_with_schema(t: Tuple, kg: KnowledgeGraph) -> Query:
     )
 
 
-def save_queries_pickle(path: str, queries: Sequence[Query]) -> None:
+def save_queries_pickle(
+    path: str,
+    queries: Sequence[Query],
+    rel_id_map: Optional[np.ndarray] = None,
+) -> None:
+    """Pickle queries in the GQE tuple format.
+
+    ``rel_id_map`` (from :func:`save_graph_pickle` /
+    :func:`graph_pickle_rel_id_map`) remaps directed relation ids into the
+    vocabulary ``load_graph_pickle`` will assign on reload — pass it
+    whenever the queries are exported alongside a ``graph_data.pkl`` so
+    the pair stays consistent across the round trip.
+    """
+    tuples = []
+    for q in queries:
+        t = query_to_tuple(q)
+        if rel_id_map is not None:
+            t = (t[0], tuple(int(rel_id_map[r]) for r in t[1])) + t[2:]
+        tuples.append(t)
     with open(path, "wb") as f:
-        pickle.dump([query_to_tuple(q) for q in queries], f)
+        pickle.dump(tuples, f)
 
 
 def load_queries_pickle(
@@ -252,10 +270,7 @@ def split_one_new_edge(
     return seen, new
 
 
-def save_graph_pickle(path: str, kg: KnowledgeGraph) -> None:
-    """Write a KnowledgeGraph as a GQE-format ``graph_data.pkl``
-    (inverse of load_graph_pickle; useful for round-trip tests and for
-    exporting synthetic KGs to reference-compatible form)."""
+def _graph_pickle_names(kg: KnowledgeGraph) -> Tuple[List[str], List[str]]:
     mode_name = (
         list(kg.mode_names)
         if kg.mode_names
@@ -266,25 +281,95 @@ def save_graph_pickle(path: str, kg: KnowledgeGraph) -> None:
         if kg.rel_names
         else [f"rel{r}" for r in range(kg.n_base_rels)]
     )
+    return mode_name, rel_name
+
+
+def graph_pickle_rel_id_map(kg: KnowledgeGraph) -> np.ndarray:
+    """Directed-rel-id remapping induced by a save/load round trip.
+
+    ``load_graph_pickle`` assigns base ids by lexicographic key order and
+    treats whichever of ``(from, name, to)`` / ``(to, name, from)`` sorts
+    first as the forward direction — both can differ from this KG's own
+    vocabulary.  Returns ``map [2 * n_base_rels]`` with
+    ``map[old_directed_id] == new_directed_id`` such that queries remapped
+    through it bind the same edges after
+    ``load_graph_pickle(save_graph_pickle(kg))``.
+    """
+    mode_name, rel_name = _graph_pickle_names(kg)
+    fwd_key_to_base: Dict[Tuple, int] = {}
+    keys = []
+    for r in range(kg.n_base_rels):
+        d, rg = mode_name[kg.rel_domain[r]], mode_name[kg.rel_range[r]]
+        fwd_key_to_base[(d, rel_name[r], rg)] = r
+        keys.append((d, rel_name[r], rg))
+        keys.append((rg, rel_name[r], d))
+    # replicate the loader's walk: sorted keys, first-seen pair wins
+    seen = set()
+    id_map = np.zeros(2 * kg.n_base_rels, dtype=np.int32)
+    new_base = 0
+    for key in sorted(set(keys), key=str):
+        from_mode, name, to_mode = key
+        rev = (to_mode, name, from_mode)
+        if key in seen:
+            continue
+        seen.add(key)
+        seen.add(rev)
+        if key in fwd_key_to_base:
+            # loader treats `key` as forward; original forward matches
+            r = fwd_key_to_base[key]
+            id_map[2 * r] = 2 * new_base
+            id_map[2 * r + 1] = 2 * new_base + 1
+        else:
+            # loader's forward is this KG's inverse direction
+            r = fwd_key_to_base[rev]
+            id_map[2 * r] = 2 * new_base + 1
+            id_map[2 * r + 1] = 2 * new_base
+        new_base += 1
+    return id_map
+
+
+def save_graph_pickle(path: str, kg: KnowledgeGraph) -> np.ndarray:
+    """Write a KnowledgeGraph as a GQE-format ``graph_data.pkl``
+    (inverse of load_graph_pickle; useful for round-trip tests and for
+    exporting synthetic KGs to reference-compatible form).
+
+    Returns the directed-rel-id map (:func:`graph_pickle_rel_id_map`)
+    that makes query pickles consistent with the reloaded graph — pass it
+    to :func:`save_queries_pickle` when exporting a graph+queries pair.
+    """
+    mode_name, rel_name = _graph_pickle_names(kg)
     relations: Dict = {m: [] for m in mode_name}
     adj_lists: Dict = {}
     for r in range(kg.n_base_rels):
         d, rg = mode_name[kg.rel_domain[r]], mode_name[kg.rel_range[r]]
+        key, rev = (d, rel_name[r], rg), (rg, rel_name[r], d)
+        if key in adj_lists or rev in adj_lists:
+            raise ValueError(
+                f"relation key {key} is not unique across the vocabulary; "
+                "the GQE pickle format cannot represent it — rename the "
+                "relation before exporting"
+            )
         relations[d].append((rg, rel_name[r]))
-        if rg != d or True:
+        if rg != d:
             relations[rg].append((d, rel_name[r]))
-        adj_lists[(d, rel_name[r], rg)] = {}
-        adj_lists[(rg, rel_name[r], d)] = {}
+        adj_lists[key] = {}
+        if rev != key:
+            adj_lists[rev] = {}
     for h, r, t in zip(kg.heads, kg.rels, kg.tails):
         d, rg = mode_name[kg.rel_domain[r]], mode_name[kg.rel_range[r]]
         adj_lists[(d, rel_name[r], rg)].setdefault(int(h), set()).add(int(t))
-        adj_lists[(rg, rel_name[r], d)].setdefault(int(t), set()).add(int(h))
+        if rg != d:
+            # same-mode relations have a single collided key; the loader
+            # reconstructs inverse adjacency itself, so writing reverse
+            # pairs there would corrupt the forward edge set
+            adj_lists[(rg, rel_name[r], d)].setdefault(int(t), set()).add(int(h))
     node_maps = {
         m: [int(e) for e in np.where(kg.entity_mode == mi)[0]]
         for mi, m in enumerate(mode_name)
     }
     with open(path, "wb") as f:
         pickle.dump((relations, adj_lists, node_maps), f)
+    return graph_pickle_rel_id_map(kg)
 
 
 def load_test_queries_pickle(

@@ -25,7 +25,11 @@ from mpqe_tpu.train.loop import TrainState
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
-    """Save TrainState; returns the checkpoint path."""
+    """Save TrainState; returns the checkpoint path.
+
+    Overwrites an existing checkpoint at the same step (e.g. a best-val
+    save at the final step followed by the unconditional final save).
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{state.step}"))
     payload = {
         "params": state.params,
@@ -33,6 +37,10 @@ def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
         "step": np.asarray(state.step),
     }
     if _HAS_ORBAX:
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, payload)
         ckptr.wait_until_finished()

@@ -22,6 +22,7 @@ batched gather + cosine (MXU) per batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +32,18 @@ import numpy as np
 from mpqe_tpu.data.batcher import bucket_size, make_dense_batch
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.queries import INTERSECTION_STRUCTURES, Formula, Query
+
+
+@functools.lru_cache(maxsize=None)
+def _default_encode_fn():
+    """Module-cached jitted MPQE dense encoder.
+
+    evaluate()/full_ranking() are called every validation round; a fresh
+    ``jax.jit`` wrapper per call would recompile every (structure, bucket)
+    executable each round — minutes per compile on remote-relay TPU
+    backends — so the default encoder is built exactly once per process.
+    """
+    return jax.jit(mpqe_mod.encode_dense, static_argnums=(1, 2))
 
 
 def roc_auc(pos: np.ndarray, neg: np.ndarray) -> float:
@@ -132,7 +145,7 @@ def evaluate(
     """AUC + APR per structure (macro over formulas), hard-AUC for
     intersections — the reference's eval protocol (SURVEY.md §3.4)."""
     if encode_fn is None:
-        encode_fn = jax.jit(mpqe_mod.encode_dense, static_argnums=(1, 2))
+        encode_fn = _default_encode_fn()
     auc_s: Dict[str, float] = {}
     apr_s: Dict[str, float] = {}
     hard_s: Dict[str, float] = {}
@@ -199,7 +212,7 @@ def full_ranking(
     like raw KG-completion ranking.
     """
     if encode_fn is None:
-        encode_fn = jax.jit(mpqe_mod.encode_dense, static_argnums=(1, 2))
+        encode_fn = _default_encode_fn()
     entity_mode = np.asarray(entity_mode)
     out: Dict[str, Dict[str, float]] = {}
     for structure, by_formula in queries_by_structure.items():

@@ -195,10 +195,9 @@ def warmup_train_step(
     from mpqe_tpu.queries import STRUCTURES as _S
 
     optimizer = make_optimizer(tc)
-    try:
-        params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
-    except Exception:
+    if not isinstance(cfg, mpqe_mod.MPQEConfig):
         return  # non-MPQE configs: caller compiles via its first step
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
     B, K = tc.batch_size, tc.n_neg
     for structure in structures:
@@ -275,6 +274,11 @@ def run_train(
     best_val = -np.inf
     bad_evals = 0
     phase = "burn_in" if burn_in else "full"
+    # validation fires on *crossing* a val_every boundary, not on exact
+    # multiples — with steps_per_call=K the step counter strides by K, and
+    # `step % val_every == 0` would silently validate only at
+    # lcm(K, val_every) intervals.
+    last_val_bucket = state.step // tc.val_every
 
     pipeline = None
 
@@ -363,7 +367,8 @@ def run_train(
             if log_fn:
                 log_fn({"step": state.step, "event": "burn_in_done"})
 
-        if val_queries and state.step % tc.val_every == 0:
+        if val_queries and state.step // tc.val_every > last_val_bucket:
+            last_val_bucket = state.step // tc.val_every
             res = evaluation.evaluate(state.params, cfg, val_queries, encode_fn=eval_encode_fn)
             metric = res.macro_auc
             if log_fn:

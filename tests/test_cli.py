@@ -59,21 +59,20 @@ def test_train_from_gqe_pickle_dir(tmp_path):
                         n_triples=400, seed=81)
     d = tmp_path / "dataset"
     d.mkdir()
-    loader_mod.save_graph_pickle(str(d / "graph_data.pkl"), kg)
-    # reload through the GQE parser: relation ids may be remapped, so
-    # sample queries against the RELOADED kg (as the reference would)
-    kg2, _, _ = loader_mod.load_graph_pickle(str(d / "graph_data.pkl"))
-    sampler = QuerySampler(kg2, seed=4)
+    # save_graph_pickle returns the directed-rel-id map that keeps query
+    # pickles consistent with the reloaded graph's relation vocabulary
+    rel_map = loader_mod.save_graph_pickle(str(d / "graph_data.pkl"), kg)
+    sampler = QuerySampler(kg, seed=4)
     loader_mod.save_queries_pickle(
         str(d / "train_queries_2.pkl"),
-        sampler.sample_queries("2-inter", 60, n_neg=8))
+        sampler.sample_queries("2-inter", 60, n_neg=8), rel_id_map=rel_map)
     loader_mod.save_queries_pickle(
         str(d / "val_queries_2.pkl"),
-        sampler.sample_queries("2-inter", 20, n_neg=8))
+        sampler.sample_queries("2-inter", 20, n_neg=8), rel_id_map=rel_map)
     # 1-chain as arity-3 file slot (loader scans both)
     loader_mod.save_queries_pickle(
         str(d / "train_queries_3.pkl"),
-        sampler.sample_queries("1-chain", 60, n_neg=8))
+        sampler.sample_queries("1-chain", 60, n_neg=8), rel_id_map=rel_map)
 
     run_dir = str(tmp_path / "run")
     state = train_mod.main([

@@ -73,6 +73,53 @@ def test_gqe_graph_pickle_parse(tmp_path):
     assert set(some) == {2, 3} or set(kg.neighbors(r_id, 0).tolist()) == {2, 3}
 
 
+def test_graph_and_queries_pickle_roundtrip_rel_ids(tmp_path):
+    """Graph+queries export must stay consistent across a save/load round
+    trip even when lexicographic relation-name order permutes base ids
+    ('rel10' sorts before 'rel2') and flips forward/inverse direction
+    (range-mode name sorting before domain-mode name) — the ADVICE.md
+    round-trip bug: 20/24 directed ids changed edge sets before the fix."""
+    kg = make_random_kg(n_entities=120, n_modes=3, n_base_rels=12,
+                        n_triples=900, seed=7)
+    d = tmp_path
+    rel_map = loader_mod.save_graph_pickle(str(d / "graph_data.pkl"), kg)
+    assert rel_map.shape == (2 * kg.n_base_rels,)
+    # the map is a permutation of the directed vocabulary
+    assert sorted(rel_map.tolist()) == list(range(2 * kg.n_base_rels))
+
+    sampler = QuerySampler(kg, seed=3)
+    qs = (sampler.sample_queries("2-chain", 25, n_neg=4)
+          + sampler.sample_queries("2-inter", 25, n_neg=4))
+    loader_mod.save_queries_pickle(str(d / "q.pkl"), qs, rel_id_map=rel_map)
+
+    kg2, _, _ = loader_mod.load_graph_pickle(str(d / "graph_data.pkl"))
+    grouped = loader_mod.load_queries_pickle(str(d / "q.pkl"), kg2)
+    back = [q for by_f in grouped.values() for v in by_f.values() for q in v]
+    assert len(back) == len(qs)
+    # every reloaded query must bind real KG edges: each bound template
+    # edge (anchor/target endpoints) exists in the reloaded graph
+    for q in back:
+        spec = q.formula.spec
+        ent = {s: q.anchors[i] for i, s in enumerate(spec.anchor_slots)}
+        ent[spec.target_slot] = q.target
+        for j in range(spec.n_edges):
+            s_slot, d_slot = spec.edge_src[j], spec.edge_dst[j]
+            if s_slot in ent and d_slot in ent:
+                nbrs = kg2.neighbors(q.formula.rels[j], ent[s_slot]).tolist()
+                assert ent[d_slot] in nbrs, (
+                    "query edge lost after round trip: directed rel ids "
+                    "inconsistent between graph and query pickles"
+                )
+    # and every directed relation's edge set is preserved under the map
+    for r_old in range(2 * kg.n_base_rels):
+        r_new = int(rel_map[r_old])
+        for h in range(0, kg.n_entities, 7):
+            np.testing.assert_array_equal(
+                np.sort(kg.neighbors(r_old, h)),
+                np.sort(kg2.neighbors(r_new, h)),
+            )
+
+
 def test_split_one_new_edge(kg):
     sampler = QuerySampler(kg, seed=2)
     qs = sampler.sample_queries("1-chain", 20, n_neg=2)

@@ -95,6 +95,28 @@ def test_curriculum_burn_in_transitions():
     assert "2-inter" in full_structs
 
 
+def test_validation_fires_on_boundary_crossing_with_multistep(setting):
+    """With steps_per_call=K the step counter strides by K; validation must
+    fire on every val_every boundary crossing, not only when a multiple of
+    K lands exactly on a multiple of val_every (ADVICE.md round 1)."""
+    kg, cfg, train_q, val_q = setting
+    tc = loop_mod.TrainConfig(
+        lr=0.01, batch_size=32, n_neg=2, max_steps=63,
+        conv_window=10, conv_tol=-1.0, val_every=10, patience=100,
+    )
+    state = loop_mod.init_train_state(jax.random.PRNGKey(1), cfg, tc)
+    records = []
+    state = loop_mod.run_train(
+        state, cfg, tc, train_q, val_queries=val_q,
+        log_fn=records.append, steps_per_call=7,
+    )
+    val_steps = [r["step"] for r in records if "val" in r]
+    # steps advance 7,14,...,63; the val_every=10 bucket index increases
+    # at steps 14,21,35,42,56,63 — the old `step % val_every == 0` rule
+    # would have validated at lcm(7,10)=70, i.e. never in this run
+    assert val_steps == [14, 21, 35, 42, 56, 63], val_steps
+
+
 def test_check_conv():
     d = collections.deque(np.linspace(1.0, 0.2, 40), maxlen=40)
     assert not loop_mod.check_conv(d, 1e-4)  # still improving fast
