@@ -91,7 +91,11 @@ def bench_jax():
     query_mask = jnp.asarray(np.ones((B,), np.float32))
 
     steps = mpqe_mod.num_steps(cfg, STRUCTURE)
-    edge_msgs_per_fwd = steps * B * spec.n_edges
+    # count the messages the dead-slot-pruned TGT forward actually executes
+    # (4 of the logical 6 for 3-chain_inter) — edges/s is a hardware-
+    # throughput claim, so it must not credit skipped work
+    edge_msgs_per_fwd = B * mpqe_mod.executed_edge_messages(cfg, STRUCTURE)
+    logical_msgs_per_fwd = steps * B * spec.n_edges
 
     @jax.jit
     def fwd_loop(params, en0, n):
@@ -146,6 +150,7 @@ def bench_jax():
         "train_queries_per_s": queries_s,
         "batch": B,
         "edge_msgs_per_fwd": edge_msgs_per_fwd,
+        "logical_edge_msgs_per_fwd": logical_msgs_per_fwd,
     }
 
 

@@ -53,17 +53,26 @@ def embed_nodes_template(
     node_mode: jax.Array,  # [B, n] int32
     anchor_slots,  # static tuple of ints
     n_nodes: int,  # static
+    anchor_rows=None,  # [B, n_anchors, d] pre-gathered entity rows
 ) -> jax.Array:
     """Slot-static variant of :func:`embed_nodes_dense`: only anchor slots
     touch the (large, HBM-resident) entity table; variable/target slots
     read the tiny per-mode table.  Halves the big-table gather traffic of
     the masked version — the forward pass is HBM-bound, so this is a real
-    win, and the result is identical (tested against embed_nodes_dense)."""
+    win, and the result is identical (tested against embed_nodes_dense).
+
+    ``anchor_rows`` (one column per anchor slot, in slot order) supplies
+    pre-gathered entity rows so a caller can fuse all of a batch's table
+    accesses into one gather."""
     anchors = set(anchor_slots)
+    a_col = {s: k for k, s in enumerate(sorted(anchors))}
     cols = []
     for s in range(n_nodes):
         if s in anchors:
-            cols.append(emb["ent"][node_entity[:, s]])
+            if anchor_rows is not None:
+                cols.append(anchor_rows[:, a_col[s], :])
+            else:
+                cols.append(emb["ent"][node_entity[:, s]])
         else:
             cols.append(emb["var"][node_mode[:, s]])
     return jnp.stack(cols, axis=1)  # [B, n, d]

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from mpqe_tpu.queries import STRUCTURES
+from mpqe_tpu.ops import embed as embed_ops
 from mpqe_tpu.ops import rgcn as rgcn_ops
 from mpqe_tpu.models import embeddings as emb_mod
 from mpqe_tpu.models import readout as readout_mod
@@ -71,6 +72,21 @@ def num_steps(cfg: MPQEConfig, structure: str) -> int:
     return cfg.n_layers
 
 
+def executed_edge_messages(cfg: "MPQEConfig", structure: str) -> int:
+    """Edge messages the forward actually computes per query.
+
+    The TGT readout's dead-slot-pruned path skips messages into slots that
+    can no longer reach the target, so the executed count is below the
+    logical ``steps * n_edges`` — benchmark throughput claims must count
+    what runs on the hardware, not the unpruned-equivalent.
+    """
+    spec = STRUCTURES[structure]
+    steps = num_steps(cfg, structure)
+    if cfg.readout == "tgt":
+        return sum(len(edges) for _, _, edges in _live_slot_plan(spec, steps))
+    return steps * spec.n_edges
+
+
 # ----------------------------------------------------------------------
 # Dense (structure-batched) forward — the hot path
 # ----------------------------------------------------------------------
@@ -96,16 +112,36 @@ def _live_slot_plan(spec, steps: int):
     return plan
 
 
+def anchor_gather_slots(cfg: "MPQEConfig", structure: str):
+    """Anchor slots whose entity rows the forward actually reads (the
+    TGT-pruned path drops anchors that cannot reach the target within the
+    available steps).  Order matches the ``anchor_rows`` layout expected
+    by :func:`encode_dense`."""
+    spec = STRUCTURES[structure]
+    anchors = set(spec.anchor_slots)
+    if cfg.readout == "tgt":
+        steps = num_steps(cfg, structure)
+        in_slots0 = _live_slot_plan(spec, steps)[0][0]
+        return tuple(s for s in in_slots0 if s in anchors)
+    return tuple(s for s in range(spec.n_nodes) if s in anchors)
+
+
 def _encode_dense_tgt_pruned(
-    params, cfg, spec, node_entity, node_mode, edge_rel, edge_norm, steps
+    params, cfg, spec, node_entity, node_mode, edge_rel, edge_norm, steps,
+    anchor_rows=None,
 ):
     plan = _live_slot_plan(spec, steps)
     in_slots0 = plan[0][0]
     anchors = set(spec.anchor_slots)
+    a_col = {s: k for k, s in enumerate(
+        s for s in in_slots0 if s in anchors)}
     cols = []
     for s in in_slots0:
         if s in anchors:
-            cols.append(params["emb"]["ent"][node_entity[:, s]])
+            if anchor_rows is not None:
+                cols.append(anchor_rows[:, a_col[s], :])
+            else:
+                cols.append(params["emb"]["ent"][node_entity[:, s]])
         else:
             cols.append(params["emb"]["var"][node_mode[:, s]])
     x = jnp.stack(cols, axis=1)  # [B, |in_slots0|, d]
@@ -146,8 +182,14 @@ def encode_dense(
     node_mode: jax.Array,  # [B, n] int32
     edge_rel: jax.Array,  # [n_edges] int32
     edge_norm: jax.Array,  # [n_edges] float32
+    anchor_rows: Optional[jax.Array] = None,  # [B, A, d] pre-gathered
 ) -> jax.Array:
-    """Embed + message-pass + read out: returns query vectors ``[B, d]``."""
+    """Embed + message-pass + read out: returns query vectors ``[B, d]``.
+
+    ``anchor_rows`` (columns per :func:`anchor_gather_slots`) lets the
+    caller supply pre-gathered entity rows so the whole batch shares one
+    table gather — see ``dense_batch_loss``.
+    """
     spec = STRUCTURES[structure]
     steps = num_steps(cfg, structure)
     if cfg.readout == "tgt":
@@ -155,11 +197,11 @@ def encode_dense(
         # the target (identical math, fewer matmuls + less HBM traffic)
         return _encode_dense_tgt_pruned(
             params, cfg, spec, node_entity, node_mode, edge_rel,
-            edge_norm, steps,
+            edge_norm, steps, anchor_rows=anchor_rows,
         )
     x = emb_mod.embed_nodes_template(
         params["emb"], node_entity, node_mode,
-        spec.anchor_slots, spec.n_nodes,
+        spec.anchor_slots, spec.n_nodes, anchor_rows=anchor_rows,
     )
 
     for li in range(steps):
@@ -291,6 +333,24 @@ def score_all_entities(
     return jnp.dot(q, e.T, preferred_element_type=jnp.float32)
 
 
+def margin_loss_from_rows(
+    cfg: MPQEConfig,
+    q: jax.Array,  # [B, d]
+    pos_rows: jax.Array,  # [B, d]
+    neg_rows: jax.Array,  # [B, K, d]
+    neg_mask: jax.Array,  # [B, K]
+    query_mask: jax.Array,  # [B]
+) -> jax.Array:
+    """mean(relu(margin - s(q,pos) + s(q,neg))) over real (query, negative)
+    pairs (reference margin_loss; SURVEY.md §3.3/§A.4) from pre-gathered
+    candidate embedding rows."""
+    pos = score(cfg, q, pos_rows)  # [B]
+    neg = score(cfg, q[:, None, :], neg_rows)  # [B, K]
+    viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
+    w = neg_mask * query_mask[:, None]
+    return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def margin_loss_from_queries(
     params: Dict[str, Any],
     cfg: MPQEConfig,
@@ -300,14 +360,10 @@ def margin_loss_from_queries(
     neg_mask: jax.Array,  # [B, K]
     query_mask: jax.Array,  # [B]
 ) -> jax.Array:
-    """mean(relu(margin - s(q,pos) + s(q,neg))) over real (query, negative)
-    pairs (reference margin_loss; SURVEY.md §3.3/§A.4)."""
     ent = params["emb"]["ent"]
-    pos = score(cfg, q, ent[target])  # [B]
-    neg = score(cfg, q[:, None, :], ent[negatives])  # [B, K]
-    viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
-    w = neg_mask * query_mask[:, None]
-    return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return margin_loss_from_rows(
+        cfg, q, ent[target], ent[negatives], neg_mask, query_mask
+    )
 
 
 def dense_batch_loss(
@@ -323,9 +379,27 @@ def dense_batch_loss(
     neg_mask: jax.Array,
     query_mask: jax.Array,
 ) -> jax.Array:
-    q = encode_dense(
-        params, cfg, structure, node_entity, node_mode, edge_rel, edge_norm
+    """Batch margin loss with a single fused entity-table access.
+
+    Anchor, target, and negative indices concatenate into ONE
+    ``embedding_lookup`` so the backward performs one sorted/deduped
+    scatter instead of several full-table dense scatters — the round-1
+    train step's dominant cost (docs/roadmap.md; VERDICT round 1 item 2).
+    Math is identical to encoding + ``margin_loss_from_queries``.
+    """
+    a_slots = list(anchor_gather_slots(cfg, structure))
+    n_a = len(a_slots)
+    idx = jnp.concatenate(
+        [node_entity[:, a_slots], target[:, None], negatives], axis=1
     )
-    return margin_loss_from_queries(
-        params, cfg, q, target, negatives, neg_mask, query_mask
+    rows = embed_ops.embedding_lookup(params["emb"]["ent"], idx)
+    anchor_rows = rows[:, :n_a, :]
+    pos_rows = rows[:, n_a, :]
+    neg_rows = rows[:, n_a + 1:, :]
+    q = encode_dense(
+        params, cfg, structure, node_entity, node_mode, edge_rel, edge_norm,
+        anchor_rows=anchor_rows,
+    )
+    return margin_loss_from_rows(
+        cfg, q, pos_rows, neg_rows, neg_mask, query_mask
     )

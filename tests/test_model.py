@@ -90,6 +90,43 @@ def test_dense_matches_sparse_and_oracle(kg, structure, readout):
     np.testing.assert_allclose(q_dense, q_np, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("structure", ["1-chain", "3-chain_inter"])
+@pytest.mark.parametrize("readout", ["tgt", "sum"])
+def test_fused_gather_loss_matches_naive(kg, structure, readout):
+    """dense_batch_loss routes all entity-table reads through one fused
+    embedding_lookup with a dedup-scatter VJP; value AND gradients must
+    match the naive multi-gather formulation exactly."""
+    cfg = _cfg(kg, readout=readout)
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(2), cfg)
+    b = _batch(kg, structure, B=16, n_neg=4)
+    arrays = (
+        jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+        jnp.asarray(b.target), jnp.asarray(b.negatives),
+        jnp.asarray(b.neg_mask), jnp.asarray(b.query_mask),
+    )
+
+    def naive_loss(p):
+        q = mpqe_mod.encode_dense(p, cfg, structure, *arrays[:4])
+        return mpqe_mod.margin_loss_from_queries(
+            p, cfg, q, *arrays[4:]
+        )
+
+    def fused_loss(p):
+        return mpqe_mod.dense_batch_loss(p, cfg, structure, *arrays)
+
+    l0, g0 = jax.value_and_grad(naive_loss)(params)
+    l1, g1 = jax.value_and_grad(fused_loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, c in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_tgt_depth_equals_diameter(kg):
     cfg = _cfg(kg, readout="tgt", n_layers=3)
     assert mpqe_mod.num_steps(cfg, "1-chain") == 1
