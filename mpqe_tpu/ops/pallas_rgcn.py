@@ -1,28 +1,34 @@
-"""Fused Pallas R-GCN message kernel: gather -> basis GEMM -> scatter-add
-in a single VMEM-resident pass (the TPU replacement for the reference's
-torch-scatter + cuBLAS RGCNConv inner loop; SURVEY.md §2.2).
+"""Fused Pallas R-GCN message kernel (v2): relation-chunked basis GEMM.
 
-Strategy
---------
-Batched query graphs are small in node count (N = B x n_nodes rows) but
-edge-heavy; node features fit VMEM for per-shard batches.  The kernel:
+The TPU replacement for the reference's torch-scatter + cuBLAS RGCNConv
+inner loop (SURVEY.md §2.2).  Round 1 kept node features VMEM-resident and
+gathered/scattered via one-hot matmuls — asymptotically wrong (per-chunk
+overhead grew with the node count) and capped at 8192 nodes.  v2 removes
+both problems by splitting the layer into its bandwidth-optimal parts:
 
-  * keeps ``x [N_pad, d]`` and the basis/coefficient tables resident in
-    VMEM for the whole grid;
-  * walks relation-aligned edge chunks (the EdgeStore is relation-sorted;
-    a host-side re-pad makes every chunk single-relation, with the chunk's
-    relation id delivered via scalar prefetch);
-  * per chunk: one-hot gather on the MXU (``onehot(src) @ x``), one
-    ``[C, d] @ [d, d]`` relation GEMM (the per-relation weight is combined
-    from the basis on the fly, ``Bb x d x d`` MACs per chunk), edge
-    normalization on the VPU, and a one-hot scatter-add on the MXU
-    (``onehot(dst)^T @ msg``) accumulated across the sequential grid;
-  * zero HBM round-trips for intermediates — the reference materializes
-    per-edge messages in global memory, this never leaves VMEM.
+  1. ``xs = x[src]`` — one XLA gather (TPU gathers of contiguous rows are
+     already near speed-of-light; a Pallas per-row DMA loop would be
+     descriptor-bound and far slower).
+  2. **This kernel**: walk relation-aligned edge chunks (grid over chunks,
+     double-buffered block pipeline); per chunk combine the relation
+     weight from the basis in VMEM (``W = sum_b a_b V_b``, coefficients by
+     scalar prefetch) and run one ``[C, d] @ [d, d]`` MXU GEMM fused with
+     the edge-norm scaling.  What XLA cannot do here is exactly this
+     fusion: its batched-GEMM formulation materializes the per-chunk
+     ``[n_chunks, d, d]`` weights (or, basis-first, a ``[E, Bb, d]``
+     gather) in HBM — at AM scale that is gigabytes of avoidable traffic.
+  3. segment-sum into destinations — XLA scatter (dst-sorted within each
+     relation block).
 
-The backward pass reuses the composable XLA formulation (rgcn_sparse's
-gather/segment ops) through ``jax.custom_vjp`` — forward speed where it
-matters, autodiff correctness for free.
+Full-weight models (``num_bases=None``) use a variant whose per-chunk
+``W_r`` block is fetched straight from HBM by an index-map driven by the
+scalar-prefetched chunk relation ids — no VMEM-resident weight table, so
+the relation vocabulary size is unbounded.
+
+The backward is custom-VJP: ``dxs`` reuses the same kernel with the
+transposed weights (row scaling commutes with the right-matmul), ``dW``
+per chunk is one XLA batched GEMM, and the entity-feature gradient
+scatters through the sorted/dedup scatter of ``ops/embed.py``.
 """
 
 from __future__ import annotations
@@ -36,9 +42,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mpqe_tpu.ops import embed as embed_ops
+from mpqe_tpu.ops import segment as segment_ops
 from mpqe_tpu.ops.edge_store import EdgeStore
 
-MAX_PALLAS_NODES = 8192
+# basis tables above this VMEM footprint switch to the HBM-blocked
+# per-relation weight path (16 MB VMEM/core, leave room for blocks)
+MAX_BASIS_VMEM_BYTES = 8 * 1024 * 1024
+
+DEFAULT_CHUNK = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -49,7 +61,7 @@ def _round_up(x: int, m: int) -> int:
 # Host-side: relation-aligned chunking of a sorted EdgeStore
 # ----------------------------------------------------------------------
 def chunk_by_relation(
-    store: EdgeStore, chunk: int = 128
+    store: EdgeStore, chunk: int = DEFAULT_CHUNK
 ) -> Dict[str, np.ndarray]:
     """Re-pad a relation-sorted EdgeStore so every ``chunk`` edges share one
     relation.  Returns arrays src/dst/norm ``[n_chunks * chunk]`` and
@@ -88,172 +100,262 @@ def chunk_by_relation(
 
 
 # ----------------------------------------------------------------------
-# Kernel
+# Kernels
 # ----------------------------------------------------------------------
-def _fused_kernel(
-    ccoeff_ref,  # scalar prefetch (SMEM): [n_chunks, Bb] masked coefficients
-    x_ref,  # [N_pad, d] VMEM (whole grid)
-    basis_ref,  # [Bb, d, d] VMEM
-    src_ref,  # [C, 1] VMEM
-    dst_ref,  # [C, 1] VMEM
-    norm_ref,  # [C, 1] VMEM
-    out_ref,  # [N_pad, d] VMEM accumulator
-):
+def _msg_kernel_basis(ccoeff_ref, xs_ref, basis_ref, norm_ref, out_ref):
+    """Per chunk: W = sum_b ccoeff[i, b] * basis[b]; out = (xs @ W) * norm."""
     i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    n_pad = x_ref.shape[0]
-    c = src_ref.shape[0]
-
-    # combine the chunk's relation weight from the basis: [d, d].
-    # Per-chunk coefficients arrive pre-gathered (XLA side) through scalar
-    # prefetch — SMEM scalars support the dynamic row read (VMEM dynamic
-    # scalar rows miscompiled under Mosaic).  Static unroll: scalar *
-    # matrix accumulation (Mosaic supports neither rank-1 dot_general nor
-    # 1D->3D broadcasts).
     bb = basis_ref.shape[0]
+    # static unroll: scalar * matrix accumulation (Mosaic supports neither
+    # rank-1 dot_general nor 1D->3D broadcasts); coefficients arrive
+    # pre-gathered + pad-masked through scalar prefetch (SMEM)
     w = ccoeff_ref[i, 0] * basis_ref[0]
     for b in range(1, bb):
         w += ccoeff_ref[i, b] * basis_ref[b]
-
-    node_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_pad), 1)
-    onehot_src = (src_ref[:] == node_iota).astype(x_ref.dtype)  # [C, N]
     hp = jax.lax.Precision.HIGHEST
-    xs = jnp.dot(onehot_src, x_ref[:], preferred_element_type=jnp.float32,
-                 precision=hp)
-    msg = jnp.dot(xs, w, preferred_element_type=jnp.float32, precision=hp)
-    msg = msg * norm_ref[:]  # [C, 1] broadcast
-
-    onehot_dst = (dst_ref[:] == node_iota).astype(msg.dtype)  # [C, N]
-    out_ref[:] += jnp.dot(
-        onehot_dst.T, msg, preferred_element_type=jnp.float32, precision=hp,
-    ).astype(out_ref.dtype)
+    msg = jnp.dot(xs_ref[:], w, preferred_element_type=jnp.float32,
+                  precision=hp)
+    out_ref[:] = (msg * norm_ref[:]).astype(out_ref.dtype)
 
 
-def rgcn_messages_pallas(
-    x: jax.Array,  # [N, d]
-    basis: jax.Array,  # [Bb, d, d]
-    coeff: jax.Array,  # [R, Bb]
-    src: jax.Array,  # [E_pad] (relation-aligned chunks)
-    dst: jax.Array,
-    norm: jax.Array,
-    chunk_rel: jax.Array,  # [n_chunks]
-    n_rels: int,
-    chunk: int = 128,
+def _msg_kernel_wrel(crel_ref, xs_ref, w_ref, norm_ref, out_ref):
+    """Per chunk: out = (xs @ W_rel[chunk_rel[i]]) * norm — the W block is
+    DMA'd from HBM by the index map (crel scalar prefetch)."""
+    del crel_ref  # consumed by the index map
+    hp = jax.lax.Precision.HIGHEST
+    msg = jnp.dot(xs_ref[:], w_ref[0], preferred_element_type=jnp.float32,
+                  precision=hp)
+    out_ref[:] = (msg * norm_ref[:]).astype(out_ref.dtype)
+
+
+def _pad2(x: jax.Array, rows: int, cols: int) -> jax.Array:
+    r, c = x.shape
+    if r == rows and c == cols:
+        return x
+    return jax.lax.pad(
+        x, jnp.asarray(0, x.dtype), ((0, rows - r, 0), (0, cols - c, 0))
+    )
+
+
+def _messages_pallas_basis(
+    xs: jax.Array,  # [E_pad, d_in] pre-gathered source rows
+    basis: jax.Array,  # [Bb, d_in, d_out]
+    chunk_coeff: jax.Array,  # [n_chunks, Bb] pad-masked coefficients
+    norm: jax.Array,  # [E_pad]
+    chunk: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Aggregated messages ``[N, d_out]`` (no self-loop/bias — see
-    ``rgcn_sparse_fused``)."""
-    n, d = x.shape
-    bb, d_in, d_out = basis.shape
-    n_pad = _round_up(n + 1, 8)
-    if n_pad > MAX_PALLAS_NODES:
-        raise ValueError(
-            f"{n} nodes exceeds the VMEM-resident kernel cap "
-            f"({MAX_PALLAS_NODES}); use the XLA path"
-        )
-    d_pad = _round_up(d, 128)
-    do_pad = _round_up(d_out, 128)
-    e_pad = src.shape[0]
+    e_pad, d_in = xs.shape
+    bb, _, d_out = basis.shape
     n_chunks = e_pad // chunk
+    d_pad = _round_up(d_in, 128)
+    do_pad = _round_up(d_out, 128)
 
-    x_p = jnp.zeros((n_pad, d_pad), x.dtype).at[:n, :d].set(x)
-    basis_p = jnp.zeros((bb, d_pad, do_pad), basis.dtype)
-    basis_p = basis_p.at[:, :d_in, :d_out].set(basis)
-    # per-chunk coefficients, gathered + padding-masked in XLA; delivered
-    # via scalar prefetch (SMEM): [n_chunks, Bb]
-    rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
-    valid = (chunk_rel < n_rels).astype(coeff.dtype)
-    chunk_coeff = coeff[rel_cl] * valid[:, None]
+    xs_p = _pad2(xs, e_pad, d_pad)
+    basis_p = basis
+    if (d_pad, do_pad) != (d_in, d_out):
+        basis_p = jnp.zeros((bb, d_pad, do_pad), basis.dtype)
+        basis_p = basis_p.at[:, :d_in, :d_out].set(basis)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((n_pad, d_pad), lambda i, *_: (0, 0),
+            pl.BlockSpec((chunk, d_pad), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, d_pad, do_pad), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i, *_: (i, 0),
+        ],
+        out_specs=pl.BlockSpec((chunk, do_pad), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _msg_kernel_basis,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_pad, do_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        chunk_coeff.astype(jnp.float32),
+        xs_p,
+        basis_p.astype(jnp.float32),
+        norm.reshape(-1, 1).astype(jnp.float32),
+    )
+    return out[:, :d_out]
+
+
+def _messages_pallas_wrel(
+    xs: jax.Array,  # [E_pad, d_in]
+    w_rel: jax.Array,  # [R, d_in, d_out] (stays in HBM; blocks DMA'd)
+    chunk_rel_clipped: jax.Array,  # [n_chunks] int32 in [0, R)
+    norm: jax.Array,  # [E_pad]
+    chunk: int,
+    interpret: bool = False,
+) -> jax.Array:
+    e_pad, d_in = xs.shape
+    r, _, d_out = w_rel.shape
+    n_chunks = e_pad // chunk
+    d_pad = _round_up(d_in, 128)
+    do_pad = _round_up(d_out, 128)
+
+    xs_p = _pad2(xs, e_pad, d_pad)
+    w_p = w_rel
+    if (d_pad, do_pad) != (d_in, d_out):
+        w_p = jnp.zeros((r, d_pad, do_pad), w_rel.dtype)
+        w_p = w_p.at[:, :d_in, :d_out].set(w_rel)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, d_pad), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad, do_pad),
+                         lambda i, crel: (crel[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_pad, do_pad), lambda i, *_: (0, 0),
+        out_specs=pl.BlockSpec((chunk, do_pad), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _fused_kernel,
+        _msg_kernel_wrel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((e_pad, do_pad), jnp.float32),
         interpret=interpret,
     )(
-        chunk_coeff.astype(jnp.float32),
-        x_p,
-        basis_p,
-        src.reshape(-1, 1).astype(jnp.int32),
-        dst.reshape(-1, 1).astype(jnp.int32),
+        chunk_rel_clipped.astype(jnp.int32),
+        xs_p,
+        w_p.astype(jnp.float32),
         norm.reshape(-1, 1).astype(jnp.float32),
     )
-    return out[:n, :d_out].astype(x.dtype)
+    return out[:, :d_out]
 
 
 # ----------------------------------------------------------------------
-# Full layer with custom VJP (forward: pallas; backward: XLA formulation)
+# Differentiable per-edge messages (custom VJP)
 # ----------------------------------------------------------------------
-def _messages_xla(x, basis, coeff, src, dst, norm, chunk_rel, n_rels, chunk):
-    """Same math, composable XLA ops (used for backward + as oracle)."""
+def _masked_chunk_coeff(coeff, chunk_rel, n_rels):
+    rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
+    valid = (chunk_rel < n_rels).astype(coeff.dtype)
+    return coeff[rel_cl] * valid[:, None]
+
+
+def _edge_messages_xla(x, basis, coeff, src, norm, chunk_rel, n_rels, chunk):
+    """Per-edge messages, composable XLA ops (backward building block +
+    correctness oracle): msg_e = (x[src_e] @ W_{rel_e}) * norm_e."""
     n = x.shape[0]
-    rel_e = jnp.repeat(chunk_rel, chunk)  # [E_pad]
-    rel_cl = jnp.clip(rel_e, 0, n_rels - 1)
-    valid = (rel_e < n_rels).astype(x.dtype)
-    coeff_e = coeff[rel_cl] * valid[:, None]
-    h_b = jnp.einsum("nd,bdo->nbo", x, basis, preferred_element_type=jnp.float32)
-    g = h_b[jnp.clip(src, 0, n - 1)]
-    msg = jnp.einsum("eb,ebo->eo", coeff_e, g, preferred_element_type=jnp.float32)
-    msg = msg * norm[:, None].astype(msg.dtype)
-    return jax.ops.segment_sum(msg, dst, num_segments=n)
+    xs = x[jnp.clip(src, 0, n - 1)]
+    ce = _masked_chunk_coeff(coeff, chunk_rel, n_rels)  # [n_chunks, Bb]
+    xs_c = xs.reshape(-1, chunk, x.shape[1])
+    # W per chunk then batched GEMM (materializes [n_chunks, d, d] — the
+    # traffic the pallas kernel avoids; fine as oracle)
+    w_c = jnp.einsum("cb,bio->cio", ce, basis,
+                     preferred_element_type=jnp.float32)
+    msg = jnp.einsum("ced,cdo->ceo", xs_c, w_c,
+                     preferred_element_type=jnp.float32)
+    return (msg.reshape(-1, basis.shape[-1])
+            * norm[:, None].astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def rgcn_messages_fused(
-    x, basis, coeff, src, dst, norm, chunk_rel, n_rels, chunk=128,
-    interpret=False,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def rgcn_edge_messages(
+    x, basis, coeff, src, norm, n_rels, chunk, interpret, chunk_rel
 ):
-    return rgcn_messages_pallas(
-        x, basis, coeff, src, dst, norm, chunk_rel, n_rels,
-        chunk=chunk, interpret=interpret,
+    """Per-edge messages ``[E_pad, d_out]`` through the fused kernel.
+
+    ``src``/``norm`` are relation-chunk-aligned (chunk_by_relation);
+    ``chunk_rel [n_chunks]`` carries each chunk's relation id.  For
+    full-weight models pass ``coeff=None`` and the per-relation table as
+    ``basis`` (shape ``[R, d_in, d_out]``).  All arguments positional
+    (custom_vjp limitation).
+    """
+    return _edge_messages_fwd_impl(
+        x, basis, coeff, src, norm, n_rels, chunk, interpret, chunk_rel
     )
 
 
-def _fused_fwd(x, basis, coeff, src, dst, norm, chunk_rel, n_rels, chunk,
-               interpret):
-    out = rgcn_messages_fused(
-        x, basis, coeff, src, dst, norm, chunk_rel, n_rels, chunk, interpret
+def _edge_messages_fwd_impl(
+    x, basis, coeff, src, norm, n_rels, chunk, interpret, chunk_rel
+):
+    n = x.shape[0]
+    xs = x[jnp.clip(src, 0, n - 1)]
+    if coeff is None:
+        rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
+        return _messages_pallas_wrel(
+            xs, basis, rel_cl, norm, chunk, interpret
+        )
+    ce = _masked_chunk_coeff(coeff, chunk_rel, n_rels)
+    return _messages_pallas_basis(xs, basis, ce, norm, chunk, interpret)
+
+
+def _edge_messages_fwd(
+    x, basis, coeff, src, norm, n_rels, chunk, interpret, chunk_rel
+):
+    out = _edge_messages_fwd_impl(
+        x, basis, coeff, src, norm, n_rels, chunk, interpret, chunk_rel
     )
-    return out, (x, basis, coeff, src, dst, norm, chunk_rel)
+    return out, (x, basis, coeff, src, norm, chunk_rel)
 
 
-def _fused_bwd(n_rels, chunk, interpret, res, g):
-    x, basis, coeff, src, dst, norm, chunk_rel = res
-    _, vjp = jax.vjp(
-        lambda x_, b_, c_: _messages_xla(
-            x_, b_, c_, src, dst, norm, chunk_rel, n_rels, chunk
-        ),
-        x, basis, coeff,
+def _edge_messages_bwd(n_rels, chunk, interpret, res, g):
+    x, basis, coeff, src, norm, chunk_rel = res
+    n, d_in = x.shape
+    src_cl = jnp.clip(src, 0, n - 1)
+    xs = x[src_cl]  # regather (cheaper than saving [E, d] residuals)
+    g = g.astype(jnp.float32)
+
+    # dxs = (g * norm) @ W^T — row scaling commutes with the right-matmul,
+    # so the forward kernels handle it with transposed weights
+    if coeff is None:
+        rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
+        w_t = basis.transpose(0, 2, 1)
+        dxs = _messages_pallas_wrel(g, w_t, rel_cl, norm, chunk, interpret)
+    else:
+        ce = _masked_chunk_coeff(coeff, chunk_rel, n_rels)
+        dxs = _messages_pallas_basis(
+            g, basis.transpose(0, 2, 1), ce, norm, chunk, interpret
+        )
+    dx = embed_ops.scatter_add_dedup(n, src_cl, dxs.astype(x.dtype))
+
+    # per-chunk dW = xs^T @ (g * norm): one batched MXU GEMM (XLA)
+    xs_c = xs.reshape(-1, chunk, d_in)
+    gn_c = (g * norm[:, None]).reshape(-1, chunk, g.shape[-1])
+    dw_c = jnp.einsum("ced,ceo->cdo", xs_c, gn_c,
+                      preferred_element_type=jnp.float32)
+
+    if coeff is None:
+        # scatter per-chunk dW into per-relation rows
+        rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
+        valid = (chunk_rel < n_rels).astype(dw_c.dtype)
+        dw_rel = jax.ops.segment_sum(
+            dw_c * valid[:, None, None], rel_cl,
+            num_segments=basis.shape[0],
+        )
+        return dx, dw_rel.astype(basis.dtype), None, None, None, None
+
+    ce = _masked_chunk_coeff(coeff, chunk_rel, n_rels)
+    dbasis = jnp.einsum("cb,cdo->bdo", ce, dw_c,
+                        preferred_element_type=jnp.float32)
+    dcoeff_c = jnp.einsum("cdo,bdo->cb", dw_c, basis,
+                          preferred_element_type=jnp.float32)
+    rel_cl = jnp.clip(chunk_rel, 0, n_rels - 1)
+    valid = (chunk_rel < n_rels).astype(dcoeff_c.dtype)
+    dcoeff = jax.ops.segment_sum(
+        dcoeff_c * valid[:, None], rel_cl, num_segments=coeff.shape[0]
     )
-    dx, dbasis, dcoeff = vjp(g)
-    return dx, dbasis, dcoeff, None, None, None, None
+    return (dx, dbasis.astype(basis.dtype), dcoeff.astype(coeff.dtype),
+            None, None, None)
 
 
-rgcn_messages_fused.defvjp(_fused_fwd, _fused_bwd)
+rgcn_edge_messages.defvjp(_edge_messages_fwd, _edge_messages_bwd)
 
 
+# ----------------------------------------------------------------------
+# Full layer
+# ----------------------------------------------------------------------
 def rgcn_sparse_fused(
     x: jax.Array,
     params: Dict[str, jax.Array],
@@ -261,24 +363,42 @@ def rgcn_sparse_fused(
     n_rels: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Full R-GCN layer: fused pallas messages + self-loop + bias.
+    """Full R-GCN layer: fused pallas messages + segment-sum + self-loop.
 
     ``chunked`` comes from :func:`chunk_by_relation` (numpy dict; arrays
-    are converted on first use).  Basis params required (use
-    ``num_bases=None`` models via the identity-coefficient trick upstream).
+    are converted on first use).  Basis models use the VMEM-resident basis
+    kernel when the table fits (:data:`MAX_BASIS_VMEM_BYTES`), otherwise
+    the per-relation weights are materialized once and streamed from HBM;
+    full-weight models always stream.  No node-count cap.
     """
+    n = x.shape[0]
+    src = jnp.asarray(chunked["src"])
+    dst = jnp.asarray(chunked["dst"])
+    norm = jnp.asarray(chunked["norm"])
+    chunk_rel = jnp.asarray(chunked["chunk_rel"])
+    chunk = int(chunked["chunk"])
+
     if "basis" in params:
         basis, coeff = params["basis"], params["coeff"]
+        bb, d_in, d_out = basis.shape
+        vmem = bb * _round_up(d_in, 128) * _round_up(d_out, 128) * 4
+        if vmem > MAX_BASIS_VMEM_BYTES:
+            w_rel = jnp.einsum("rb,bio->rio", coeff, basis)
+            msg = rgcn_edge_messages(
+                x, w_rel, None, src, norm, n_rels, chunk, interpret,
+                chunk_rel,
+            )
+        else:
+            msg = rgcn_edge_messages(
+                x, basis, coeff, src, norm, n_rels, chunk, interpret,
+                chunk_rel,
+            )
     else:
-        w_rel = params["w_rel"]
-        basis = w_rel
-        coeff = jnp.eye(w_rel.shape[0], dtype=x.dtype)
-    agg = rgcn_messages_fused(
-        x, basis, coeff,
-        jnp.asarray(chunked["src"]), jnp.asarray(chunked["dst"]),
-        jnp.asarray(chunked["norm"]), jnp.asarray(chunked["chunk_rel"]),
-        n_rels, chunked["chunk"], interpret,
-    )
+        msg = rgcn_edge_messages(
+            x, params["w_rel"], None, src, norm, n_rels, chunk, interpret,
+            chunk_rel,
+        )
+    agg = segment_ops.segment_sum(msg, dst, num_segments=n)
     return (
         jnp.dot(x, params["w_self"], preferred_element_type=jnp.float32)
         + agg

@@ -1,5 +1,5 @@
-"""Fused Pallas R-GCN kernel vs the XLA sparse path (interpreter mode on
-CPU; compiled-mode parity runs on TPU via tools/tpu_smoke.py)."""
+"""Fused Pallas R-GCN kernel (v2) vs the XLA sparse path (interpreter mode
+on CPU; compiled-mode parity runs on TPU via tools/tpu_smoke.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -29,16 +29,12 @@ def test_chunk_by_relation_invariants(rng):
     # every chunk single-relation; padded edges have norm 0 and pad node
     rel_e = np.repeat(ch["chunk_rel"], 32)
     for c in range(n_chunks):
-        r = ch["chunk_rel"][c]
         sl = slice(c * 32, (c + 1) * 32)
         pad = ch["norm"][sl] == 0.0
         assert np.all(ch["src"][sl][pad] == st.n_nodes)
     # real edges preserved
     m = st.pad_mask
     orig = sorted(zip(st.src[m], st.dst[m], st.rel[m]))
-    realm = ch["norm"] > 0
-    got = sorted(zip(ch["src"][realm], ch["dst"][realm], rel_e[realm]))
-    # norm>0 filter drops real edges with zero norm; regenerate via node!=pad
     realm2 = ch["src"] != st.n_nodes
     got2 = sorted(zip(ch["src"][realm2], ch["dst"][realm2], rel_e[realm2]))
     assert got2 == orig
@@ -62,52 +58,92 @@ def test_fused_matches_sparse(rng, num_bases):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_fused_gradients_match_xla(rng):
+def test_edge_messages_match_xla_oracle(rng):
+    st = _graph(rng)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(3), D, D, N_RELS, 3)
+    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+    ch = pr.chunk_by_relation(st, chunk=32)
+    src = jnp.asarray(ch["src"])
+    norm = jnp.asarray(ch["norm"])
+    crel = jnp.asarray(ch["chunk_rel"])
+    got = np.asarray(pr.rgcn_edge_messages(
+        x, p["basis"], p["coeff"], src, norm, N_RELS, 32, True, crel))
+    want = np.asarray(pr._edge_messages_xla(
+        x, p["basis"], p["coeff"], src, norm, crel, N_RELS, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("num_bases", [3, None])
+def test_fused_layer_gradients_match_xla(rng, num_bases):
+    """Full-layer grads (x + every param) through the custom VJP must match
+    the composable XLA path."""
     st = _graph(rng, n_nodes=30, n_e=100)
-    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, N_RELS, 3)
+    p = rgcn_ops.init_rgcn_layer(
+        jax.random.PRNGKey(1), D, D, N_RELS, num_bases)
     x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
     ch = pr.chunk_by_relation(st, chunk=32)
 
-    def loss_fused(x, basis, coeff):
-        out = pr.rgcn_messages_fused(
-            x, basis, coeff,
-            jnp.asarray(ch["src"]), jnp.asarray(ch["dst"]),
-            jnp.asarray(ch["norm"]), jnp.asarray(ch["chunk_rel"]),
-            N_RELS, ch["chunk"], True,
+    def loss_fused(x, p):
+        out = pr.rgcn_sparse_fused(x, p, ch, N_RELS, interpret=True)
+        return jnp.sum(out**2)
+
+    def loss_xla(x, p):
+        out = rgcn_ops.rgcn_sparse(
+            x, p, jnp.asarray(st.src), jnp.asarray(st.dst),
+            jnp.asarray(st.rel), jnp.asarray(st.norm), N_RELS,
         )
         return jnp.sum(out**2)
 
-    def loss_xla(x, basis, coeff):
-        out = pr._messages_xla(
-            x, basis, coeff,
-            jnp.asarray(ch["src"]), jnp.asarray(ch["dst"]),
-            jnp.asarray(ch["norm"]), jnp.asarray(ch["chunk_rel"]),
-            N_RELS, ch["chunk"],
-        )
-        return jnp.sum(out**2)
-
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, p["basis"], p["coeff"])
-    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(x, p["basis"], p["coeff"])
-    for a, b in zip(g1, g2):
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(x, p)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
 
 
-def test_node_cap():
-    st = build_edge_store(
-        np.zeros(1, np.int32), np.zeros(1, np.int32), np.zeros(1, np.int32),
-        n_nodes=pr.MAX_PALLAS_NODES + 10, n_rels=1,
-    )
-    ch = pr.chunk_by_relation(st, chunk=8)
-    x = jnp.zeros((pr.MAX_PALLAS_NODES + 10, 8), jnp.float32)
-    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), 8, 8, 1, 1)
-    with pytest.raises(ValueError):
-        pr.rgcn_sparse_fused(x, p, ch, 1, interpret=True)
+def test_no_node_cap(rng):
+    """v2 streams node rows from HBM: node counts far beyond the old
+    8192-row VMEM cap must work (interpret mode, small d)."""
+    n_nodes = 20_000
+    st = _graph(rng, n_nodes=n_nodes, n_e=300)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(2), D, D, N_RELS, 3)
+    x = rng.normal(size=(n_nodes, D)).astype(np.float32)
+    ch = pr.chunk_by_relation(st, chunk=32)
+    got = np.asarray(
+        pr.rgcn_sparse_fused(jnp.asarray(x), p, ch, N_RELS, interpret=True))
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), N_RELS,
+        ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_big_basis_table_streams_from_hbm(rng):
+    """A basis table over MAX_BASIS_VMEM_BYTES routes through the
+    per-relation HBM-blocked kernel and still matches."""
+    st = _graph(rng)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(4), D, D, N_RELS, 3)
+    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+    ch = pr.chunk_by_relation(st, chunk=32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), N_RELS,
+        ))
+    old = pr.MAX_BASIS_VMEM_BYTES
+    try:
+        pr.MAX_BASIS_VMEM_BYTES = 0  # force the streaming path
+        got = np.asarray(
+            pr.rgcn_sparse_fused(x, p, ch, N_RELS, interpret=True))
+    finally:
+        pr.MAX_BASIS_VMEM_BYTES = old
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_encode_sparse_fused_matches_encode_sparse(rng):
     """Full model forward through the fused kernel == XLA sparse path."""
-    import jax.numpy as jnp
     from mpqe_tpu.data.batcher import dense_to_sparse, make_dense_batch
     from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
     from mpqe_tpu.models import mpqe as mpqe_mod
