@@ -352,29 +352,33 @@ def partition_edges_ring(
     m = store.pad_mask
     src, dst = store.src[m], store.dst[m]
     rel, norm = store.rel[m], store.norm[m]
-    dp = dst // block
-    sp = src // block
-    counts = np.zeros((n_parts, n_parts), np.int64)
-    for a, b in zip(dp, sp):
-        counts[a, b] += 1
+    dp = (dst // block).astype(np.int64)
+    sp = (src // block).astype(np.int64)
+    # fully vectorized bucket placement (this runs per training batch)
+    key = dp * n_parts + sp
+    counts = np.bincount(key, minlength=n_parts * n_parts)
     e_max = max(int(counts.max()), 1)
     e_max = ((e_max + pad_multiple - 1) // pad_multiple) * pad_multiple
 
-    o_src = np.zeros((n_parts, n_parts, e_max), np.int32)
-    o_dst = np.full((n_parts, n_parts, e_max), block, np.int32)  # dropped
-    o_rel = np.full((n_parts, n_parts, e_max), store.n_rels, np.int32)
-    o_norm = np.zeros((n_parts, n_parts, e_max), np.float32)
-    cur = np.zeros((n_parts, n_parts), np.int64)
-    for i in range(len(src)):
-        a, b = dp[i], sp[i]
-        k = cur[a, b]
-        cur[a, b] += 1
-        o_src[a, b, k] = src[i] - b * block
-        o_dst[a, b, k] = dst[i] - a * block
-        o_rel[a, b, k] = rel[i]
-        o_norm[a, b, k] = norm[i]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    starts = np.zeros(n_parts * n_parts, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(key_s.size, dtype=np.int64) - starts[key_s]
+    flat = key_s * e_max + pos
+
+    o_src = np.zeros((n_parts * n_parts * e_max,), np.int32)
+    o_dst = np.full((n_parts * n_parts * e_max,), block, np.int32)  # dropped
+    o_rel = np.full((n_parts * n_parts * e_max,), store.n_rels, np.int32)
+    o_norm = np.zeros((n_parts * n_parts * e_max,), np.float32)
+    o_src[flat] = (src - sp * block)[order]
+    o_dst[flat] = (dst - dp * block)[order]
+    o_rel[flat] = rel[order]
+    o_norm[flat] = norm[order]
+    shape = (n_parts, n_parts, e_max)
     return RingPartitionedEdges(
-        src_local=o_src, dst_local=o_dst, rel=o_rel, norm=o_norm,
+        src_local=o_src.reshape(shape), dst_local=o_dst.reshape(shape),
+        rel=o_rel.reshape(shape), norm=o_norm.reshape(shape),
         n_parts=n_parts, block_size=block, n_nodes=store.n_nodes,
         n_rels=store.n_rels,
     )
