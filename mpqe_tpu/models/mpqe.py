@@ -220,6 +220,97 @@ def encode_dense(
     )
 
 
+def _perq_edge_coeff(params, edge_rel_q: jax.Array, j: int):
+    """Per-query basis coefficients for template edge slot j: [B, Bb]."""
+    return params["coeff"][edge_rel_q[:, j]]
+
+
+def encode_dense_multi(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,  # static
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    edge_rel_q: jax.Array,  # [B, n_edges] int32 — PER-QUERY relations
+    edge_norm_q: jax.Array,  # [B, n_edges] float32
+) -> jax.Array:
+    """Dense template forward with per-query relations: one device call
+    encodes queries of MANY formulas of the same structure at once.
+
+    The eval sweep's host bottleneck was one padded dispatch per formula
+    (reference protocol iterates formulas; SURVEY.md §3.4).  Here the
+    per-edge weight is contracted basis-first per query —
+    ``h_b = x_src @ V_b`` for each basis then ``sum_b coeff[rel_e, b]
+    h_b`` — costing ``num_bases``x the shared-relation FLOPs but
+    collapsing hundreds of dispatches into one.  Requires basis
+    decomposition (full-weight models would need a [B, d, d] gather; use
+    the per-formula path for those).
+    """
+    if "basis" not in params["layers"][0]:
+        raise ValueError(
+            "encode_dense_multi requires basis-decomposed layers "
+            "(num_bases); use encode_dense per formula for full-weight "
+            "models"
+        )
+    spec = STRUCTURES[structure]
+    steps = num_steps(cfg, structure)
+    if cfg.readout == "tgt":
+        plan = _live_slot_plan(spec, steps)
+    else:
+        all_slots = tuple(range(spec.n_nodes))
+        plan = [(all_slots, all_slots, tuple(range(spec.n_edges)))] * steps
+
+    in_slots0 = plan[0][0]
+    anchors = set(spec.anchor_slots)
+    cols = []
+    for s in in_slots0:
+        if s in anchors:
+            cols.append(params["emb"]["ent"][node_entity[:, s]])
+        else:
+            cols.append(params["emb"]["var"][node_mode[:, s]])
+    x = jnp.stack(cols, axis=1)  # [B, |in_slots0|, d]
+    cur_slots = in_slots0
+
+    for li, (in_slots, out_slots, edges) in enumerate(plan):
+        col = {s: i for i, s in enumerate(in_slots)}
+        lp = params["layers"][li]
+        basis = lp["basis"]  # [Bb, d, do]
+        # hoist the per-basis transform per needed source slot
+        src_slots = sorted({spec.edge_src[j] for j in edges})
+        h_b = {
+            s: jnp.einsum(
+                "bd,kdo->bko", x[:, col[s], :], basis,
+                preferred_element_type=jnp.float32,
+            )
+            for s in src_slots
+        }
+        outs = []
+        for s in out_slots:
+            acc = jnp.dot(
+                x[:, col[s], :], lp["w_self"],
+                preferred_element_type=jnp.float32,
+            )
+            for j in edges:
+                if spec.edge_dst[j] != s:
+                    continue
+                ce = _perq_edge_coeff(lp, edge_rel_q, j)  # [B, Bb]
+                msg = jnp.einsum(
+                    "bk,bko->bo", ce, h_b[spec.edge_src[j]],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + msg * edge_norm_q[:, j, None].astype(msg.dtype)
+            outs.append(acc + lp["bias"])
+        x = jnp.stack(outs, axis=1).astype(cfg.dtype)
+        cur_slots = out_slots
+        if li < steps - 1:
+            x = jax.nn.relu(x)
+    if cfg.readout == "tgt":
+        return x[:, cur_slots.index(spec.target_slot), :]
+    return readout_mod.readout_dense(
+        cfg.readout, params["readout"], x, spec.target_slot
+    )
+
+
 # ----------------------------------------------------------------------
 # Sparse forward — general graphs / distributed path
 # ----------------------------------------------------------------------
@@ -382,10 +473,10 @@ def dense_batch_loss(
     """Batch margin loss with a single fused entity-table access.
 
     Anchor, target, and negative indices concatenate into ONE
-    ``embedding_lookup`` so the backward performs one sorted/deduped
-    scatter instead of several full-table dense scatters — the round-1
-    train step's dominant cost (docs/roadmap.md; VERDICT round 1 item 2).
-    Math is identical to encoding + ``margin_loss_from_queries``.
+    ``embedding_lookup`` so the backward performs a single table scatter
+    instead of several — the round-1 train step's dominant cost
+    (docs/roadmap.md; VERDICT round 1 item 2).  Math is identical to
+    encoding + ``margin_loss_from_queries``.
     """
     a_slots = list(anchor_gather_slots(cfg, structure))
     n_a = len(a_slots)

@@ -7,18 +7,21 @@ full-table ``[n_entities, d]`` zero buffer and applies hundreds of
 thousands of random-row updates, and separate gathers (anchors, targets,
 negatives) each build their own (round 1: ~15 of 47 ms; docs/roadmap.md).
 
-Two fixes, composed here:
+Callers concatenate all per-batch entity indices and perform ONE lookup
+(one backward scatter instead of several) — see
+``models.mpqe.dense_batch_loss``.
 
-  * callers concatenate all per-batch entity indices and perform ONE
-    lookup (one scatter in the backward instead of several) — see
-    ``models.mpqe.dense_batch_loss``;
-  * :func:`embedding_lookup`'s custom VJP sorts the indices, segment-sums
-    duplicate rows, and scatters only unique rows in sorted order
-    (``indices_are_sorted`` + ``unique_indices``), which XLA lowers to a
-    far faster TPU scatter than the random-order duplicate-handling one.
+The backward scatter strategy is selectable.  Measured on a real v5e
+(tools/embed_scatter_exp.py, 917k scattered rows into a 1M x 128 table):
 
-Backward variants are kept selectable for benchmarking
-(tools/embed_scatter_exp.py measures them on the real chip).
+  dense (XLA default scatter-add)   23.7 ms   <- best, the default
+  fused single scatter              25.9 ms
+  argsort + sorted-scatter          32.6 ms
+  argsort + segment-dedup scatter   58.0 ms
+
+i.e. XLA's plain scatter already beats sorted/deduped reformulations on
+TPU — the sort machinery costs more than duplicate handling saves.  The
+variants are kept for re-benchmarking on other topologies/backends.
 """
 
 from __future__ import annotations
@@ -72,7 +75,7 @@ _SCATTERS = {
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def embedding_lookup(table: jax.Array, idx: jax.Array, grad_scatter: str = "dedup"):
+def embedding_lookup(table: jax.Array, idx: jax.Array, grad_scatter: str = "dense"):
     """``table[idx]`` with a backward scatter chosen by ``grad_scatter``.
 
     ``idx`` may be any integer shape; the result is ``idx.shape + (d,)``.

@@ -27,8 +27,8 @@ the relation vocabulary size is unbounded.
 
 The backward is custom-VJP: ``dxs`` reuses the same kernel with the
 transposed weights (row scaling commutes with the right-matmul), ``dW``
-per chunk is one XLA batched GEMM, and the entity-feature gradient
-scatters through the sorted/dedup scatter of ``ops/embed.py``.
+per chunk is one XLA batched GEMM, and the node-feature gradient uses
+XLA's dense scatter (measured fastest on-chip; see ``ops/embed.py``).
 """
 
 from __future__ import annotations
@@ -318,7 +318,9 @@ def _edge_messages_bwd(n_rels, chunk, interpret, res, g):
         dxs = _messages_pallas_basis(
             g, basis.transpose(0, 2, 1), ce, norm, chunk, interpret
         )
-    dx = embed_ops.scatter_add_dedup(n, src_cl, dxs.astype(x.dtype))
+    # measured on-chip: XLA's plain scatter beats the sorted/dedup
+    # reformulations (see ops/embed.py) — use the dense scatter here too
+    dx = embed_ops.scatter_add_dense(n, src_cl, dxs.astype(x.dtype))
 
     # per-chunk dW = xs^T @ (g * norm): one batched MXU GEMM (XLA)
     xs_c = xs.reshape(-1, chunk, d_in)

@@ -28,19 +28,27 @@ def initialize(
     """jax.distributed.initialize with env-var autodetection (TPU pods set
     everything automatically; args are for manual CPU/GPU clusters).
     Safe to call when already initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: must not probe jax.process_count()/jax.devices() here — those
+    # initialize the XLA backend, after which distributed init is illegal
     try:
-        if coordinator_address is None:
-            jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except ImportError:  # pragma: no cover - private API moved
+        pass
+    if coordinator_address is not None:
+        # explicit cluster spec: failures are real errors, never swallowed
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
+    try:
+        jax.distributed.initialize()
     except Exception:
-        # single-process environments (tests, one host) land here
+        # env-autodetect on single-process environments (tests, one host)
         pass
 
 

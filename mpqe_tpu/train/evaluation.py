@@ -29,9 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpqe_tpu.data.batcher import bucket_size, make_dense_batch
+from mpqe_tpu.data.batcher import (
+    bucket_size, make_dense_batch, template_edge_norm,
+)
 from mpqe_tpu.models import mpqe as mpqe_mod
-from mpqe_tpu.queries import INTERSECTION_STRUCTURES, Formula, Query
+from mpqe_tpu.queries import INTERSECTION_STRUCTURES, STRUCTURES, Formula, Query
 
 
 @functools.lru_cache(maxsize=None)
@@ -132,6 +134,218 @@ def _encode_and_score(
         np.asarray(neg)[:n_q],
         np.asarray(b.neg_mask)[:n_q],
     )
+
+
+# ----------------------------------------------------------------------
+# Batched eval: all formulas of a structure in ONE device sweep
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class EvalSet:
+    """Pre-flattened eval queries, concatenated across formulas.
+
+    The per-formula dispatch loop (reference protocol; SURVEY.md §3.4)
+    was the eval bottleneck: hundreds of small padded device calls per
+    validation round.  An EvalSet holds, per structure, one set of
+    arrays over ALL its formulas' queries — the per-query relation ids
+    make them encodable in a single call (``encode_dense_multi``).
+    Built once; reused every validation round.
+    """
+
+    by_structure: Dict[str, Dict[str, np.ndarray]]
+
+
+def make_eval_set(
+    queries_by_structure: Dict[str, Dict[Formula, List[Query]]],
+    max_queries_per_formula: Optional[int] = 1000,
+) -> EvalSet:
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for structure, by_formula in queries_by_structure.items():
+        spec = STRUCTURES[structure]
+        ne_l, nm_l, er_l, en_l = [], [], [], []
+        tgt_l, fid_l = [], []
+        neg_lists, hard_lists = [], []
+        n_formulas = 0
+        for formula, qs in by_formula.items():
+            if max_queries_per_formula:
+                qs = qs[:max_queries_per_formula]
+            qs = [q for q in qs if q.neg_samples]
+            if not qs:
+                continue
+            fid = n_formulas
+            n_formulas += 1
+            en = template_edge_norm(spec, formula.rels)
+            for q in qs:
+                ne = np.zeros((spec.n_nodes,), np.int32)
+                for a_i, s in enumerate(spec.anchor_slots):
+                    ne[s] = q.anchors[a_i]
+                ne_l.append(ne)
+                nm_l.append(np.asarray(formula.node_modes, np.int32))
+                er_l.append(np.asarray(formula.rels, np.int32))
+                en_l.append(en)
+                tgt_l.append(q.target)
+                fid_l.append(fid)
+                neg_lists.append(np.asarray(q.neg_samples, np.int32))
+                hard_lists.append(
+                    np.asarray(q.hard_neg_samples, np.int32))
+        if not tgt_l:
+            continue
+        neg_ptr = np.zeros(len(neg_lists) + 1, np.int64)
+        np.cumsum([len(x) for x in neg_lists], out=neg_ptr[1:])
+        hard_ptr = np.zeros(len(hard_lists) + 1, np.int64)
+        np.cumsum([len(x) for x in hard_lists], out=hard_ptr[1:])
+        out[structure] = dict(
+            node_entity=np.stack(ne_l),
+            node_mode=np.stack(nm_l),
+            edge_rel=np.stack(er_l),
+            edge_norm=np.stack(en_l),
+            target=np.asarray(tgt_l, np.int32),
+            formula_id=np.asarray(fid_l, np.int32),
+            neg_pool=(np.concatenate(neg_lists) if neg_ptr[-1]
+                      else np.zeros(0, np.int32)),
+            neg_ptr=neg_ptr,
+            hard_pool=(np.concatenate(hard_lists) if hard_ptr[-1]
+                       else np.zeros(0, np.int32)),
+            hard_ptr=hard_ptr,
+            n_formulas=np.int32(n_formulas),
+        )
+    return EvalSet(by_structure=out)
+
+
+def _sample_csr(pool, ptr, n_neg, rng):
+    """[Nq, n_neg] samples (with replacement) + mask from CSR pools."""
+    cnt = np.diff(ptr)
+    n_q = cnt.shape[0]
+    safe = np.maximum(cnt, 1)
+    r = rng.integers(0, 1 << 62, (n_q, n_neg)) % safe[:, None]
+    idx = ptr[:-1, None] + r
+    neg = pool[np.minimum(idx, max(pool.shape[0] - 1, 0))].astype(np.int32)
+    mask = (cnt > 0).astype(np.float32)[:, None] * np.ones(
+        (1, n_neg), np.float32)
+    return neg, mask
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_encode_fn():
+    return jax.jit(mpqe_mod.encode_dense_multi, static_argnums=(1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _score_batch_fn():
+    def f(params, cfg, structure, ne, nm, er, en, tgt, neg):
+        q = mpqe_mod.encode_dense_multi(params, cfg, structure, ne, nm, er, en)
+        ent = params["emb"]["ent"]
+        pos_s = mpqe_mod.score(cfg, q, ent[tgt])
+        neg_s = mpqe_mod.score(cfg, q[:, None, :], ent[neg])
+        return pos_s, neg_s
+
+    return jax.jit(f, static_argnums=(1, 2))
+
+
+def _apr_percentiles(pos, neg, mask):
+    """Vectorized per-query percentile of pos among its masked negatives."""
+    m = mask > 0
+    cnt = m.sum(axis=1)
+    below = ((neg < pos[:, None]) & m).sum(axis=1) + 0.5 * (
+        (neg == pos[:, None]) & m
+    ).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        perc = 100.0 * below / cnt
+    return perc[cnt > 0]
+
+
+def evaluate_batched(
+    params,
+    cfg: mpqe_mod.MPQEConfig,
+    eval_set: EvalSet,
+    n_neg: int = 64,
+    max_batch: int = 8192,
+    seed: int = 0,
+) -> EvalResult:
+    """One encode+score sweep per structure (chunked at ``max_batch``),
+    metrics reduced with vectorized numpy — no per-formula dispatches, no
+    per-query Python.  Same protocol as :func:`evaluate`."""
+    auc_s: Dict[str, float] = {}
+    apr_s: Dict[str, float] = {}
+    hard_s: Dict[str, float] = {}
+    score_fn = _score_batch_fn()
+    rng = np.random.default_rng(seed)
+    for structure, data in eval_set.by_structure.items():
+        n_q = data["target"].shape[0]
+        negs, mask = _sample_csr(
+            data["neg_pool"], data["neg_ptr"], n_neg, rng)
+        pos_all = np.zeros(n_q, np.float32)
+        neg_all = np.zeros((n_q, n_neg), np.float32)
+        for lo in range(0, n_q, max_batch):
+            hi = min(lo + max_batch, n_q)
+            B = bucket_size(hi - lo)
+
+            def pad(a, fill=0):
+                padded = np.full((B,) + a.shape[1:], fill, a.dtype)
+                padded[: hi - lo] = a[lo:hi]
+                return jnp.asarray(padded)
+
+            p_s, n_s = score_fn(
+                params, cfg, structure,
+                pad(data["node_entity"]), pad(data["node_mode"]),
+                pad(data["edge_rel"]), pad(data["edge_norm"], 1),
+                pad(data["target"]), pad(negs),
+            )
+            pos_all[lo:hi] = np.asarray(p_s)[: hi - lo]
+            neg_all[lo:hi] = np.asarray(n_s)[: hi - lo]
+
+        # per-formula AUC, macro-averaged (reference protocol)
+        fid = data["formula_id"]
+        f_aucs = []
+        for f in range(int(data["n_formulas"])):
+            sel = fid == f
+            msel = mask[sel] > 0
+            a = roc_auc(pos_all[sel][msel.any(axis=1)], neg_all[sel][msel])
+            if np.isfinite(a):
+                f_aucs.append(a)
+        if f_aucs:
+            auc_s[structure] = float(np.mean(f_aucs))
+        perc = _apr_percentiles(pos_all, neg_all, mask)
+        if perc.size:
+            apr_s[structure] = float(np.mean(perc))
+
+        if structure in INTERSECTION_STRUCTURES and data["hard_ptr"][-1]:
+            has_hard = np.diff(data["hard_ptr"]) > 0
+            hneg, hmask = _sample_csr(
+                data["hard_pool"], data["hard_ptr"], n_neg, rng)
+            hmask = hmask * has_hard[:, None]
+            f_hard = []
+            # hard negatives share the query vectors: one more scoring
+            # sweep with the hard pools (queries without hard negs are
+            # masked out)
+            hneg_s = np.zeros((n_q, n_neg), np.float32)
+            for lo in range(0, n_q, max_batch):
+                hi = min(lo + max_batch, n_q)
+                B = bucket_size(hi - lo)
+
+                def pad(a, fill=0):
+                    padded = np.full((B,) + a.shape[1:], fill, a.dtype)
+                    padded[: hi - lo] = a[lo:hi]
+                    return jnp.asarray(padded)
+
+                _, n_s = score_fn(
+                    params, cfg, structure,
+                    pad(data["node_entity"]), pad(data["node_mode"]),
+                    pad(data["edge_rel"]), pad(data["edge_norm"], 1),
+                    pad(data["target"]), pad(hneg),
+                )
+                hneg_s[lo:hi] = np.asarray(n_s)[: hi - lo]
+            for f in range(int(data["n_formulas"])):
+                sel = (fid == f) & has_hard
+                if not sel.any():
+                    continue
+                msel = hmask[sel] > 0
+                a = roc_auc(
+                    pos_all[sel][msel.any(axis=1)], hneg_s[sel][msel])
+                if np.isfinite(a):
+                    f_hard.append(a)
+            if f_hard:
+                hard_s[structure] = float(np.mean(f_hard))
+    return EvalResult(auc_s, apr_s, hard_s)
 
 
 def evaluate(

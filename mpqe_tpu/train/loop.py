@@ -269,6 +269,23 @@ def run_train(
     structures = [s for s in stores if stores[s]]
     if warmup:
         warmup_train_step(train_step, cfg, tc, structures)
+    # validation path: batched single-sweep eval when the model supports
+    # per-query-relation encoding (basis MPQE), else per-formula
+    eval_set = None
+    if (
+        val_queries
+        and eval_encode_fn is None
+        and isinstance(cfg, mpqe_mod.MPQEConfig)
+        and cfg.num_bases is not None
+    ):
+        eval_set = evaluation.make_eval_set(val_queries)
+
+    def run_validation():
+        if eval_set is not None:
+            return evaluation.evaluate_batched(state.params, cfg, eval_set)
+        return evaluation.evaluate(
+            state.params, cfg, val_queries, encode_fn=eval_encode_fn)
+
     burn_in = tc.burn_in_structure in structures and len(structures) > 1
     losses: collections.deque = collections.deque(maxlen=tc.conv_window)
     best_val = -np.inf
@@ -369,7 +386,7 @@ def run_train(
 
         if val_queries and state.step // tc.val_every > last_val_bucket:
             last_val_bucket = state.step // tc.val_every
-            res = evaluation.evaluate(state.params, cfg, val_queries, encode_fn=eval_encode_fn)
+            res = run_validation()
             metric = res.macro_auc
             if log_fn:
                 log_fn({"step": state.step, "val": res.flat()})

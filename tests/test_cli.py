@@ -26,6 +26,27 @@ def test_train_then_evaluate(tmp_path):
     eval_mod.main(["--run_dir", run_dir, "--split", "--n_neg", "16"])
 
 
+def test_train_parallel_halo_cli(tmp_path):
+    """--parallel halo_ring trains through the edge-partitioned shard_map
+    layers on the virtual CPU mesh (conftest forces 8 fake devices)."""
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    state = train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "2",
+        "--num_bases", "4", "--steps", "30", "--val_every", "25",
+        "--batch_size", "32", "--n_neg", "2",
+        "--structures", "1-chain,2-chain",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "120", "--syn_val_queries", "24",
+        "--parallel", "halo_ring", "--mesh", "8,1",
+        "--run_dir", run_dir,
+    ])
+    assert state.step == 30
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
+    assert any('"mesh"' in ln for ln in lines)
+
+
 def test_train_gqe_cli(tmp_path):
     import train as train_mod
 

@@ -62,6 +62,77 @@ def test_evaluate_end_to_end():
     assert 0.2 <= res.macro_auc <= 0.8
 
 
+def test_encode_dense_multi_matches_per_formula():
+    """Per-query-relation batched encoder == encode_dense per formula on
+    the concatenation of several formulas of one structure (exact)."""
+    import jax.numpy as jnp
+    from mpqe_tpu.data.batcher import make_dense_batch
+
+    kg = make_random_kg(n_entities=120, n_modes=3, n_base_rels=4,
+                        n_triples=900, seed=9)
+    sampler = QuerySampler(kg, seed=7)
+    qs = sampler.sample_queries("3-chain_inter", 40, n_neg=4)
+    grouped = group_queries_by_formula(qs)["3-chain_inter"]
+    assert len(grouped) >= 2, "need several formulas for the test"
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=3, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(1), cfg)
+
+    es = evaluation.make_eval_set({"3-chain_inter": grouped})
+    data = es.by_structure["3-chain_inter"]
+    got = np.asarray(mpqe_mod.encode_dense_multi(
+        params, cfg, "3-chain_inter",
+        jnp.asarray(data["node_entity"]), jnp.asarray(data["node_mode"]),
+        jnp.asarray(data["edge_rel"]), jnp.asarray(data["edge_norm"]),
+    ))
+
+    # per-formula oracle in the same (formula-major) order
+    rows = []
+    for formula, fqs in grouped.items():
+        fqs = [q for q in fqs if q.neg_samples]
+        if not fqs:
+            continue
+        b = make_dense_batch(formula, fqs, batch_size=len(fqs), n_neg=1)
+        q = np.asarray(mpqe_mod.encode_dense(
+            params, cfg, "3-chain_inter",
+            jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+            jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+        ))
+        rows.append(q[: b.n_queries])
+    want = np.concatenate(rows)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_evaluate_batched_matches_per_formula_eval():
+    """evaluate_batched ~= evaluate on the same queries (sampling of
+    negatives differs, so compare with full pools: n_neg >= pool size and
+    the AUC over sampled-with-replacement negatives stays close)."""
+    kg = make_random_kg(n_entities=100, n_modes=2, n_base_rels=3,
+                        n_triples=800, seed=5)
+    sampler = QuerySampler(kg, seed=2)
+    qs = (sampler.sample_queries("1-chain", 40, n_neg=16)
+          + sampler.sample_queries("2-inter", 30, n_neg=16, n_hard_neg=16))
+    grouped = group_queries_by_formula(qs)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=2, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    res_old = evaluation.evaluate(params, cfg, grouped, n_neg=64)
+    es = evaluation.make_eval_set(grouped)
+    res_new = evaluation.evaluate_batched(params, cfg, es, n_neg=64)
+    assert set(res_new.auc_by_structure) == set(res_old.auc_by_structure)
+    for s in res_old.auc_by_structure:
+        assert abs(res_new.auc_by_structure[s]
+                   - res_old.auc_by_structure[s]) < 0.08, s
+        assert abs(res_new.apr_by_structure[s]
+                   - res_old.apr_by_structure[s]) < 8.0, s
+    assert set(res_new.hard_auc_by_structure) == set(
+        res_old.hard_auc_by_structure)
+
+
 def test_full_ranking_metrics():
     from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
     kg = make_random_kg(n_entities=80, n_modes=2, n_base_rels=3,

@@ -63,6 +63,14 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=1,
                    help=">1: scan K train steps per device dispatch")
+    p.add_argument("--parallel", default="none",
+                   choices=["none", "spmd", "halo_ring", "halo_gather"],
+                   help="distributed train step: spmd = GSPMD DP+TP+EP; "
+                        "halo_* = explicit edge-partitioned shard_map "
+                        "layers (ppermute ring / all_gather halo)")
+    p.add_argument("--mesh", default="",
+                   help="mesh shape 'data,model' (default: all devices "
+                        "on the data axis)")
     p.add_argument("--prefetch", type=int, default=0,
                    help=">0: background batch pipeline depth")
     p.add_argument("--warmup", action="store_true",
@@ -167,6 +175,31 @@ def main(argv=None):
     )
     metrics.write_config(dataclasses.asdict(cfg), "model_config.json")
 
+    train_step = None
+    if args.parallel != "none":
+        if args.model != "rgcn":
+            raise SystemExit("--parallel requires --model rgcn")
+        from mpqe_tpu.parallel import mesh as mesh_lib
+
+        shape = (tuple(int(x) for x in args.mesh.split(","))
+                 if args.mesh else (len(jax.devices()), 1))
+        mesh = mesh_lib.make_mesh(
+            shape, devices=jax.devices()[: shape[0] * shape[1]])
+        metrics.log({"event": "mesh", "shape": dict(mesh.shape)})
+        if args.parallel == "spmd":
+            from mpqe_tpu.parallel import spmd as spmd_lib
+
+            _, train_step = spmd_lib.make_spmd_train_step(
+                cfg, tc, mesh, shard_entity_table=True)
+        else:
+            from mpqe_tpu.parallel import halo_train
+
+            train_step = halo_train.make_halo_train_step(
+                cfg, tc, mesh,
+                layer_kind="ring" if args.parallel == "halo_ring"
+                else "gather",
+            )
+
     state = loop_mod.init_train_state(
         jax.random.PRNGKey(args.seed), cfg, tc,
         init_fn=init_fn if args.model != "rgcn" else None,
@@ -189,6 +222,7 @@ def main(argv=None):
     state = loop_mod.run_train(
         state, cfg, tc, train_q, val_queries=val_q,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
+        train_step=train_step,
         batch_loss_fn=batch_loss_fn, eval_encode_fn=eval_encode_fn,
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
