@@ -125,6 +125,27 @@ class QuerySampler:
             out.append(q)
         return out
 
+    def all_edge_queries(self, n_neg: int = 32) -> List[Query]:
+        """One 1-chain query per DIRECTED KG edge — the reference's
+        ``train_edges.pkl`` protocol (SURVEY.md §A.3): 1-chain training
+        covers every edge, so multi-hop held-out queries test the
+        composition of seen edges rather than unseen-edge prediction."""
+        out: List[Query] = []
+        src, rel, dst = self.kg.directed_edges()
+        answers_cache: dict = {}
+        for h, r, t in zip(src, rel, dst):
+            h, r, t = int(h), int(r), int(t)
+            if (r, h) not in answers_cache:
+                answers_cache[(r, h)] = set(
+                    int(x) for x in self.kg.neighbors(r, h))
+            t_mode = int(self.kg.rel_id_modes(r)[1])
+            formula = Formula(
+                "1-chain", (r,), (int(self.kg.entity_mode[h]), t_mode))
+            negs = self._sample_negatives(
+                t_mode, answers_cache[(r, h)], n_neg)
+            out.append(Query(formula, (h,), t, negs, ()))
+        return out
+
     # ------------------------------------------------------------------
     def _instantiate(
         self, spec: QueryStructure
@@ -279,6 +300,70 @@ def make_random_kg(
         [by_mode[rel_range[r]][rng.integers(len(by_mode[rel_range[r]]))] for r in rels]
     )
     triples = np.stack([heads, rels, tails], axis=1).astype(np.int32)
+    triples = np.unique(triples, axis=0)
+    return make_knowledge_graph(
+        triples,
+        entity_mode,
+        n_base_rels,
+        rel_domain=rel_domain,
+        rel_range=rel_range,
+    )
+
+
+def make_rule_kg(
+    n_entities: int = 600,
+    n_modes: int = 3,
+    n_base_rels: int = 6,
+    out_degree: int = 2,
+    seed: int = 0,
+) -> KnowledgeGraph:
+    """A rule-structured KG with LEARNABLE deterministic relations.
+
+    Entities of each mode sit on a g x g torus grid (a shared latent
+    geometry); relation r maps grid point p in its domain mode to
+    ``p + delta_{r,k}`` (mod g) in its range mode, for ``out_degree``
+    fixed shift vectors delta.  The edge set is thus generated by a few
+    global rules: embeddings can discover the latent coordinates from the
+    (fully observed) 1-chain edges, after which unseen multi-hop
+    COMPOSITIONS follow from the geometry — held-out compositional AUC
+    has a ~1.0 ceiling.  (A random-permutation relation would be
+    incompressible: no model could generalize to held-out compositions.)
+
+    This is the quality-benchmark substrate for the MPQE-vs-GQE
+    comparison (VERDICT round 1, item 4; reference protocol
+    SURVEY.md §A.4).  Unlike :func:`make_random_kg`, whose
+    (anchor, relation) -> answer mappings are unpredictable noise.
+    """
+    rng = np.random.default_rng(seed)
+    per_mode = n_entities // n_modes
+    g = int(np.floor(np.sqrt(per_mode)))
+    per_mode = g * g  # truncate to a full grid
+    n_entities = per_mode * n_modes
+    entity_mode = np.repeat(
+        np.arange(n_modes), per_mode).astype(np.int32)
+    base = np.arange(n_modes) * per_mode  # first entity id of each mode
+
+    rel_domain = np.asarray(
+        [r % n_modes for r in range(n_base_rels)], np.int32)
+    rel_range = np.asarray(
+        [(r + 1 + (r // n_modes)) % n_modes for r in range(n_base_rels)],
+        np.int32,
+    )
+    idx = np.arange(per_mode)
+    gi, gj = idx % g, idx // g
+    heads, rels, tails = [], [], []
+    for r in range(n_base_rels):
+        shifts = rng.integers(0, g, size=(out_degree, 2))
+        for a, b in shifts:
+            ti = (gi + a) % g
+            tj = (gj + b) % g
+            heads.append(base[rel_domain[r]] + idx)
+            rels.append(np.full(per_mode, r))
+            tails.append(base[rel_range[r]] + ti + tj * g)
+    triples = np.stack(
+        [np.concatenate(heads), np.concatenate(rels), np.concatenate(tails)],
+        axis=1,
+    ).astype(np.int32)
     triples = np.unique(triples, axis=0)
     return make_knowledge_graph(
         triples,

@@ -103,15 +103,20 @@ def chunk_by_relation(
 # Kernels
 # ----------------------------------------------------------------------
 def _msg_kernel_basis(ccoeff_ref, xs_ref, basis_ref, norm_ref, out_ref):
-    """Per chunk: W = sum_b ccoeff[i, b] * basis[b]; out = (xs @ W) * norm."""
+    """Per chunk: W = sum_b ccoeff[b, i] * basis[b]; out = (xs @ W) * norm.
+
+    ``ccoeff`` is [Bb, n_chunks] — basis-major — because SMEM aligns each
+    prefetched row to 512 bytes: chunk-major would cost n_chunks * 512 B
+    of SMEM (over the 1 MB budget at ~2k chunks), basis-major only Bb
+    rows."""
     i = pl.program_id(0)
     bb = basis_ref.shape[0]
     # static unroll: scalar * matrix accumulation (Mosaic supports neither
     # rank-1 dot_general nor 1D->3D broadcasts); coefficients arrive
     # pre-gathered + pad-masked through scalar prefetch (SMEM)
-    w = ccoeff_ref[i, 0] * basis_ref[0]
+    w = ccoeff_ref[0, i] * basis_ref[0]
     for b in range(1, bb):
-        w += ccoeff_ref[i, b] * basis_ref[b]
+        w += ccoeff_ref[b, i] * basis_ref[b]
     hp = jax.lax.Precision.HIGHEST
     msg = jnp.dot(xs_ref[:], w, preferred_element_type=jnp.float32,
                   precision=hp)
@@ -177,7 +182,7 @@ def _messages_pallas_basis(
         out_shape=jax.ShapeDtypeStruct((e_pad, do_pad), jnp.float32),
         interpret=interpret,
     )(
-        chunk_coeff.astype(jnp.float32),
+        chunk_coeff.T.astype(jnp.float32),  # [Bb, n_chunks]: see kernel doc
         xs_p,
         basis_p.astype(jnp.float32),
         norm.reshape(-1, 1).astype(jnp.float32),

@@ -34,6 +34,7 @@ from mpqe_tpu.train import evaluation
 @dataclasses.dataclass
 class TrainConfig:
     lr: float = 0.01
+    lr_schedule: str = "const"  # const | cosine (decay to lr/100 over max_steps)
     batch_size: int = 512
     n_neg: int = 1
     max_steps: int = 100_000
@@ -48,10 +49,17 @@ class TrainConfig:
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    if tc.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            tc.lr, decay_steps=max(tc.max_steps, 1), alpha=0.01)
+    elif tc.lr_schedule == "const":
+        lr = tc.lr
+    else:
+        raise ValueError(tc.lr_schedule)
     if tc.optimizer == "adam":
-        return optax.adam(tc.lr)
+        return optax.adam(lr)
     if tc.optimizer == "sgd":
-        return optax.sgd(tc.lr)
+        return optax.sgd(lr)
     raise ValueError(tc.optimizer)
 
 

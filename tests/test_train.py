@@ -95,6 +95,54 @@ def test_curriculum_burn_in_transitions():
     assert "2-inter" in full_structs
 
 
+def test_checkpoint_manager_best_k_and_async(tmp_path, setting):
+    """Best-k retention: only the k best-metric checkpoints survive (plus
+    metric-less saves); save() returns before the commit must be awaited;
+    restore of the best checkpoint round-trips."""
+    import os
+
+    kg, cfg, train_q, val_q = setting
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=16, n_neg=2)
+    mgr = ckpt_mod.CheckpointManager(str(tmp_path), keep_best=2)
+    states = []
+    for step, metric in [(10, 0.5), (20, 0.9), (30, 0.2), (40, 0.7)]:
+        st = loop_mod.init_train_state(jax.random.PRNGKey(step), cfg, tc)
+        st.step = step
+        states.append(st)
+        mgr.save(st, metric=metric)
+    mgr.wait()
+    kept = sorted(os.listdir(str(tmp_path)))
+    assert kept == ["step_20", "step_40"], kept  # best two metrics
+    assert mgr.best().endswith("step_20")
+    # metric-less saves are never pruned
+    st_final = states[-1]
+    st_final.step = 99
+    mgr.save(st_final, wait=True)
+    mgr.close()
+    assert "step_99" in os.listdir(str(tmp_path))
+    restored = ckpt_mod.restore_checkpoint(mgr.best(), states[1])
+    assert restored.step == 20
+    a = jax.tree_util.tree_leaves(states[1].params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_latest_checkpoint_skips_interrupted_tmp_dirs(tmp_path, setting):
+    """A crash mid-save leaves an Orbax tmp dir; resume must pick the
+    previous committed checkpoint, not the torn one."""
+    import os
+
+    kg, cfg, train_q, val_q = setting
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=16, n_neg=2)
+    st = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    st.step = 100
+    ckpt_mod.save_checkpoint(str(tmp_path), st)
+    # simulate an interrupted later save (uncommitted tmp dir)
+    os.makedirs(str(tmp_path / "step_200.orbax-checkpoint-tmp-123456"))
+    latest = ckpt_mod.latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("step_100")
+
+
 def test_validation_fires_on_boundary_crossing_with_multistep(setting):
     """With steps_per_call=K the step counter strides by K; validation must
     fire on every val_every boundary crossing, not only when a multiple of

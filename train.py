@@ -77,6 +77,8 @@ def parse_args(argv=None):
                    help="AOT-compile all (structure, bucket) programs before training")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --run_dir")
+    p.add_argument("--keep_best", type=int, default=3,
+                   help="retain only the best-k validation checkpoints")
     p.add_argument("--structures", default="all",
                    help="comma list or 'all' or 'chains'")
     # synthetic data knobs
@@ -214,8 +216,11 @@ def main(argv=None):
         else:
             metrics.log({"event": "resume_requested_no_checkpoint"})
 
+    manager = ckpt_mod.CheckpointManager(ckpt_dir, keep_best=args.keep_best)
+
     def checkpoint_fn(st, metric):
-        path = ckpt_mod.save_checkpoint(ckpt_dir, st)
+        # async: the commit overlaps the next training steps
+        path = manager.save(st, metric=metric)
         metrics.log({"step": st.step, "event": "checkpoint",
                      "path": path, "val_auc": metric})
 
@@ -228,8 +233,9 @@ def main(argv=None):
         steps_per_call=args.steps_per_call,
     )
     # always save a final checkpoint (best-val checkpoints only exist when
-    # validation ran during training)
-    final_path = ckpt_mod.save_checkpoint(ckpt_dir, state)
+    # validation ran during training); metric-less saves are never pruned
+    final_path = manager.save(state, wait=True)
+    manager.close()
     metrics.log({"step": state.step, "event": "final_checkpoint",
                  "path": final_path})
     res = evaluation.evaluate(state.params, cfg, val_q, encode_fn=eval_encode_fn)
