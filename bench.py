@@ -111,7 +111,12 @@ def bench_jax():
     log(f"compiling forward (B={B}) on {jax.default_backend()}...")
     fwd_dt = _timed_loop(fwd_loop, params, edge_norm)
     fwd_edges_s = edge_msgs_per_fwd / fwd_dt
-    log(f"fwd: {fwd_dt*1e3:.3f} ms -> {fwd_edges_s:.3e} edge-msgs/s")
+    from mpqe_tpu.utils import profiling
+    rl = profiling.mpqe_fwd_roofline(B, cfg, STRUCTURE)
+    roofline_fraction = rl.min_seconds / fwd_dt
+    log(f"fwd: {fwd_dt*1e3:.3f} ms -> {fwd_edges_s:.3e} edge-msgs/s "
+        f"({100*roofline_fraction:.0f}% of {rl.bound}-bound "
+        f"speed-of-light {rl.min_seconds*1e3:.3f} ms)")
 
     # full train step: fwd + bwd + adam, params/opt carried on device
     tc = loop_mod.TrainConfig(lr=0.01, batch_size=B, n_neg=N_NEG)
@@ -151,7 +156,167 @@ def bench_jax():
         "batch": B,
         "edge_msgs_per_fwd": edge_msgs_per_fwd,
         "logical_edge_msgs_per_fwd": logical_msgs_per_fwd,
+        "roofline_fraction": roofline_fraction,
+        "roofline_bound": rl.bound,
+        "roofline_min_ms": rl.min_seconds * 1e3,
     }
+
+
+# BASELINE.json configs 1-4 as measurable shapes (real datasets are not
+# available offline; entity/relation counts approximate the named KGs).
+# Opt-in via MPQE_BENCH_MATRIX=1 — each row costs two remote compiles.
+MATRIX_CONFIGS = [
+    dict(name="aifb_1chain_L1_sum", n_entities=8_285, n_rels=90,
+         n_layers=1, num_bases=0, readout="sum", structure="1-chain",
+         batch=128),
+    dict(name="mutag_2chain_L2", n_entities=27_163, n_rels=92,
+         n_layers=2, num_bases=0, readout="tgt", structure="2-chain",
+         batch=512),
+    dict(name="am_3chain_inter_L3_tgt", n_entities=1_000_000, n_rels=266,
+         n_layers=3, num_bases=16, readout="tgt",
+         structure="3-chain_inter", batch=131_072),
+    dict(name="bio_3inter_basis", n_entities=162_000, n_rels=102,
+         n_layers=3, num_bases=16, readout="tgt", structure="3-inter",
+         batch=8_192),
+]
+
+
+def bench_matrix():
+    """Per-config fwd/train measurements (BASELINE.json configs 1-4)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+    from mpqe_tpu.utils import profiling
+
+    rows = []
+    for mc in MATRIX_CONFIGS:
+        spec = STRUCTURES[mc["structure"]]
+        cfg = mpqe_mod.MPQEConfig(
+            n_entities=mc["n_entities"], n_modes=N_MODES,
+            n_rels=mc["n_rels"], embed_dim=D, n_layers=mc["n_layers"],
+            num_bases=mc["num_bases"] or None, readout=mc["readout"],
+        )
+        params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        B = mc["batch"]
+        ne = jnp.asarray(rng.integers(
+            0, cfg.n_entities, (B, spec.n_nodes)).astype(np.int32))
+        nm = jnp.asarray(rng.integers(
+            0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+        er = jnp.asarray(rng.integers(
+            0, cfg.n_rels, (spec.n_edges,)).astype(np.int32))
+        en = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+        tgt = jnp.asarray(rng.integers(
+            0, cfg.n_entities, (B,)).astype(np.int32))
+        neg = jnp.asarray(rng.integers(
+            0, cfg.n_entities, (B, N_NEG)).astype(np.int32))
+        nmask = jnp.asarray(np.ones((B, N_NEG), np.float32))
+        qmask = jnp.asarray(np.ones((B,), np.float32))
+        msgs = B * mpqe_mod.executed_edge_messages(cfg, mc["structure"])
+
+        @jax.jit
+        def fwd_loop(params, en0, n):
+            def body(i, carry):
+                e, acc = carry
+                q = mpqe_mod.encode_dense(
+                    params, cfg, mc["structure"], ne, nm, er, e)
+                return e + q[0, : spec.n_edges] * 1e-20, acc + q[0, 0]
+            _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
+            return acc
+
+        log(f"[matrix {mc['name']}] compiling forward...")
+        fwd_dt = _timed_loop(fwd_loop, params, en)
+        rl = profiling.mpqe_fwd_roofline(B, cfg, mc["structure"])
+
+        opt = optax.adam(0.01)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step_loop(params, opt_state, n):
+            def body(i, carry):
+                p, o, _ = carry
+                def loss_fn(pp):
+                    return mpqe_mod.dense_batch_loss(
+                        pp, cfg, mc["structure"], ne, nm, er, en, tgt,
+                        neg, nmask, qmask)
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                up, o = opt.update(grads, o, p)
+                return optax.apply_updates(p, up), o, loss
+            _, _, loss = jax.lax.fori_loop(
+                0, n, body, (params, opt_state, jnp.float32(0)))
+            return loss
+
+        log(f"[matrix {mc['name']}] compiling train step...")
+        step_dt = _timed_loop(step_loop, params, opt_state)
+        rows.append({
+            "name": mc["name"], "batch": B,
+            "fwd_ms": fwd_dt * 1e3,
+            "fwd_edges_per_s": msgs / fwd_dt,
+            "roofline_fraction": rl.min_seconds / fwd_dt,
+            "train_step_ms": step_dt * 1e3,
+            "train_queries_per_s": B / step_dt,
+        })
+        log(f"[matrix {mc['name']}] fwd {fwd_dt*1e3:.2f} ms, "
+            f"step {step_dt*1e3:.2f} ms")
+    return rows
+
+
+def bench_shared_negatives():
+    """Train-step time with batch-shared negatives (protocol VARIANT,
+    clearly labeled — the per-query-negatives number stays the headline).
+    Random-row table transactions bound the step (BASELINE.md), so
+    sharing the negative set across the batch cuts gathered+scattered
+    rows ~2x."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
+        embed_dim=D, n_layers=N_LAYERS, num_bases=NUM_BASES, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, K = BATCH, 512
+    ne = jnp.asarray(rng.integers(
+        0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(
+        0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    er = jnp.asarray(rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    en = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+    tgt = jnp.asarray(rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+    sneg = jnp.asarray(rng.integers(0, N_ENTITIES, (K,)).astype(np.int32))
+    qmask = jnp.asarray(np.ones((B,), np.float32))
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_loop(params, opt_state, n):
+        def body(i, carry):
+            p, o, _ = carry
+
+            def loss_fn(pp):
+                return mpqe_mod.dense_batch_loss_shared_negs(
+                    pp, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            up, o = opt.update(grads, o, p)
+            return optax.apply_updates(p, up), o, loss
+
+        _, _, loss = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0)))
+        return loss
+
+    log("[shared-neg] compiling train step...")
+    dt = _timed_loop(step_loop, params, opt_state)
+    log(f"[shared-neg] train step: {dt*1e3:.3f} ms")
+    return {"train_step_ms": dt * 1e3, "train_queries_per_s": BATCH / dt,
+            "n_shared_negatives": K, "protocol": "shared_negatives_variant"}
 
 
 def bench_torch_baseline():
@@ -258,6 +423,8 @@ def bench_torch_baseline():
 
 
 def main():
+    import os
+
     tb = bench_torch_baseline()  # run first: clean CPU, no tunnel interference
     jx = bench_jax()
     vs = (
@@ -267,6 +434,9 @@ def main():
     extra = dict(jx)
     if tb:
         extra.update(tb)
+    if os.environ.get("MPQE_BENCH_MATRIX"):
+        extra["configs"] = bench_matrix()
+        extra["shared_neg_variant"] = bench_shared_negatives()
     record = {
         "metric": "rgcn_fwd_edges_per_s_chip",
         "value": jx["fwd_edges_per_s"],

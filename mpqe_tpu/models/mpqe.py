@@ -311,6 +311,52 @@ def encode_dense_multi(
     )
 
 
+def dense_batch_loss_shared_negs(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,  # [B]
+    shared_negatives: jax.Array,  # [K] — ONE negative set for the batch
+    query_mask: jax.Array,  # [B]
+) -> jax.Array:
+    """Margin loss with batch-shared negatives (protocol VARIANT).
+
+    The reference protocol stores per-query negatives; this variant
+    scores every query against one shared set of K candidates, so the
+    entity-table traffic drops from (anchors + 1 + K) to (anchors + 1)
+    rows per query plus K rows per batch — on TPU the random-row
+    transactions are the train-step bottleneck (BASELINE.md round 2), so
+    this is the ~35 ms step configuration.  Negative scoring becomes one
+    [B, d] @ [d, K] MXU matmul.  Off by default; enable knowingly.
+    """
+    a_slots = list(anchor_gather_slots(cfg, structure))
+    n_a = len(a_slots)
+    idx = jnp.concatenate([node_entity[:, a_slots], target[:, None]], axis=1)
+    rows = embed_ops.embedding_lookup(params["emb"]["ent"], idx)
+    anchor_rows = rows[:, :n_a, :]
+    pos_rows = rows[:, n_a, :]
+    neg_rows = embed_ops.embedding_lookup(
+        params["emb"]["ent"], shared_negatives)  # [K, d]
+    q = encode_dense(
+        params, cfg, structure, node_entity, node_mode, edge_rel, edge_norm,
+        anchor_rows=anchor_rows,
+    )
+    qf = q.astype(jnp.float32)
+    nf = neg_rows.astype(jnp.float32)
+    if cfg.scale_scores:
+        qf = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True) + 1e-12)
+        nf = nf / (jnp.linalg.norm(nf, axis=-1, keepdims=True) + 1e-12)
+    pos = score(cfg, q, pos_rows)  # [B]
+    neg = jnp.dot(qf, nf.T, preferred_element_type=jnp.float32)  # [B, K]
+    viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
+    w = query_mask[:, None] * jnp.ones((1, neg.shape[1]), viol.dtype)
+    return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 # ----------------------------------------------------------------------
 # Sparse forward — general graphs / distributed path
 # ----------------------------------------------------------------------

@@ -106,6 +106,46 @@ def rgcn_dense_roofline(
     )
 
 
+def mpqe_fwd_roofline(
+    batch: int,
+    cfg,
+    structure: str,
+    flops_peak: float = TPU_V5E_FP32_FLOPS,
+    hbm_peak: float = TPU_V5E_HBM_GBS,
+) -> RGCNRoofline:
+    """Speed-of-light for the PRODUCTION MPQE dense forward — accounts for
+    the dead-slot-pruned TGT plan (only executed slot-matmuls/messages
+    count) so the roofline fraction reported by bench.py reflects the
+    program that actually runs."""
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+
+    spec = STRUCTURES[structure]
+    steps = mpqe_mod.num_steps(cfg, structure)
+    d = cfg.embed_dim
+    if cfg.readout == "tgt":
+        plan = mpqe_mod._live_slot_plan(spec, steps)
+    else:
+        all_slots = tuple(range(spec.n_nodes))
+        plan = [(all_slots, all_slots, tuple(range(spec.n_edges)))] * steps
+    n_self = sum(len(out) for _, out, _ in plan)
+    n_msgs = sum(len(edges) for _, _, edges in plan)
+    n_anchor_gathers = len(
+        [s for s in plan[0][0] if s in set(spec.anchor_slots)])
+    flops = 2.0 * batch * d * d * (n_self + n_msgs)
+    # bytes: anchor entity-row gathers + per-layer activation traffic
+    # (reads+writes of live slots; XLA fuses elementwise, matmul outputs
+    # still round-trip) + final query vector write
+    act_rows = sum(len(out) for _, out, _ in plan)
+    hbm = batch * d * 4 * (n_anchor_gathers + 2 * act_rows + 1)
+    return RGCNRoofline(
+        flops=flops,
+        hbm_bytes=hbm,
+        compute_s=flops / flops_peak,
+        memory_s=hbm / hbm_peak,
+    )
+
+
 class StepTimer:
     """Lightweight wall-clock step timer with percentile summaries for the
     training loop's JSONL metrics."""

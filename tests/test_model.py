@@ -127,6 +127,31 @@ def test_fused_gather_loss_matches_naive(kg, structure, readout):
         )
 
 
+def test_shared_negatives_loss_matches_expanded(kg):
+    """Batch-shared-negatives loss == the per-query loss with the shared
+    set replicated to every query (same math, fewer table rows)."""
+    cfg = _cfg(kg, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(4), cfg)
+    b = _batch(kg, "2-chain", B=16, n_neg=4)
+    K = 8
+    rng = np.random.default_rng(11)
+    sneg = jnp.asarray(rng.integers(0, kg.n_entities, K).astype(np.int32))
+    arrays = (
+        jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+        jnp.asarray(b.target),
+    )
+    qmask = jnp.asarray(b.query_mask)
+    got = float(mpqe_mod.dense_batch_loss_shared_negs(
+        params, cfg, "2-chain", *arrays, sneg, qmask))
+    # oracle: replicate the shared set as per-query negatives
+    neg_rep = jnp.broadcast_to(sneg[None, :], (16, K))
+    want = float(mpqe_mod.dense_batch_loss(
+        params, cfg, "2-chain", *arrays, neg_rep,
+        jnp.ones((16, K), jnp.float32), qmask))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_tgt_depth_equals_diameter(kg):
     cfg = _cfg(kg, readout="tgt", n_layers=3)
     assert mpqe_mod.num_steps(cfg, "1-chain") == 1
