@@ -50,16 +50,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _timed_loop(loop_fn, *args):
+def _timed_loop(loop_fn, *args, n_small=N_SMALL, n_large=N_LARGE):
     """Overhead-cancelled per-iteration seconds for loop_fn(*args, n)."""
     float(loop_fn(*args, 2))  # compile + sync
     t0 = time.perf_counter()
-    float(loop_fn(*args, N_SMALL))
+    float(loop_fn(*args, n_small))
     t_small = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(loop_fn(*args, N_LARGE))
+    float(loop_fn(*args, n_large))
     t_large = time.perf_counter() - t0
-    return max(t_large - t_small, 1e-9) / (N_LARGE - N_SMALL)
+    return max(t_large - t_small, 1e-9) / (n_large - n_small)
 
 
 def bench_jax():
@@ -227,7 +227,12 @@ def bench_matrix():
             return acc
 
         log(f"[matrix {mc['name']}] compiling forward...")
-        fwd_dt = _timed_loop(fwd_loop, params, en)
+        # small shapes finish in microseconds: need many more loop
+        # iterations than the flagship or relay dispatch noise swamps the
+        # overhead-cancelled difference
+        n_small, n_large = (500, 5500) if B <= 8192 else (N_SMALL, N_LARGE)
+        fwd_dt = _timed_loop(fwd_loop, params, en,
+                             n_small=n_small, n_large=n_large)
         rl = profiling.mpqe_fwd_roofline(B, cfg, mc["structure"])
 
         opt = optax.adam(0.01)
@@ -249,7 +254,9 @@ def bench_matrix():
             return loss
 
         log(f"[matrix {mc['name']}] compiling train step...")
-        step_dt = _timed_loop(step_loop, params, opt_state)
+        step_dt = _timed_loop(step_loop, params, opt_state,
+                              n_small=n_small // 10 or N_SMALL,
+                              n_large=n_large // 10 or N_LARGE)
         rows.append({
             "name": mc["name"], "batch": B,
             "fwd_ms": fwd_dt * 1e3,

@@ -1,0 +1,349 @@
+"""Blocked fused R-GCN layer: zero random-row HBM access (bf16 fast path).
+
+Round-2 measurements (BASELINE.md) showed the sparse layer is bound by
+random-row HBM transactions: gathering/scattering 512 B rows runs at
+~40-50 GB/s regardless of dtype.  This kernel removes BOTH random
+accesses by bucketing edges over (destination-node block, source-node
+block) tiles — the same layout as the distributed ring partition
+(parallel/halo.py), reused on a single chip:
+
+  * the source block ``x[S]`` arrives as one contiguous BlockSpec DMA;
+    per-edge rows are picked out by a one-hot matmul on the MXU
+    (``onehot(src_local) @ x_S``);
+  * per-edge relation weights are combined in-kernel from the basis with
+    coefficients looked up by another tiny one-hot matmul
+    (``onehot(rel) @ coeff``) — no [E, Bb] HBM gather;
+  * messages accumulate into the VMEM-resident destination block via the
+    transposed one-hot (``onehot(dst_local)^T @ msg``); the grid is
+    dst-major, so each output block is initialized once, accumulated
+    over its source blocks, and written out exactly once — contiguous.
+
+The one-hot passes cost ``SB/d`` times the useful GEMM FLOPs, so the
+kernel runs its matmuls in bfloat16 (one-hot matrices are exact in bf16;
+accumulation stays f32).  This is the opt-in reduced-precision fast path
+— the relation-chunked kernel (ops/pallas_rgcn.py) remains the full-f32
+default.  The backward reuses the composable XLA formulation via
+``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpqe_tpu.ops import segment as segment_ops
+from mpqe_tpu.ops.edge_store import EdgeStore
+
+DEFAULT_NODE_BLOCK = 1024
+DEFAULT_CHUNK = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------
+# Host-side bucketing: (dst block, src block) tiles, chunk-aligned
+# ----------------------------------------------------------------------
+def bucket_edges_blocked(
+    store: EdgeStore,
+    node_block: int = DEFAULT_NODE_BLOCK,
+    chunk: int = DEFAULT_CHUNK,
+) -> Dict[str, np.ndarray]:
+    """Bucket edges by (dst//SB, src//SB), pad each bucket to a chunk
+    multiple, order buckets dst-major.  Returns flat arrays
+    ``src_local/dst_local/rel/norm [n_chunks*chunk]`` plus per-chunk
+    ``chunk_src_blk``, ``chunk_dst_blk``, ``chunk_first`` (1 on the first
+    chunk of each dst block — the kernel's accumulator reset)."""
+    sb = node_block
+    n_blocks = -(-store.n_nodes // sb)
+    m = store.pad_mask
+    src, dst = store.src[m], store.dst[m]
+    rel, norm = store.rel[m], store.norm[m]
+    db, sbk = dst // sb, src // sb
+    key = db.astype(np.int64) * n_blocks + sbk
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    counts = np.bincount(key_s, minlength=n_blocks * n_blocks)
+
+    srcs, dsts, rels, norms = [], [], [], []
+    c_src, c_dst, c_first = [], [], []
+    pos = 0
+    for b in range(n_blocks * n_blocks):
+        k = int(counts[b])
+        if k == 0:
+            continue
+        d_blk, s_blk = b // n_blocks, b % n_blocks
+        sel = order[pos: pos + k]
+        pos += k
+        k_pad = _round_up(k, chunk)
+        s_l = np.full(k_pad, sb, np.int32)  # out-of-range: one-hot miss
+        d_l = np.full(k_pad, sb, np.int32)
+        r = np.full(k_pad, store.n_rels, np.int32)
+        w = np.zeros(k_pad, np.float32)
+        s_l[:k] = src[sel] - s_blk * sb
+        d_l[:k] = dst[sel] - d_blk * sb
+        r[:k] = rel[sel]
+        w[:k] = norm[sel]
+        srcs.append(s_l)
+        dsts.append(d_l)
+        rels.append(r)
+        norms.append(w)
+        n_ch = k_pad // chunk
+        c_src += [s_blk] * n_ch
+        c_dst += [d_blk] * n_ch
+        prev_dst = c_dst[-n_ch - 1] if len(c_dst) > n_ch else -1
+        c_first += [1 if (len(c_first) == 0 or prev_dst != d_blk) else 0]
+        c_first += [0] * (n_ch - 1)
+    if not srcs:  # empty store: one padding chunk
+        srcs = [np.full(chunk, sb, np.int32)]
+        dsts = [np.full(chunk, sb, np.int32)]
+        rels = [np.full(chunk, store.n_rels, np.int32)]
+        norms = [np.zeros(chunk, np.float32)]
+        c_src, c_dst, c_first = [0], [0], [1]
+    # dst blocks with NO edges still need their output zeroed: emit one
+    # padding chunk per empty dst block
+    present = set(c_dst)
+    for d_blk in range(n_blocks):
+        if d_blk not in present:
+            srcs.append(np.full(chunk, sb, np.int32))
+            dsts.append(np.full(chunk, sb, np.int32))
+            rels.append(np.full(chunk, store.n_rels, np.int32))
+            norms.append(np.zeros(chunk, np.float32))
+            c_src.append(0)
+            c_dst.append(d_blk)
+            c_first.append(1)
+    return {
+        "src_local": np.concatenate(srcs),
+        "dst_local": np.concatenate(dsts),
+        "rel": np.concatenate(rels),
+        "norm": np.concatenate(norms),
+        "chunk_src_blk": np.asarray(c_src, np.int32),
+        "chunk_dst_blk": np.asarray(c_dst, np.int32),
+        "chunk_first": np.asarray(c_first, np.int32),
+        "node_block": sb,
+        "chunk": chunk,
+        "n_blocks": n_blocks,
+    }
+
+
+# ----------------------------------------------------------------------
+# Kernel
+# ----------------------------------------------------------------------
+def _blocked_kernel(
+    meta_ref,  # scalar prefetch: [3, n_chunks] (src_blk, dst_blk, first)
+    x_ref,  # [SB, d_pad] source block (bf16)
+    basis_ref,  # [Bb, d_pad, do_pad] (bf16)
+    coeff_ref,  # [R_pad, Bb] (f32)
+    src_ref,  # [C, 1] int32 block-local
+    dst_ref,  # [C, 1]
+    rel_ref,  # [C, 1]
+    norm_ref,  # [C, 1] f32
+    out_ref,  # [SB, do_pad] f32 accumulator (dst block)
+):
+    i = pl.program_id(0)
+
+    @pl.when(meta_ref[2, i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sb = x_ref.shape[0]
+    c = src_ref.shape[0]
+    r_pad = coeff_ref.shape[0]
+    bb = basis_ref.shape[0]
+    f32 = jnp.float32
+
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (c, sb), 1)
+    onehot_src = (src_ref[:] == node_iota).astype(jnp.bfloat16)
+    xs = jnp.dot(onehot_src, x_ref[:], preferred_element_type=f32)
+
+    rel_iota = jax.lax.broadcasted_iota(jnp.int32, (c, r_pad), 1)
+    onehot_rel = (rel_ref[:] == rel_iota).astype(f32)
+    coeff_e = jnp.dot(onehot_rel, coeff_ref[:], preferred_element_type=f32)
+
+    xs16 = xs.astype(jnp.bfloat16)
+    acc = jnp.zeros((c, out_ref.shape[1]), f32)
+    for b in range(bb):
+        h = jnp.dot(xs16, basis_ref[b], preferred_element_type=f32)
+        acc += coeff_e[:, b:b + 1] * h
+    acc = acc * norm_ref[:]
+
+    onehot_dst = (dst_ref[:] == node_iota).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(
+        onehot_dst.T, acc.astype(jnp.bfloat16), preferred_element_type=f32
+    )
+
+
+def _messages_blocked_pallas(
+    x: jax.Array,  # [N, d]
+    basis: jax.Array,  # [Bb, d, do]
+    coeff: jax.Array,  # [R, Bb]
+    bucketed: Dict[str, np.ndarray],
+    n_rels: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Aggregated messages [n_blocks*SB, do] (no self-loop/bias)."""
+    sb = int(bucketed["node_block"])
+    chunk = int(bucketed["chunk"])
+    n_blocks = int(bucketed["n_blocks"])
+    n, d = x.shape
+    bb, _, d_out = basis.shape
+    d_pad = _round_up(d, 128)
+    do_pad = _round_up(d_out, 128)
+    r_pad = _round_up(n_rels + 1, 8)  # +1 row for the padding sentinel
+
+    n_pad_nodes = n_blocks * sb
+    x_p = jnp.zeros((n_pad_nodes, d_pad), jnp.bfloat16)
+    x_p = x_p.at[:n, :d].set(x.astype(jnp.bfloat16))
+    basis_p = jnp.zeros((bb, d_pad, do_pad), jnp.bfloat16)
+    basis_p = basis_p.at[:, :d, :d_out].set(basis.astype(jnp.bfloat16))
+    coeff_p = jnp.zeros((r_pad, bb), jnp.float32)
+    coeff_p = coeff_p.at[:n_rels].set(coeff.astype(jnp.float32))
+
+    srcs = jnp.asarray(bucketed["src_local"]).reshape(-1, 1)
+    dsts = jnp.asarray(bucketed["dst_local"]).reshape(-1, 1)
+    rels = jnp.asarray(bucketed["rel"]).reshape(-1, 1)
+    norms = jnp.asarray(bucketed["norm"]).reshape(-1, 1)
+    meta = jnp.stack([
+        jnp.asarray(bucketed["chunk_src_blk"]),
+        jnp.asarray(bucketed["chunk_dst_blk"]),
+        jnp.asarray(bucketed["chunk_first"]),
+    ]).astype(jnp.int32)  # [3, n_chunks] — few-rows-major for SMEM
+    n_chunks = meta.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((sb, d_pad), lambda i, m: (m[0, i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, d_pad, do_pad), lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, bb), lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sb, do_pad), lambda i, m: (m[1, i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _blocked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad_nodes, do_pad), jnp.float32),
+        interpret=interpret,
+    )(meta, x_p, basis_p, coeff_p, srcs, dsts, rels, norms)
+    return out[:n, :d_out]
+
+
+# ----------------------------------------------------------------------
+# Differentiable layer (XLA backward)
+# ----------------------------------------------------------------------
+def _messages_xla_twin(x, basis, coeff, src_l, dst_l, rel, norm,
+                       c_src, c_dst, n_rels, sb, chunk):
+    """Same math in composable XLA ops (backward + oracle)."""
+    n = x.shape[0]
+    src = src_l + jnp.repeat(c_src, chunk) * sb
+    dst = dst_l + jnp.repeat(c_dst, chunk) * sb
+    src_c = jnp.clip(src, 0, n - 1)
+    rel_c = jnp.clip(rel, 0, n_rels - 1)
+    valid = (rel < n_rels).astype(jnp.float32)
+    ce = coeff[rel_c] * valid[:, None]
+    h_b = jnp.einsum("nd,bdo->nbo", x, basis,
+                     preferred_element_type=jnp.float32)
+    msg = jnp.einsum("eb,ebo->eo", ce, h_b[src_c],
+                     preferred_element_type=jnp.float32)
+    msg = msg * norm[:, None]
+    return jax.ops.segment_sum(msg, dst, num_segments=n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _blocked_messages(x, basis, coeff, src_l, dst_l, rel, norm,
+                      c_src, c_dst, n_rels, sb, chunk, interpret):
+    # first-of-dst-block flags (traced-safe: scalar-prefetch VALUES are
+    # runtime data, only shapes must be static)
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (c_dst[1:] != c_dst[:-1]).astype(jnp.int32),
+    ])
+    bucketed = {
+        "src_local": src_l, "dst_local": dst_l, "rel": rel, "norm": norm,
+        "chunk_src_blk": c_src, "chunk_dst_blk": c_dst,
+        "chunk_first": first,
+        "node_block": sb, "chunk": chunk,
+        "n_blocks": -(-x.shape[0] // sb),
+    }
+    return _messages_blocked_pallas(
+        x, basis, coeff, bucketed, n_rels, interpret)
+
+
+def _blocked_fwd(x, basis, coeff, src_l, dst_l, rel, norm, c_src, c_dst,
+                 n_rels, sb, chunk, interpret):
+    out = _blocked_messages(
+        x, basis, coeff, src_l, dst_l, rel, norm, c_src, c_dst,
+        n_rels, sb, chunk, interpret)
+    return out, (x, basis, coeff, src_l, dst_l, rel, norm, c_src, c_dst)
+
+
+def _blocked_bwd(n_rels, sb, chunk, interpret, res, g):
+    x, basis, coeff, src_l, dst_l, rel, norm, c_src, c_dst = res
+    _, vjp = jax.vjp(
+        lambda x_, b_, co_: _messages_xla_twin(
+            x_, b_, co_, src_l, dst_l, rel, norm, c_src, c_dst,
+            n_rels, sb, chunk),
+        x, basis, coeff,
+    )
+    dx, dbasis, dcoeff = vjp(g.astype(jnp.float32))
+    return (dx.astype(x.dtype), dbasis.astype(basis.dtype),
+            dcoeff.astype(coeff.dtype), None, None, None, None, None, None)
+
+
+_blocked_messages.defvjp(_blocked_fwd, _blocked_bwd)
+
+
+def rgcn_sparse_blocked(
+    x: jax.Array,
+    params: Dict[str, jax.Array],
+    bucketed: Dict[str, np.ndarray],
+    n_rels: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full R-GCN layer through the blocked bf16 kernel (basis models).
+
+    ``bucketed`` comes from :func:`bucket_edges_blocked`.  Messages are
+    bf16-matmul / f32-accumulate — expect ~1e-2 relative deviation from
+    the f32 paths; use ``ops.pallas_rgcn.rgcn_sparse_fused`` where exact
+    f32 parity matters.
+    """
+    if "basis" not in params:
+        raise ValueError(
+            "rgcn_sparse_blocked requires basis decomposition; use "
+            "rgcn_sparse_fused for full-weight models"
+        )
+    agg = _blocked_messages(
+        x, params["basis"], params["coeff"],
+        jnp.asarray(bucketed["src_local"]),
+        jnp.asarray(bucketed["dst_local"]),
+        jnp.asarray(bucketed["rel"]), jnp.asarray(bucketed["norm"]),
+        jnp.asarray(bucketed["chunk_src_blk"]),
+        jnp.asarray(bucketed["chunk_dst_blk"]),
+        n_rels, int(bucketed["node_block"]), int(bucketed["chunk"]),
+        interpret,
+    )
+    return (
+        jnp.dot(x, params["w_self"], preferred_element_type=jnp.float32)
+        + agg
+        + params["bias"]
+    )

@@ -1,0 +1,109 @@
+"""Blocked bf16 R-GCN kernel (ops/pallas_rgcn_blocked) vs the f32 sparse
+path — interpreter mode; compiled-mode parity/perf via tools/kernel_bench
+--paths blocked on the chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpqe_tpu.ops import pallas_rgcn_blocked as prb
+from mpqe_tpu.ops import rgcn as rgcn_ops
+from mpqe_tpu.ops.edge_store import build_edge_store
+
+D = 16
+N_RELS = 6
+
+
+def _graph(rng, n_nodes=70, n_e=300):
+    src = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_e).astype(np.int32)
+    rel = rng.integers(0, N_RELS, n_e).astype(np.int32)
+    return build_edge_store(src, dst, rel, n_nodes, N_RELS)
+
+
+def test_bucket_invariants(rng):
+    st = _graph(rng)
+    bk = prb.bucket_edges_blocked(st, node_block=32, chunk=16)
+    n_chunks = bk["chunk_src_blk"].shape[0]
+    assert bk["src_local"].shape[0] == n_chunks * 16
+    sb = bk["node_block"]
+    # every real edge lands in the right (dst_blk, src_blk) tile
+    rel_e = np.repeat(np.arange(n_chunks), 16)
+    real = bk["src_local"] < sb
+    src_g = bk["src_local"] + bk["chunk_src_blk"][rel_e] * sb
+    dst_g = bk["dst_local"] + bk["chunk_dst_blk"][rel_e] * sb
+    m = st.pad_mask
+    orig = sorted(zip(st.src[m], st.dst[m], st.rel[m]))
+    got = sorted(zip(src_g[real], dst_g[real], bk["rel"][real]))
+    assert got == orig
+    # all chunks of a dst block are contiguous, exactly one 'first' each
+    c_dst = bk["chunk_dst_blk"]
+    firsts = np.ones_like(c_dst)
+    firsts[1:] = (c_dst[1:] != c_dst[:-1]).astype(c_dst.dtype)
+    # each dst block appears in exactly one contiguous run
+    runs = {}
+    for i, d_blk in enumerate(c_dst):
+        if d_blk in runs and runs[d_blk] != i - 1:
+            raise AssertionError(f"dst block {d_blk} split across runs")
+        runs[d_blk] = i
+    # every dst block 0..n_blocks-1 appears (empty ones get pad chunks)
+    assert set(c_dst.tolist()) == set(range(bk["n_blocks"]))
+
+
+def test_blocked_matches_sparse_bf16_tolerance(rng):
+    st = _graph(rng)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), D, D, N_RELS, 3)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(
+        rgcn_ops.rgcn_sparse(
+            jnp.asarray(x), p, st.src, st.dst, st.rel,
+            jnp.asarray(st.norm), N_RELS,
+        ))
+    bk = prb.bucket_edges_blocked(st, node_block=32, chunk=16)
+    got = np.asarray(prb.rgcn_sparse_blocked(
+        jnp.asarray(x), p, bk, N_RELS, interpret=True))
+    # bf16 matmuls: ~1e-2 relative
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_blocked_gradients_match_f32_path(rng):
+    """The backward is the exact f32 XLA twin: given the same upstream
+    cotangent, grads equal the composable-path grads."""
+    st = _graph(rng, n_nodes=40, n_e=120)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, N_RELS, 3)
+    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+    bk = prb.bucket_edges_blocked(st, node_block=16, chunk=8)
+    args = (
+        jnp.asarray(bk["src_local"]), jnp.asarray(bk["dst_local"]),
+        jnp.asarray(bk["rel"]), jnp.asarray(bk["norm"]),
+        jnp.asarray(bk["chunk_src_blk"]), jnp.asarray(bk["chunk_dst_blk"]),
+    )
+    g_out = jnp.asarray(
+        rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+
+    def loss_blocked(x, basis, coeff):
+        out = prb._blocked_messages(
+            x, basis, coeff, *args, N_RELS, 16, 8, True)
+        return jnp.vdot(out, g_out)
+
+    def loss_twin(x, basis, coeff):
+        out = prb._messages_xla_twin(
+            x, basis, coeff, *args, N_RELS, 16, 8)
+        return jnp.vdot(out, g_out)
+
+    g1 = jax.grad(loss_blocked, argnums=(0, 1, 2))(
+        x, p["basis"], p["coeff"])
+    g2 = jax.grad(loss_twin, argnums=(0, 1, 2))(x, p["basis"], p["coeff"])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_full_weight_model_rejected():
+    st = _graph(np.random.default_rng(0))
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), D, D, N_RELS, None)
+    bk = prb.bucket_edges_blocked(st, node_block=32, chunk=16)
+    with pytest.raises(ValueError):
+        prb.rgcn_sparse_blocked(
+            jnp.zeros((st.n_nodes, D)), p, bk, N_RELS, interpret=True)

@@ -70,6 +70,20 @@ def bench_config(n_nodes, n_e, n_rels, d, num_bases, chunk, paths):
     if "fused" in paths:
         run("rgcn_sparse_fused", lambda xx: pr.rgcn_sparse_fused(
             xx, p, ch_dev, n_rels))
+    if "blocked" in paths and num_bases is not None:
+        from mpqe_tpu.ops import pallas_rgcn_blocked as prb
+
+        for sb, c in [(int(x) for x in s.split(":"))
+                      for s in os.environ.get(
+                          "MPQE_BLOCKED_SHAPES", "1024:256").split(",")]:
+            bk = prb.bucket_edges_blocked(st, node_block=sb, chunk=c)
+            bk_dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                          else v) for k, v in bk.items()}
+            run(f"rgcn_sparse_blocked_bf16_sb{sb}_c{c}",
+                lambda xx, _bk=bk_dev: prb.rgcn_sparse_blocked(
+                    xx, p, _bk, n_rels))
+        results["rgcn_sparse_blocked_bf16"] = min(
+            v for k, v in results.items() if "blocked" in k)
 
     if "rgcn_sparse_xla" in results and "rgcn_sparse_fused" in results:
         speedup = results["rgcn_sparse_xla"] / results["rgcn_sparse_fused"]

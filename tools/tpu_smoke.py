@@ -76,6 +76,18 @@ def main():
         )(jnp.asarray(x), p))
     ok &= check("rgcn_sparse_fused", got, want)
 
+    # blocked bf16 kernel (reduced precision: loose tolerance)
+    from mpqe_tpu.ops import pallas_rgcn_blocked as prb
+
+    bk = prb.bucket_edges_blocked(st, node_block=128, chunk=128)
+    stage("compiling rgcn_sparse_blocked (bf16)...")
+    got = np.asarray(jax.jit(
+        lambda xx, pp: prb.rgcn_sparse_blocked(xx, pp, {
+            k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+            for k, v in bk.items()}, n_rels)
+    )(jnp.asarray(x), p))
+    ok &= check("rgcn_sparse_blocked_bf16", got, want, rtol=5e-2, atol=5e-2)
+
     # SDDMM
     from mpqe_tpu.ops import pallas_sddmm as sd
     y = rng.normal(size=(n_nodes, d)).astype(np.float32)
