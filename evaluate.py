@@ -77,8 +77,23 @@ def main(argv=None):
         raise SystemExit("no checkpoint found")
     state = ckpt_mod.restore_checkpoint(ckpt, template)
 
-    res = evaluation.evaluate(state.params, cfg, val_q, n_neg=args.n_neg,
-                              encode_fn=eval_encode_fn)
+    # batched single-sweep eval for basis MPQE; per-formula path otherwise
+    batched = (
+        eval_encode_fn is None
+        and isinstance(cfg, mpqe_mod.MPQEConfig)
+        and cfg.num_bases is not None
+    )
+
+    def run_eval(queries):
+        if batched:
+            return evaluation.evaluate_batched(
+                state.params, cfg, evaluation.make_eval_set(queries),
+                n_neg=args.n_neg)
+        return evaluation.evaluate(
+            state.params, cfg, queries, n_neg=args.n_neg,
+            encode_fn=eval_encode_fn)
+
+    res = run_eval(val_q)
     print(json.dumps({"checkpoint": ckpt, "step": state.step,
                       **res.flat()}))
 
@@ -88,9 +103,7 @@ def main(argv=None):
         for name, bucket in (("seen_edges", seen), ("one_new_edge", new)):
             if not bucket:
                 continue
-            r = evaluation.evaluate(
-                state.params, cfg, group_queries_by_formula(bucket),
-                n_neg=args.n_neg, encode_fn=eval_encode_fn)
+            r = run_eval(group_queries_by_formula(bucket))
             print(json.dumps({"bucket": name, "n": len(bucket), **r.flat()}))
 
 
