@@ -24,7 +24,6 @@ zero-copy into the batcher, no Python-object unpickling cost.
 
 from __future__ import annotations
 
-import os
 import pickle
 from typing import Dict, List, Optional, Sequence, Tuple
 

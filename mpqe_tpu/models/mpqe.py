@@ -516,20 +516,48 @@ def dense_batch_loss(
     neg_mask: jax.Array,
     query_mask: jax.Array,
 ) -> jax.Array:
-    """Batch margin loss with a single fused entity-table access.
+    """Batch margin loss: direct per-consumer table gathers.
 
-    Anchor, target, and negative indices concatenate into ONE
-    ``embedding_lookup`` so the backward performs a single table scatter
-    instead of several — the round-1 train step's dominant cost
-    (docs/roadmap.md; VERDICT round 1 item 2).  Math is identical to
-    encoding + ``margin_loss_from_queries``.
+    Round-2 profiling settled how to access the entity table here: a
+    concatenated single-gather formulation (``dense_batch_loss_fused``)
+    forces ~6 ms/step of XLA layout copies around the [B, 7, d] gather,
+    while the backward scatter costs the same either way (XLA sorts
+    scatter indices internally; row transactions, not scatter count,
+    bound the time — BASELINE.md round 2).  The straightforward
+    formulation is therefore also the fastest.
     """
+    q = encode_dense(
+        params, cfg, structure, node_entity, node_mode, edge_rel, edge_norm
+    )
+    return margin_loss_from_queries(
+        params, cfg, q, target, negatives, neg_mask, query_mask
+    )
+
+
+def dense_batch_loss_fused(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,
+    negatives: jax.Array,
+    neg_mask: jax.Array,
+    query_mask: jax.Array,
+    grad_scatter: str = "dense",
+) -> jax.Array:
+    """Single fused entity-table access variant (kept for measurement:
+    one gather + one backward scatter, but XLA inserts [B, 7, d] layout
+    copies that make it ~2% slower than ``dense_batch_loss`` on v5e).
+    Math identical; selectable backward scatter strategy."""
     a_slots = list(anchor_gather_slots(cfg, structure))
     n_a = len(a_slots)
     idx = jnp.concatenate(
         [node_entity[:, a_slots], target[:, None], negatives], axis=1
     )
-    rows = embed_ops.embedding_lookup(params["emb"]["ent"], idx)
+    rows = embed_ops.embedding_lookup(params["emb"]["ent"], idx, grad_scatter)
     anchor_rows = rows[:, :n_a, :]
     pos_rows = rows[:, n_a, :]
     neg_rows = rows[:, n_a + 1:, :]

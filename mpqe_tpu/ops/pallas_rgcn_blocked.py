@@ -37,7 +37,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpqe_tpu.ops import segment as segment_ops
 from mpqe_tpu.ops.edge_store import EdgeStore
 
 DEFAULT_NODE_BLOCK = 1024

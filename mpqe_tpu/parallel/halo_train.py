@@ -22,7 +22,7 @@ curriculum loop — selected by ``train.py --parallel halo_ring`` /
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -93,9 +93,9 @@ def test_dense_matches_sparse_and_oracle(kg, structure, readout):
 @pytest.mark.parametrize("structure", ["1-chain", "3-chain_inter"])
 @pytest.mark.parametrize("readout", ["tgt", "sum"])
 def test_fused_gather_loss_matches_naive(kg, structure, readout):
-    """dense_batch_loss routes all entity-table reads through one fused
-    embedding_lookup with a dedup-scatter VJP; value AND gradients must
-    match the naive multi-gather formulation exactly."""
+    """dense_batch_loss_fused routes all entity-table reads through one
+    embedding_lookup; value AND gradients must match the default
+    multi-gather formulation exactly."""
     cfg = _cfg(kg, readout=readout)
     params = mpqe_mod.init_mpqe(jax.random.PRNGKey(2), cfg)
     b = _batch(kg, structure, B=16, n_neg=4)
@@ -113,7 +113,7 @@ def test_fused_gather_loss_matches_naive(kg, structure, readout):
         )
 
     def fused_loss(p):
-        return mpqe_mod.dense_batch_loss(p, cfg, structure, *arrays)
+        return mpqe_mod.dense_batch_loss_fused(p, cfg, structure, *arrays)
 
     l0, g0 = jax.value_and_grad(naive_loss)(params)
     l1, g1 = jax.value_and_grad(fused_loss)(params)

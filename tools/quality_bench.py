@@ -23,8 +23,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np
-
 from mpqe_tpu.data.sampler import QuerySampler, make_rule_kg
 from mpqe_tpu.models import gqe as gqe_mod
 from mpqe_tpu.models import mpqe as mpqe_mod

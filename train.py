@@ -24,7 +24,6 @@ import os
 import time
 
 import jax
-import numpy as np
 
 from mpqe_tpu.data import loader as loader_mod
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
