@@ -39,8 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mpqe_tpu.ops.edge_store import EdgeStore
 
-DEFAULT_NODE_BLOCK = 1024
-DEFAULT_CHUNK = 256
+# on-chip sweep (tools/kernel_bench.py, E=1M/N=64k/Bb=16): 2048:512 ->
+# 14.4 ms, 1024:256 -> 15.8, 1024:512 -> 16.8; 512:256 compile timed out
+DEFAULT_NODE_BLOCK = 2048
+DEFAULT_CHUNK = 512
 
 
 def _round_up(x: int, m: int) -> int:
