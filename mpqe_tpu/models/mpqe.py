@@ -443,6 +443,42 @@ def encode_sparse_fused(
     )
 
 
+def encode_sparse_blocked(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    node_is_var: jax.Array,
+    bucketed: Dict[str, Any],  # from ops.pallas_rgcn_blocked.bucket_edges_blocked
+    node_query: jax.Array,
+    target_node: jax.Array,
+    n_queries: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sparse forward through the blocked bf16 kernel (zero random-row
+    HBM access; ops/pallas_rgcn_blocked.py).  Same math as encode_sparse
+    to bf16 tolerance; requires basis-decomposed layers."""
+    from mpqe_tpu.ops import pallas_rgcn_blocked as prb
+
+    x = emb_mod.embed_nodes_sparse(
+        params["emb"], node_entity, node_mode, node_is_var
+    )
+    steps = num_steps(cfg, structure) if structure else cfg.n_layers
+    for li in range(steps):
+        x = prb.rgcn_sparse_blocked(
+            x, params["layers"][li], bucketed, cfg.n_rels,
+            interpret=interpret,
+        ).astype(cfg.dtype)
+        if li < steps - 1:
+            x = jax.nn.relu(x)
+    n_tpl = STRUCTURES[structure].n_nodes if structure else None
+    return readout_mod.readout_sparse(
+        cfg.readout, params["readout"], x, node_query, target_node,
+        n_queries, n_template_nodes=n_tpl,
+    )
+
+
 # ----------------------------------------------------------------------
 # Scoring and loss
 # ----------------------------------------------------------------------

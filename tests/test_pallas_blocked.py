@@ -100,6 +100,49 @@ def test_blocked_gradients_match_f32_path(rng):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+def test_encode_sparse_blocked_matches_encode_sparse():
+    """Full model forward through the blocked kernel == XLA sparse path
+    (bf16 tolerance)."""
+    from mpqe_tpu.data.batcher import dense_to_sparse, make_dense_batch
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+    from mpqe_tpu.models import mpqe as mpqe_mod
+
+    kg = make_random_kg(n_entities=60, n_modes=2, n_base_rels=3,
+                        n_triples=400, seed=71)
+    sampler = QuerySampler(kg, seed=2)
+    qs = sampler.sample_queries("2-inter", 8, n_neg=2)
+    f = qs[0].formula
+    qs = [q for q in qs if q.formula == f]
+    while len(qs) < 8:
+        q = sampler.sample_query("2-inter", n_neg=2)
+        if q and q.formula == f:
+            qs.append(q)
+    b = make_dense_batch(f, qs[:8], batch_size=8, n_neg=2)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=3, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    sb = dense_to_sparse(b, n_rels=cfg.n_rels)
+
+    want = np.asarray(mpqe_mod.encode_sparse(
+        params, cfg, "2-inter",
+        jnp.asarray(sb.node_entity), jnp.asarray(sb.node_mode),
+        jnp.asarray(sb.node_is_var),
+        jnp.asarray(sb.edges.src), jnp.asarray(sb.edges.dst),
+        jnp.asarray(sb.edges.rel), jnp.asarray(sb.edges.norm),
+        jnp.asarray(sb.node_query), jnp.asarray(sb.target_node),
+        n_queries=8))
+
+    bk = prb.bucket_edges_blocked(sb.edges, node_block=16, chunk=8)
+    got = np.asarray(mpqe_mod.encode_sparse_blocked(
+        params, cfg, "2-inter",
+        jnp.asarray(sb.node_entity), jnp.asarray(sb.node_mode),
+        jnp.asarray(sb.node_is_var), bk,
+        jnp.asarray(sb.node_query), jnp.asarray(sb.target_node),
+        n_queries=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
 def test_full_weight_model_rejected():
     st = _graph(np.random.default_rng(0))
     p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), D, D, N_RELS, None)
