@@ -153,40 +153,14 @@ def query_to_tuple(q: Query) -> Tuple:
     )
 
 
-def tuple_to_query(t: Tuple, entity_mode: np.ndarray) -> Query:
-    structure, rels_tf, anchors, target, negs, hard = t
-    spec = STRUCTURES[structure]
-    rels = tuple(reversed(tuple(int(r) for r in rels_tf)))
-    # node modes: anchors from entity_mode; free slots inferred by walking
-    # the template with the relation ranges unknown -> mode of target from
-    # entity_mode, variable slots from the relation chain is not encoded
-    # in the tuple, so recover them from the target/anchor modes via the
-    # template: each free slot's mode equals the mode required by any
-    # incident edge — here we take the mode of the entity at the far end
-    # when adjacent to a bound node, else the target's mode.  For the
-    # canonical templates every variable sits on a path between bound
-    # nodes, so modes resolve after one pass with the directed relation
-    # parity rule handled by the caller's rel vocabulary; absent a rel
-    # schema we default free-slot modes to the target's mode.
-    node_modes = [0] * spec.n_nodes
-    for a_i, s in enumerate(spec.anchor_slots):
-        node_modes[s] = int(entity_mode[anchors[a_i]])
-    t_mode = int(entity_mode[target])
-    for s in spec.free_slots:
-        node_modes[s] = t_mode
-    formula = Formula(structure, rels, tuple(node_modes))
-    return Query(
-        formula,
-        tuple(int(a) for a in anchors),
-        int(target),
-        tuple(int(n) for n in negs),
-        tuple(int(h) for h in hard),
-    )
-
-
 def tuple_to_query_with_schema(t: Tuple, kg: KnowledgeGraph) -> Query:
-    """Like tuple_to_query but recovers variable-slot modes exactly from
-    the KG's relation schema (mode = range of the incoming relation)."""
+    """Deserialize a query tuple, recovering variable-slot modes exactly
+    from the KG's relation schema (mode = range of the incoming relation).
+
+    (A schema-less variant existed in round 1 that guessed free-slot
+    modes from the target's mode — a silent mislabeling hazard on real
+    data, removed per the round-1 advisor finding; the schema is always
+    available wherever queries are loaded.)"""
     structure, rels_tf, anchors, target, negs, hard = t
     spec = STRUCTURES[structure]
     rels = tuple(reversed(tuple(int(r) for r in rels_tf)))

@@ -206,11 +206,26 @@ def make_halo_train_step(
 
 
 def init_halo_train_state(
-    key: jax.Array, cfg, tc: loop_mod.TrainConfig, mesh: Mesh
+    key: jax.Array, cfg, tc: loop_mod.TrainConfig, mesh: Mesh,
+    shard_entity_table: bool = False,
 ) -> loop_mod.TrainState:
-    """Params replicated over the mesh (node activations, not parameters,
-    are the sharded axis in edge-partitioned training)."""
+    """Node activations, not parameters, are the sharded axis in
+    edge-partitioned training — params default to replicated.
+
+    ``shard_entity_table=True`` row-shards the (large) entity table over
+    the model axis: the table is only touched OUTSIDE the shard_map
+    layers (embedding lookup + loss under GSPMD, which inserts the
+    collectives), while the small per-layer weights stay replicated for
+    the shard_map calls — so TP composes cleanly with halo training at
+    AM-scale vocab sizes."""
     params = mpqe_mod.init_mpqe(key, cfg)
-    params = jax.device_put(params, NamedSharding(mesh, P()))
+    if shard_entity_table:
+        from mpqe_tpu.parallel import sharding as sharding_lib
+
+        p_sh = sharding_lib.param_shardings(
+            params, mesh, shard_entity_table=True, shard_relations=False)
+        params = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+    else:
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     optimizer = loop_mod.make_optimizer(tc)
     return loop_mod.TrainState(params=params, opt_state=optimizer.init(params))

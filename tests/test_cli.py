@@ -47,6 +47,25 @@ def test_train_parallel_halo_cli(tmp_path):
     assert any('"mesh"' in ln for ln in lines)
 
 
+def test_train_parallel_spmd_cli(tmp_path):
+    """--parallel spmd trains with DP batch + TP entity-table shardings
+    on the virtual mesh."""
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    state = train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--num_bases", "2", "--steps", "20", "--val_every", "100",
+        "--batch_size", "32", "--n_neg", "2",
+        "--structures", "1-chain",
+        "--syn_entities", "160", "--syn_triples", "400",
+        "--syn_train_queries", "100", "--syn_val_queries", "20",
+        "--parallel", "spmd", "--mesh", "4,2",
+        "--run_dir", run_dir,
+    ])
+    assert state.step == 20
+
+
 def test_train_gqe_cli(tmp_path):
     import train as train_mod
 

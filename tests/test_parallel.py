@@ -280,6 +280,30 @@ def test_halo_training_matches_single_device_trajectory(mesh8, layer_kind):
         )
 
 
+def test_halo_training_with_sharded_entity_table(mesh42):
+    """Halo training with the entity table row-sharded over the model
+    axis (TP x edge-partitioned): loss matches the replicated run and the
+    table stays sharded after the step."""
+    from mpqe_tpu.parallel import halo_train
+
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.02, batch_size=16, n_neg=8)
+    key = jax.random.PRNGKey(9)
+
+    st_rep = halo_train.init_halo_train_state(key, cfg, tc, mesh42)
+    st_tp = halo_train.init_halo_train_state(
+        key, cfg, tc, mesh42, shard_entity_table=True)
+    assert len(st_tp.params["emb"]["ent"].sharding.device_set) == 8
+    step = halo_train.make_halo_train_step(cfg, tc, mesh42, layer_kind="ring")
+    l_rep = loop_mod.run_step(step, st_rep, batch)
+    l_tp = loop_mod.run_step(step, st_tp, batch)
+    np.testing.assert_allclose(l_tp, l_rep, rtol=1e-5)
+    # table remains distributed (not gathered onto one device)
+    shard_shapes = {
+        s.data.shape for s in st_tp.params["emb"]["ent"].addressable_shards}
+    assert all(sh[0] < cfg.n_entities for sh in shard_shapes)
+
+
 @pytest.mark.parametrize("layer_kind", ["ring", "gather"])
 def test_halo_loss_matches_dense_loss(mesh8, layer_kind):
     """halo_dense_batch_loss == mpqe.dense_batch_loss (same batch, same
