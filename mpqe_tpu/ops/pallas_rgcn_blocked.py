@@ -56,78 +56,104 @@ def bucket_edges_blocked(
     store: EdgeStore,
     node_block: int = DEFAULT_NODE_BLOCK,
     chunk: int = DEFAULT_CHUNK,
+    max_pad_ratio: float = 4.0,
 ) -> Dict[str, np.ndarray]:
     """Bucket edges by (dst//SB, src//SB), pad each bucket to a chunk
     multiple, order buckets dst-major.  Returns flat arrays
     ``src_local/dst_local/rel/norm [n_chunks*chunk]`` plus per-chunk
     ``chunk_src_blk``, ``chunk_dst_blk``, ``chunk_first`` (1 on the first
-    chunk of each dst block — the kernel's accumulator reset)."""
+    chunk of each dst block — the kernel's accumulator reset).
+
+    APPLICABILITY: the layout needs dense block occupancy — roughly
+    ``E >= chunk * (n_nodes / node_block)^2`` (e.g. N=64k/E>=0.5M at the
+    defaults).  Sparser graphs pad explosively (measured 21x at
+    N=1M/E=5.7M) and should use the relation-chunked kernel
+    (ops/pallas_rgcn) instead; ``max_pad_ratio`` guards against this."""
     sb = node_block
     n_blocks = -(-store.n_nodes // sb)
     m = store.pad_mask
     src, dst = store.src[m], store.dst[m]
     rel, norm = store.rel[m], store.norm[m]
-    db, sbk = dst // sb, src // sb
-    key = db.astype(np.int64) * n_blocks + sbk
+    db = (dst // sb).astype(np.int64)
+    sbk = (src // sb).astype(np.int64)
+    key = db * n_blocks + sbk
     order = np.argsort(key, kind="stable")
     key_s = key[order]
     counts = np.bincount(key_s, minlength=n_blocks * n_blocks)
 
-    srcs, dsts, rels, norms = [], [], [], []
-    c_src, c_dst, c_first = [], [], []
-    pos = 0
-    for b in range(n_blocks * n_blocks):
-        k = int(counts[b])
-        if k == 0:
-            continue
-        d_blk, s_blk = b // n_blocks, b % n_blocks
-        sel = order[pos: pos + k]
-        pos += k
-        k_pad = _round_up(k, chunk)
-        s_l = np.full(k_pad, sb, np.int32)  # out-of-range: one-hot miss
-        d_l = np.full(k_pad, sb, np.int32)
-        r = np.full(k_pad, store.n_rels, np.int32)
-        w = np.zeros(k_pad, np.float32)
-        s_l[:k] = src[sel] - s_blk * sb
-        d_l[:k] = dst[sel] - d_blk * sb
-        r[:k] = rel[sel]
-        w[:k] = norm[sel]
-        srcs.append(s_l)
-        dsts.append(d_l)
-        rels.append(r)
-        norms.append(w)
-        n_ch = k_pad // chunk
-        c_src += [s_blk] * n_ch
-        c_dst += [d_blk] * n_ch
-        prev_dst = c_dst[-n_ch - 1] if len(c_dst) > n_ch else -1
-        c_first += [1 if (len(c_first) == 0 or prev_dst != d_blk) else 0]
-        c_first += [0] * (n_ch - 1)
-    if not srcs:  # empty store: one padding chunk
-        srcs = [np.full(chunk, sb, np.int32)]
-        dsts = [np.full(chunk, sb, np.int32)]
-        rels = [np.full(chunk, store.n_rels, np.int32)]
-        norms = [np.zeros(chunk, np.float32)]
-        c_src, c_dst, c_first = [0], [0], [1]
-    # dst blocks with NO edges still need their output zeroed: emit one
-    # padding chunk per empty dst block
-    present = set(c_dst)
-    for d_blk in range(n_blocks):
-        if d_blk not in present:
-            srcs.append(np.full(chunk, sb, np.int32))
-            dsts.append(np.full(chunk, sb, np.int32))
-            rels.append(np.full(chunk, store.n_rels, np.int32))
-            norms.append(np.zeros(chunk, np.float32))
-            c_src.append(0)
-            c_dst.append(d_blk)
-            c_first.append(1)
+    # fully vectorized placement: per non-empty bucket, pad its edge
+    # count to a chunk multiple; edges land at (bucket chunk base) +
+    # (rank within bucket)
+    nz = np.nonzero(counts)[0]  # non-empty buckets, dst-major order
+    if nz.size == 0:
+        nz = np.asarray([0], np.int64)
+        counts = counts.copy()
+        counts[0] = 0
+    k_pad = (np.ceil(counts[nz] / chunk) * chunk).astype(np.int64)
+    n_real = max(int(src.shape[0]), 1)
+    ratio = float(k_pad.sum()) / n_real
+    if ratio > max_pad_ratio:
+        raise ValueError(
+            f"blocked layout would pad {ratio:.1f}x ({int(k_pad.sum())} "
+            f"slots for {n_real} edges): block occupancy too sparse for "
+            f"node_block={sb}, chunk={chunk} at n_nodes={store.n_nodes} — "
+            "use ops.pallas_rgcn.rgcn_sparse_fused, or raise node_block / "
+            "max_pad_ratio"
+        )
+    bucket_base = np.zeros(nz.size, np.int64)
+    np.cumsum(k_pad[:-1], out=bucket_base[1:])
+    # rank of each sorted edge within its bucket
+    starts = np.zeros(n_blocks * n_blocks, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rank = np.arange(key_s.size, dtype=np.int64) - starts[key_s]
+    # map each edge's bucket to its dense (non-empty) index
+    bucket_of = np.full(n_blocks * n_blocks, -1, np.int64)
+    bucket_of[nz] = np.arange(nz.size)
+    flat = bucket_base[bucket_of[key_s]] + rank
+
+    total = int(bucket_base[-1] + k_pad[-1]) if nz.size else 0
+    o_src = np.full(total, sb, np.int32)  # padding: one-hot miss
+    o_dst = np.full(total, sb, np.int32)
+    o_rel = np.full(total, store.n_rels, np.int32)
+    o_norm = np.zeros(total, np.float32)
+    d_blk_e = db[order]
+    s_blk_e = sbk[order]
+    o_src[flat] = (src[order] - s_blk_e * sb).astype(np.int32)
+    o_dst[flat] = (dst[order] - d_blk_e * sb).astype(np.int32)
+    o_rel[flat] = rel[order]
+    o_norm[flat] = norm[order]
+
+    n_ch_per_bucket = (k_pad // chunk).astype(np.int64)
+    c_src = np.repeat(nz % n_blocks, n_ch_per_bucket).astype(np.int32)
+    c_dst = np.repeat(nz // n_blocks, n_ch_per_bucket).astype(np.int32)
+
+    # dst blocks with NO edges still need their output zeroed: one
+    # padding chunk per empty dst block (appended; each is its own
+    # contiguous single-chunk run)
+    present = np.unique(c_dst) if c_dst.size else np.asarray([], np.int32)
+    missing = np.setdiff1d(np.arange(n_blocks, dtype=np.int32), present)
+    if c_dst.size == 0 and missing.size == 0:
+        missing = np.asarray([0], np.int32)
+    if missing.size:
+        pad_total = missing.size * chunk
+        o_src = np.concatenate([o_src, np.full(pad_total, sb, np.int32)])
+        o_dst = np.concatenate([o_dst, np.full(pad_total, sb, np.int32)])
+        o_rel = np.concatenate(
+            [o_rel, np.full(pad_total, store.n_rels, np.int32)])
+        o_norm = np.concatenate([o_norm, np.zeros(pad_total, np.float32)])
+        c_src = np.concatenate([c_src, np.zeros(missing.size, np.int32)])
+        c_dst = np.concatenate([c_dst, missing])
+
+    c_first = np.ones_like(c_dst)
+    c_first[1:] = (c_dst[1:] != c_dst[:-1]).astype(c_dst.dtype)
     return {
-        "src_local": np.concatenate(srcs),
-        "dst_local": np.concatenate(dsts),
-        "rel": np.concatenate(rels),
-        "norm": np.concatenate(norms),
-        "chunk_src_blk": np.asarray(c_src, np.int32),
-        "chunk_dst_blk": np.asarray(c_dst, np.int32),
-        "chunk_first": np.asarray(c_first, np.int32),
+        "src_local": o_src,
+        "dst_local": o_dst,
+        "rel": o_rel,
+        "norm": o_norm,
+        "chunk_src_blk": c_src,
+        "chunk_dst_blk": c_dst,
+        "chunk_first": c_first,
         "node_block": sb,
         "chunk": chunk,
         "n_blocks": n_blocks,

@@ -143,6 +143,15 @@ def test_encode_sparse_blocked_matches_encode_sparse():
     np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
 
 
+def test_sparse_occupancy_rejected():
+    """Graphs too sparse for the block layout (pad explosion) are
+    rejected with guidance instead of silently burning memory."""
+    rng = np.random.default_rng(5)
+    st = _graph(rng, n_nodes=4096, n_e=100)  # ~0 edges per (128,128) tile
+    with pytest.raises(ValueError, match="pad"):
+        prb.bucket_edges_blocked(st, node_block=128, chunk=64)
+
+
 def test_full_weight_model_rejected():
     st = _graph(np.random.default_rng(0))
     p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(0), D, D, N_RELS, None)
