@@ -73,9 +73,10 @@ def bench_config(n_nodes, n_e, n_rels, d, num_bases, chunk, paths):
     if "blocked" in paths and num_bases is not None:
         from mpqe_tpu.ops import pallas_rgcn_blocked as prb
 
+        default_shapes = f"{prb.DEFAULT_NODE_BLOCK}:{prb.DEFAULT_CHUNK}"
         for sb, c in [(int(x) for x in s.split(":"))
                       for s in os.environ.get(
-                          "MPQE_BLOCKED_SHAPES", "1024:256").split(",")]:
+                          "MPQE_BLOCKED_SHAPES", default_shapes).split(",")]:
             bk = prb.bucket_edges_blocked(st, node_block=sb, chunk=c)
             bk_dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
                           else v) for k, v in bk.items()}
