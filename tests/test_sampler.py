@@ -58,3 +58,45 @@ def test_kg_neighbors_consistent(kg):
         i = rng.integers(len(src))
         ns = kg.neighbors(int(rel[i]), int(src[i]))
         assert int(dst[i]) in ns.tolist()
+
+
+def test_make_rule_kg_deterministic_structure():
+    """Rule KG: relations are out_degree-regular deterministic maps within
+    the mode schema; regenerating with the same seed is identical."""
+    from mpqe_tpu.data.sampler import make_rule_kg
+
+    kg = make_rule_kg(n_entities=300, n_modes=3, n_base_rels=6,
+                      out_degree=2, seed=3)
+    kg2 = make_rule_kg(n_entities=300, n_modes=3, n_base_rels=6,
+                       out_degree=2, seed=3)
+    np.testing.assert_array_equal(kg.heads, kg2.heads)
+    np.testing.assert_array_equal(kg.tails, kg2.tails)
+    for r in range(kg.n_base_rels):
+        dom = np.where(kg.entity_mode == kg.rel_domain[r])[0]
+        rng_mode = int(kg.rel_range[r])
+        degs = []
+        for h in dom[:20]:
+            nbrs = kg.neighbors(2 * r, int(h))
+            degs.append(len(nbrs))
+            assert all(kg.entity_mode[t] == rng_mode for t in nbrs)
+        # out_degree-regular (distinct shifts can collide only if equal,
+        # which rng.choice-free sampling may allow; degree is 1..out_degree)
+        assert all(1 <= d <= 2 for d in degs)
+
+
+def test_all_edge_queries_cover_every_directed_edge(kg):
+    """all_edge_queries = the reference train_edges.pkl protocol: exactly
+    one 1-chain query per directed KG edge, with valid negatives."""
+    s = QuerySampler(kg, seed=2)
+    qs = s.all_edge_queries(n_neg=4)
+    src, rel, dst = kg.directed_edges()
+    want = sorted(zip(src.tolist(), rel.tolist(), dst.tolist()))
+    got = sorted((q.anchors[0], q.formula.rels[0], q.target) for q in qs)
+    assert got == want
+    for q in qs[:50]:
+        answers = set(kg.neighbors(q.formula.rels[0], q.anchors[0]).tolist())
+        assert q.target in answers
+        assert all(n not in answers for n in q.neg_samples)
+        # negatives share the target's mode
+        t_mode = kg.entity_mode[q.target]
+        assert all(kg.entity_mode[n] == t_mode for n in q.neg_samples)
