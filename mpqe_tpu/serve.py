@@ -1,0 +1,158 @@
+"""Query-answering server: trained checkpoint -> top-k entity answers.
+
+The reference stops at offline evaluation; a production framework also
+needs a SERVING path.  ``QueryServer`` wraps trained MPQE parameters for
+low-latency query answering:
+
+  * entity embeddings are L2-normalized ONCE at load (cosine scoring
+    becomes one ``[B, d] @ [d, n_entities]`` MXU matmul);
+  * incoming queries are grouped per structure and encoded in one device
+    call each — the per-query-relation encoder (``encode_dense_multi``)
+    means queries of DIFFERENT formulas batch together, so a mixed
+    request needs at most 7 dispatches (typically 1-2);
+  * batch shapes are padded to power-of-two buckets, so every
+    (structure, bucket, k) program compiles exactly once per process;
+    ``warmup()`` precompiles them ahead of traffic;
+  * candidates are mode-masked (only entities of the target's type
+    compete) and ranked by ``lax.top_k`` on-device — the host receives
+    ``[B, k]`` ids/scores, nothing larger.
+
+Full-weight (non-basis) models fall back to per-formula grouping with
+the shared-relation encoder.  ``serve.py`` at the repo root is the CLI
+(load a run dir, answer sampled or piped queries, report latency).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpqe_tpu.data.batcher import bucket_size, template_edge_norm
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import STRUCTURES, Formula, Query
+
+
+@dataclasses.dataclass
+class Answer:
+    """Top-k candidate answers for one query."""
+
+    entity_ids: np.ndarray  # [k] int32
+    scores: np.ndarray  # [k] float32
+
+
+class QueryServer:
+    def __init__(
+        self,
+        params: Dict,
+        cfg: mpqe_mod.MPQEConfig,
+        entity_mode: np.ndarray,
+        max_batch: int = 8192,
+    ):
+        self.cfg = cfg
+        self.entity_mode = np.asarray(entity_mode, dtype=np.int32)
+        self.max_batch = max_batch
+        ent = params["emb"]["ent"].astype(jnp.float32)
+        if cfg.scale_scores:
+            ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
+        self.params = dict(params)
+        self._ent_norm_t = jnp.asarray(ent).T  # [d, n_entities]
+        self._mode_dev = jnp.asarray(self.entity_mode)
+        self._multi = cfg.num_bases is not None
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=None)
+    def _rank_fn(self, structure: str, k: int):
+        cfg = self.cfg
+
+        def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode):
+            if self._multi:
+                q = mpqe_mod.encode_dense_multi(
+                    params, cfg, structure, ne, nm, er, en)
+            else:
+                q = mpqe_mod.encode_dense(
+                    params, cfg, structure, ne, nm, er[0], en[0])
+            q = q.astype(jnp.float32)
+            if cfg.scale_scores:
+                q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            scores = jnp.dot(q, ent_norm_t,
+                             preferred_element_type=jnp.float32)
+            mode_ok = mode_arr[None, :] == tgt_mode[:, None]
+            scores = jnp.where(mode_ok, scores, -jnp.inf)
+            return jax.lax.top_k(scores, k)
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def _pack(self, queries: Sequence[Query]):
+        spec = STRUCTURES[queries[0].formula.structure]
+        n = len(queries)
+        B = min(bucket_size(n), self.max_batch)
+        ne = np.zeros((B, spec.n_nodes), np.int32)
+        nm = np.zeros((B, spec.n_nodes), np.int32)
+        er = np.zeros((B, spec.n_edges), np.int32)
+        en = np.ones((B, spec.n_edges), np.float32)
+        tm = np.zeros((B,), np.int32)
+        for i, q in enumerate(queries):
+            for a_i, s in enumerate(spec.anchor_slots):
+                ne[i, s] = q.anchors[a_i]
+            nm[i] = q.formula.node_modes
+            er[i] = q.formula.rels
+            en[i] = template_edge_norm(spec, q.formula.rels)
+            tm[i] = q.formula.node_modes[spec.target_slot]
+        return B, ne, nm, er, en, tm
+
+    def answer(self, queries: Sequence[Query], k: int = 10) -> List[Answer]:
+        """Top-k answers per query (mode-masked cosine ranking).  Queries
+        may mix structures and formulas freely."""
+        out: List[Optional[Answer]] = [None] * len(queries)
+        by_structure: Dict[str, List[int]] = {}
+        for i, q in enumerate(queries):
+            by_structure.setdefault(q.formula.structure, []).append(i)
+        for structure, idxs in by_structure.items():
+            groups: List[List[int]] = [idxs] if self._multi else [
+                g for g in _group_by_formula(queries, idxs)]
+            for g in groups:
+                for lo in range(0, len(g), self.max_batch):
+                    part = g[lo: lo + self.max_batch]
+                    self._answer_group(
+                        structure, [queries[i] for i in part], part, k, out)
+        return out  # type: ignore[return-value]
+
+    def _answer_group(self, structure, qs, positions, k, out):
+        B, ne, nm, er, en, tm = self._pack(qs)
+        fn = self._rank_fn(structure, k)
+        top_scores, top_ids = fn(
+            self.params, self._ent_norm_t, self._mode_dev,
+            jnp.asarray(ne), jnp.asarray(nm), jnp.asarray(er),
+            jnp.asarray(en), jnp.asarray(tm),
+        )
+        top_scores = np.asarray(top_scores)
+        top_ids = np.asarray(top_ids)
+        for j, pos in enumerate(positions):
+            out[pos] = Answer(entity_ids=top_ids[j], scores=top_scores[j])
+
+    def warmup(self, structures: Sequence[str], batch: int, k: int = 10):
+        """Precompile every (structure, bucket<=batch, k) program."""
+        for structure in structures:
+            spec = STRUCTURES[structure]
+            b = 1
+            while b <= bucket_size(batch):
+                q = Query(
+                    Formula(structure, tuple([0] * spec.n_edges),
+                            tuple([0] * spec.n_nodes)),
+                    tuple([0] * spec.n_anchors), 0, (), (),
+                )
+                self.answer([q] * b, k=k)
+                b *= 2
+
+
+def _group_by_formula(queries, idxs):
+    by_f: Dict[Formula, List[int]] = {}
+    for i in idxs:
+        by_f.setdefault(queries[i].formula, []).append(i)
+    return by_f.values()

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Serve a trained checkpoint: answer queries with top-k entities.
+
+Loads a run directory (like evaluate.py), builds a QueryServer, answers
+a stream of sampled queries, and reports latency percentiles and
+throughput — the serving-path counterpart of bench.py.
+
+Usage:
+  python serve.py --run_dir runs/xyz [--k 10] [--requests 200]
+                  [--batch 1] [--structures 1-chain,2-chain]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from mpqe_tpu.data.sampler import QuerySampler
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.serve import QueryServer
+from mpqe_tpu.train import checkpoint as ckpt_mod
+from mpqe_tpu.train import loop as loop_mod
+from train import load_data, parse_args as train_parse_args
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--requests", type=int, default=100)
+    p.add_argument("--batch", type=int, default=1,
+                   help="queries per request")
+    p.add_argument("--structures", default="1-chain,2-chain,2-inter")
+    args, _ = p.parse_known_args(argv)
+
+    with open(os.path.join(args.run_dir, "config.json")) as f:
+        run_cfg = json.load(f)
+    with open(os.path.join(args.run_dir, "model_config.json")) as f:
+        mc = json.load(f)
+    if "readout" not in mc:
+        raise SystemExit("serve.py currently serves MPQE checkpoints")
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=mc["n_entities"], n_modes=mc["n_modes"],
+        n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
+        n_layers=mc["n_layers"], num_bases=mc["num_bases"],
+        readout=mc["readout"], margin=mc["margin"],
+    )
+    targs = train_parse_args(
+        [f"--{k}" if v is True else f"--{k}={v}"
+         for k, v in run_cfg.items()
+         if k in ("data", "structures", "seed", "syn_entities", "syn_modes",
+                  "syn_rels", "syn_triples") and v is not None])
+    kg, _, _ = load_data(targs)
+
+    template = loop_mod.init_train_state(
+        jax.random.PRNGKey(0), cfg, loop_mod.TrainConfig())
+    ckpt = args.ckpt or ckpt_mod.latest_checkpoint(
+        os.path.join(args.run_dir, "ckpt"))
+    if ckpt is None:
+        raise SystemExit("no checkpoint found")
+    state = ckpt_mod.restore_checkpoint(ckpt, template)
+
+    server = QueryServer(state.params, cfg, kg.entity_mode)
+    structures = args.structures.split(",")
+    server.warmup(structures, batch=args.batch, k=args.k)
+
+    sampler = QuerySampler(kg, seed=123)
+    pools = {s: sampler.sample_queries(
+        s, max(args.requests // len(structures) + args.batch, args.batch),
+        n_neg=1) for s in structures}
+    rng = np.random.default_rng(0)
+    lat = []
+    hits = total = 0
+    for _ in range(args.requests):
+        s = structures[rng.integers(len(structures))]
+        pool = pools[s]
+        req = [pool[int(i)] for i in rng.integers(0, len(pool), args.batch)]
+        t0 = time.perf_counter()
+        answers = server.answer(req, k=args.k)
+        lat.append(time.perf_counter() - t0)
+        for q, a in zip(req, answers):
+            total += 1
+            hits += int(q.target in a.entity_ids.tolist())
+    lat_ms = np.asarray(lat) * 1e3
+    print(json.dumps({
+        "checkpoint": ckpt,
+        "requests": args.requests,
+        "batch": args.batch,
+        "k": args.k,
+        "latency_ms_p50": float(np.percentile(lat_ms, 50)),
+        "latency_ms_p95": float(np.percentile(lat_ms, 95)),
+        "queries_per_s": float(total / lat_ms.sum() * 1e3),
+        "hit_at_k": hits / max(total, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,11 @@ def test_train_then_evaluate(tmp_path):
 
     eval_mod.main(["--run_dir", run_dir, "--split", "--n_neg", "16"])
 
+    # serving CLI answers queries from the same checkpoint
+    import serve as serve_mod
+    serve_mod.main(["--run_dir", run_dir, "--requests", "6", "--batch", "2",
+                    "--structures", "1-chain"])
+
 
 def test_train_parallel_halo_cli(tmp_path):
     """--parallel halo_ring trains through the edge-partitioned shard_map

@@ -1,0 +1,85 @@
+"""QueryServer: trained model answers queries with true targets ranked
+top-k; mixed structures/formulas batch together; mode masking holds."""
+
+import jax
+import numpy as np
+import pytest
+
+from mpqe_tpu.data.sampler import QuerySampler, make_rule_kg
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import group_queries_by_formula
+from mpqe_tpu.serve import QueryServer
+from mpqe_tpu.train import loop as loop_mod
+
+
+@pytest.fixture(scope="module")
+def trained():
+    kg = make_rule_kg(n_entities=200, n_modes=2, n_base_rels=4,
+                      out_degree=1, seed=11)
+    sampler = QuerySampler(kg, seed=1)
+    train_q = group_queries_by_formula(
+        sampler.all_edge_queries(n_neg=16)
+        + sampler.sample_queries("2-chain", 400, n_neg=16)
+        + sampler.sample_queries("2-inter", 300, n_neg=16)
+    )
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=32, n_layers=2, num_bases=4, readout="tgt",
+    )
+    # conv_tol > 0 so the 1-chain burn-in actually ENDS and the multi-hop
+    # structures train (tight tol: the no-validation plateau check stops
+    # the run once loss flattens)
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=128, n_neg=8,
+                              max_steps=2500, conv_tol=1e-5,
+                              conv_window=60, val_every=100_000)
+    state = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state = loop_mod.run_train(state, cfg, tc, train_q)
+    return kg, cfg, state, sampler
+
+
+def test_server_ranks_true_answers_topk(trained):
+    kg, cfg, state, sampler = trained
+    server = QueryServer(state.params, cfg, kg.entity_mode)
+    qs = (sampler.sample_queries("1-chain", 20, n_neg=1)
+          + sampler.sample_queries("2-chain", 20, n_neg=1))
+    answers = server.answer(qs, k=10)
+    assert len(answers) == len(qs)
+    hits = sum(
+        1 for q, a in zip(qs, answers) if q.target in a.entity_ids.tolist())
+    assert hits >= int(0.7 * len(qs)), f"only {hits}/{len(qs)} hit top-10"
+    # scores sorted descending
+    for a in answers:
+        assert np.all(np.diff(a.scores) <= 1e-6)
+
+
+def test_server_mode_masking(trained):
+    kg, cfg, state, sampler = trained
+    server = QueryServer(state.params, cfg, kg.entity_mode)
+    qs = sampler.sample_queries("2-inter", 12, n_neg=1)
+    answers = server.answer(qs, k=8)
+    for q, a in zip(qs, answers):
+        t_mode = q.formula.node_modes[q.formula.spec.target_slot]
+        assert all(kg.entity_mode[e] == t_mode for e in a.entity_ids)
+
+
+def test_server_mixed_structures_one_request(trained):
+    kg, cfg, state, sampler = trained
+    server = QueryServer(state.params, cfg, kg.entity_mode)
+    qs = []
+    for s in ["1-chain", "2-chain", "2-inter", "3-inter"]:
+        qs += sampler.sample_queries(s, 3, n_neg=1)
+    rng = np.random.default_rng(0)
+    rng.shuffle(qs)
+    answers = server.answer(qs, k=5)
+    # answers aligned with the (shuffled) input order
+    assert len(answers) == len(qs)
+    for a in answers:
+        assert a is not None and a.entity_ids.shape == (5,)
+
+
+def test_server_warmup_compiles_buckets(trained):
+    kg, cfg, state, sampler = trained
+    server = QueryServer(state.params, cfg, kg.entity_mode)
+    server.warmup(["1-chain"], batch=4, k=5)
+    # subsequent calls reuse the cached executables (cache populated)
+    assert server._rank_fn.cache_info().currsize >= 1
