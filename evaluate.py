@@ -77,11 +77,10 @@ def main(argv=None):
         raise SystemExit("no checkpoint found")
     state = ckpt_mod.restore_checkpoint(ckpt, template)
 
-    # batched single-sweep eval for basis MPQE; per-formula path otherwise
+    # batched single-sweep eval for MPQE; per-formula path for GQE
     batched = (
         eval_encode_fn is None
         and isinstance(cfg, mpqe_mod.MPQEConfig)
-        and cfg.num_bases is not None
     )
 
     def run_eval(queries):

@@ -242,16 +242,12 @@ def encode_dense_multi(
     per-edge weight is contracted basis-first per query —
     ``h_b = x_src @ V_b`` for each basis then ``sum_b coeff[rel_e, b]
     h_b`` — costing ``num_bases``x the shared-relation FLOPs but
-    collapsing hundreds of dispatches into one.  Requires basis
-    decomposition (full-weight models would need a [B, d, d] gather; use
-    the per-formula path for those).
+    collapsing hundreds of dispatches into one.  Full-weight layers
+    instead gather the per-query matrices ``w_rel[rel_e] -> [B, d, do]``
+    and apply a batched matvec: HBM-heavier per edge slot (chunk the
+    batch via the caller's ``max_batch``) but still one dispatch where
+    the reference protocol issues one per formula.
     """
-    if "basis" not in params["layers"][0]:
-        raise ValueError(
-            "encode_dense_multi requires basis-decomposed layers "
-            "(num_bases); use encode_dense per formula for full-weight "
-            "models"
-        )
     spec = STRUCTURES[structure]
     steps = num_steps(cfg, structure)
     if cfg.readout == "tgt":
@@ -274,16 +270,18 @@ def encode_dense_multi(
     for li, (in_slots, out_slots, edges) in enumerate(plan):
         col = {s: i for i, s in enumerate(in_slots)}
         lp = params["layers"][li]
-        basis = lp["basis"]  # [Bb, d, do]
-        # hoist the per-basis transform per needed source slot
-        src_slots = sorted({spec.edge_src[j] for j in edges})
-        h_b = {
-            s: jnp.einsum(
-                "bd,kdo->bko", x[:, col[s], :], basis,
-                preferred_element_type=jnp.float32,
-            )
-            for s in src_slots
-        }
+        has_basis = "basis" in lp
+        if has_basis:
+            basis = lp["basis"]  # [Bb, d, do]
+            # hoist the per-basis transform per needed source slot
+            src_slots = sorted({spec.edge_src[j] for j in edges})
+            h_b = {
+                s: jnp.einsum(
+                    "bd,kdo->bko", x[:, col[s], :], basis,
+                    preferred_element_type=jnp.float32,
+                )
+                for s in src_slots
+            }
         outs = []
         for s in out_slots:
             acc = jnp.dot(
@@ -293,11 +291,18 @@ def encode_dense_multi(
             for j in edges:
                 if spec.edge_dst[j] != s:
                     continue
-                ce = _perq_edge_coeff(lp, edge_rel_q, j)  # [B, Bb]
-                msg = jnp.einsum(
-                    "bk,bko->bo", ce, h_b[spec.edge_src[j]],
-                    preferred_element_type=jnp.float32,
-                )
+                if has_basis:
+                    ce = _perq_edge_coeff(lp, edge_rel_q, j)  # [B, Bb]
+                    msg = jnp.einsum(
+                        "bk,bko->bo", ce, h_b[spec.edge_src[j]],
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    w_q = lp["w_rel"][edge_rel_q[:, j]]  # [B, d, do]
+                    msg = jnp.einsum(
+                        "bd,bdo->bo", x[:, col[spec.edge_src[j]], :], w_q,
+                        preferred_element_type=jnp.float32,
+                    )
                 acc = acc + msg * edge_norm_q[:, j, None].astype(msg.dtype)
             outs.append(acc + lp["bias"])
         x = jnp.stack(outs, axis=1).astype(cfg.dtype)

@@ -17,9 +17,8 @@ low-latency query answering:
     compete) and ranked by ``lax.top_k`` on-device — the host receives
     ``[B, k]`` ids/scores, nothing larger.
 
-Full-weight (non-basis) models fall back to per-formula grouping with
-the shared-relation encoder.  ``serve.py`` at the repo root is the CLI
-(load a run dir, answer sampled or piped queries, report latency).
+``serve.py`` at the repo root is the CLI (load a run dir, answer
+sampled or piped queries, report latency).
 """
 
 from __future__ import annotations
@@ -62,7 +61,6 @@ class QueryServer:
         self.params = dict(params)
         self._ent_norm_t = jnp.asarray(ent).T  # [d, n_entities]
         self._mode_dev = jnp.asarray(self.entity_mode)
-        self._multi = cfg.num_bases is not None
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=None)
@@ -70,12 +68,8 @@ class QueryServer:
         cfg = self.cfg
 
         def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode):
-            if self._multi:
-                q = mpqe_mod.encode_dense_multi(
-                    params, cfg, structure, ne, nm, er, en)
-            else:
-                q = mpqe_mod.encode_dense(
-                    params, cfg, structure, ne, nm, er[0], en[0])
+            q = mpqe_mod.encode_dense_multi(
+                params, cfg, structure, ne, nm, er, en)
             q = q.astype(jnp.float32)
             if cfg.scale_scores:
                 q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
@@ -114,13 +108,10 @@ class QueryServer:
         for i, q in enumerate(queries):
             by_structure.setdefault(q.formula.structure, []).append(i)
         for structure, idxs in by_structure.items():
-            groups: List[List[int]] = [idxs] if self._multi else [
-                g for g in _group_by_formula(queries, idxs)]
-            for g in groups:
-                for lo in range(0, len(g), self.max_batch):
-                    part = g[lo: lo + self.max_batch]
-                    self._answer_group(
-                        structure, [queries[i] for i in part], part, k, out)
+            for lo in range(0, len(idxs), self.max_batch):
+                part = idxs[lo: lo + self.max_batch]
+                self._answer_group(
+                    structure, [queries[i] for i in part], part, k, out)
         return out  # type: ignore[return-value]
 
     def _answer_group(self, structure, qs, positions, k, out):
@@ -149,10 +140,3 @@ class QueryServer:
                 )
                 self.answer([q] * b, k=k)
                 b *= 2
-
-
-def _group_by_formula(queries, idxs):
-    by_f: Dict[Formula, List[int]] = {}
-    for i in idxs:
-        by_f.setdefault(queries[i].formula, []).append(i)
-    return by_f.values()

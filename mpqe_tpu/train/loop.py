@@ -277,14 +277,14 @@ def run_train(
     structures = [s for s in stores if stores[s]]
     if warmup:
         warmup_train_step(train_step, cfg, tc, structures)
-    # validation path: batched single-sweep eval when the model supports
-    # per-query-relation encoding (basis MPQE), else per-formula
+    # validation path: batched single-sweep eval for MPQE (basis models
+    # contract basis-first, full-weight gather per-query matrices), else
+    # the per-formula path (GQE / custom encoders)
     eval_set = None
     if (
         val_queries
         and eval_encode_fn is None
         and isinstance(cfg, mpqe_mod.MPQEConfig)
-        and cfg.num_bases is not None
     ):
         eval_set = evaluation.make_eval_set(val_queries)
 

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
 from mpqe_tpu.models import mpqe as mpqe_mod
@@ -62,9 +63,12 @@ def test_evaluate_end_to_end():
     assert 0.2 <= res.macro_auc <= 0.8
 
 
-def test_encode_dense_multi_matches_per_formula():
+@pytest.mark.parametrize("num_bases", [3, None])
+def test_encode_dense_multi_matches_per_formula(num_bases):
     """Per-query-relation batched encoder == encode_dense per formula on
-    the concatenation of several formulas of one structure (exact)."""
+    the concatenation of several formulas of one structure (exact).
+    Covers both layer kinds: basis-decomposed (basis-first contraction)
+    and full-weight (per-query w_rel gather)."""
     import jax.numpy as jnp
     from mpqe_tpu.data.batcher import make_dense_batch
 
@@ -76,7 +80,7 @@ def test_encode_dense_multi_matches_per_formula():
     assert len(grouped) >= 2, "need several formulas for the test"
     cfg = mpqe_mod.MPQEConfig(
         n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
-        embed_dim=16, n_layers=2, num_bases=3, readout="tgt",
+        embed_dim=16, n_layers=2, num_bases=num_bases, readout="tgt",
     )
     params = mpqe_mod.init_mpqe(jax.random.PRNGKey(1), cfg)
 

@@ -77,6 +77,26 @@ def test_server_mixed_structures_one_request(trained):
         assert a is not None and a.entity_ids.shape == (5,)
 
 
+def test_server_full_weight_model(trained):
+    """Full-weight (no basis) models serve through the same batched
+    per-query-relation encoder (w_rel gathered per query)."""
+    kg, _, _, sampler = trained
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=None, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(3), cfg)
+    server = QueryServer(params, cfg, kg.entity_mode)
+    qs = (sampler.sample_queries("2-chain", 6, n_neg=1)
+          + sampler.sample_queries("2-inter", 6, n_neg=1))
+    answers = server.answer(qs, k=5)
+    assert len(answers) == len(qs)
+    for q, a in zip(qs, answers):
+        assert a.entity_ids.shape == (5,)
+        t_mode = q.formula.node_modes[q.formula.spec.target_slot]
+        assert all(kg.entity_mode[e] == t_mode for e in a.entity_ids)
+
+
 def test_server_warmup_compiles_buckets(trained):
     kg, cfg, state, sampler = trained
     server = QueryServer(state.params, cfg, kg.entity_mode)
