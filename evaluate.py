@@ -56,7 +56,6 @@ def main(argv=None):
             soft_and=mc["soft_and"], margin=mc["margin"],
         )
         init_fn = gqe_mod.init_gqe
-        eval_encode_fn = jax.jit(gqe_mod.encode_dense, static_argnums=(1, 2))
 
     # rebuild the data exactly as the run saw it
     targs = train_parse_args(
@@ -77,11 +76,9 @@ def main(argv=None):
         raise SystemExit("no checkpoint found")
     state = ckpt_mod.restore_checkpoint(ckpt, template)
 
-    # batched single-sweep eval for MPQE; per-formula path for GQE
-    batched = (
-        eval_encode_fn is None
-        and isinstance(cfg, mpqe_mod.MPQEConfig)
-    )
+    # batched single-sweep eval (both MPQE and GQE encode per-query
+    # relations); the per-formula path remains for custom encoders
+    batched = eval_encode_fn is None
 
     def run_eval(queries):
         if batched:

@@ -86,12 +86,18 @@ def _compose(
     cfg: GQEConfig, params: Dict[str, Any], vec: jax.Array, rel: jax.Array
 ) -> jax.Array:
     """Apply one relation hop to a batch of vectors ``[B, d]``; ``rel`` is
-    a traced scalar relation id (shared across the same-formula batch)."""
+    either a traced scalar relation id (shared across a same-formula
+    batch) or a per-query ``[B]`` vector (mixed-formula batches — the
+    batched eval/serving sweep)."""
     if cfg.decoder == "bilinear":
-        w = params["rel_mat"][rel]  # [d, d]
+        w = params["rel_mat"][rel]  # [d, d] or [B, d, d]
+        if w.ndim == 3:
+            return jnp.einsum(
+                "bd,bdo->bo", vec, w, preferred_element_type=jnp.float32
+            ).astype(vec.dtype)
         return jnp.dot(vec, w, preferred_element_type=jnp.float32).astype(vec.dtype)
     if cfg.decoder == "transe":
-        return vec + params["rel_vec"][rel]
+        return vec + params["rel_vec"][rel]  # [d] / [B, d] both broadcast
     return vec * params["rel_diag"][rel]  # distmult
 
 
@@ -117,7 +123,7 @@ def branch_vectors(
     cfg: GQEConfig,
     structure: str,
     node_entity: jax.Array,  # [B, n]
-    edge_rel: jax.Array,  # [n_edges]
+    edge_rel: jax.Array,  # [n_edges] or [B, n_edges] (per-query)
 ) -> List[jax.Array]:
     """Per-incoming-edge composed vectors at the target node (the query's
     conjunct branches), each ``[B, d]``."""
@@ -140,7 +146,7 @@ def branch_vectors(
                 if len(src_vecs) == 1
                 else _intersect(cfg, params, src_vecs)
             )
-            contribs.append(_compose(cfg, params, src_vec, edge_rel[j]))
+            contribs.append(_compose(cfg, params, src_vec, edge_rel[..., j]))
         node_branches[node] = contribs
     out = node_branches[spec.target_slot]
     assert out is not None
@@ -160,6 +166,53 @@ def encode_dense(
     (QueryEncoderDecoder semantics)."""
     branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
     return _intersect(cfg, params, branches)
+
+
+def encode_dense_multi(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,  # unused (API parity with MPQE)
+    edge_rel_q: jax.Array,  # [B, n_edges] per-query relations
+    edge_norm_q: jax.Array,  # unused
+) -> jax.Array:
+    """Mixed-formula batched encoding (API parity with
+    ``mpqe.encode_dense_multi``): relation hops gather per-query
+    parameters, so queries of MANY formulas of one structure encode in a
+    single device call."""
+    return encode_dense(
+        params, cfg, structure, node_entity, node_mode, edge_rel_q, None)
+
+
+def score_pos_neg(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    structure: str,
+    node_entity: jax.Array,  # [B, n]
+    edge_rel: jax.Array,  # [n_edges] or [B, n_edges]
+    target: jax.Array,  # [B]
+    negatives: jax.Array,  # [B, K]
+):
+    """(pos_scores [B], neg_scores [B, K]) with branches computed once;
+    honors SoftAnd conjunct-min semantics (unlike scoring a single
+    intersected vector would)."""
+    ent = params["emb"]["ent"]
+    m_cfg = _score_cfg(cfg)
+    branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
+    if cfg.soft_and:
+        def min_score(cand, expand):
+            scores = [
+                mpqe_mod.score(m_cfg, b[:, None, :] if expand else b, cand)
+                for b in branches
+            ]
+            return jnp.min(jnp.stack(scores, 0), axis=0)
+
+        return min_score(ent[target], False), min_score(ent[negatives], True)
+    q = _intersect(cfg, params, branches)
+    pos = mpqe_mod.score(m_cfg, q, ent[target])
+    neg = mpqe_mod.score(m_cfg, q[:, None, :], ent[negatives])
+    return pos, neg
 
 
 def score_queries(

@@ -232,6 +232,11 @@ def _multi_encode_fn():
 @functools.lru_cache(maxsize=None)
 def _score_batch_fn():
     def f(params, cfg, structure, ne, nm, er, en, tgt, neg):
+        if not isinstance(cfg, mpqe_mod.MPQEConfig):  # GQE baselines
+            from mpqe_tpu.models import gqe as gqe_mod
+
+            return gqe_mod.score_pos_neg(
+                params, cfg, structure, ne, er, tgt, neg)
         q = mpqe_mod.encode_dense_multi(params, cfg, structure, ne, nm, er, en)
         ent = params["emb"]["ent"]
         pos_s = mpqe_mod.score(cfg, q, ent[tgt])
@@ -255,7 +260,7 @@ def _apr_percentiles(pos, neg, mask):
 
 def evaluate_batched(
     params,
-    cfg: mpqe_mod.MPQEConfig,
+    cfg,  # MPQEConfig or GQEConfig (dispatched inside _score_batch_fn)
     eval_set: EvalSet,
     n_neg: int = 64,
     max_batch: int = 8192,
@@ -263,7 +268,9 @@ def evaluate_batched(
 ) -> EvalResult:
     """One encode+score sweep per structure (chunked at ``max_batch``),
     metrics reduced with vectorized numpy — no per-formula dispatches, no
-    per-query Python.  Same protocol as :func:`evaluate`."""
+    per-query Python.  Same protocol as :func:`evaluate`.  Covers both
+    MPQE layer kinds and the GQE baselines (incl. SoftAnd conjunct-min
+    scoring) via per-query-relation encoders."""
     auc_s: Dict[str, float] = {}
     apr_s: Dict[str, float] = {}
     hard_s: Dict[str, float] = {}

@@ -277,15 +277,11 @@ def run_train(
     structures = [s for s in stores if stores[s]]
     if warmup:
         warmup_train_step(train_step, cfg, tc, structures)
-    # validation path: batched single-sweep eval for MPQE (basis models
-    # contract basis-first, full-weight gather per-query matrices), else
-    # the per-formula path (GQE / custom encoders)
+    # validation path: batched single-sweep eval (per-query-relation
+    # encoders cover both MPQE layer kinds and the GQE baselines); the
+    # per-formula path remains for caller-supplied custom encoders
     eval_set = None
-    if (
-        val_queries
-        and eval_encode_fn is None
-        and isinstance(cfg, mpqe_mod.MPQEConfig)
-    ):
+    if val_queries and eval_encode_fn is None:
         eval_set = evaluation.make_eval_set(val_queries)
 
     def run_validation():

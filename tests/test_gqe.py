@@ -129,3 +129,63 @@ def test_gqe_trains(kg, intersection):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0], losses[::10]
+
+
+@pytest.mark.parametrize("decoder", ["bilinear", "transe", "distmult"])
+def test_encode_dense_multi_matches_per_formula(kg, decoder):
+    """Per-query-relation GQE encoder == encode_dense per formula on the
+    concatenation of several formulas of one structure (exact)."""
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.train import evaluation
+
+    cfg = _cfg(kg, decoder=decoder, intersection="deepsets")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(6), cfg)
+    sampler = QuerySampler(kg, seed=13)
+    qs = sampler.sample_queries("3-chain_inter", 40, n_neg=4)
+    grouped = group_queries_by_formula(qs)["3-chain_inter"]
+    assert len(grouped) >= 2, "need several formulas for the test"
+
+    es = evaluation.make_eval_set({"3-chain_inter": grouped})
+    data = es.by_structure["3-chain_inter"]
+    got = np.asarray(gqe_mod.encode_dense_multi(
+        params, cfg, "3-chain_inter",
+        jnp.asarray(data["node_entity"]), jnp.asarray(data["node_mode"]),
+        jnp.asarray(data["edge_rel"]), jnp.asarray(data["edge_norm"]),
+    ))
+
+    rows = []
+    for formula, fqs in grouped.items():
+        fqs = [q for q in fqs if q.neg_samples]
+        if not fqs:
+            continue
+        b = make_dense_batch(formula, fqs, batch_size=len(fqs), n_neg=1)
+        q = np.asarray(gqe_mod.encode_dense(
+            params, cfg, "3-chain_inter",
+            jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+            jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+        ))
+        rows.append(q[: b.n_queries])
+    want = np.concatenate(rows)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("soft_and", [False, True])
+def test_evaluate_batched_gqe(kg, soft_and):
+    """evaluate_batched routes GQE configs through score_pos_neg
+    (SoftAnd = conjunct-min), yielding sane per-structure metrics."""
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.train import evaluation
+
+    cfg = _cfg(kg, decoder="bilinear", intersection="min",
+               soft_and=soft_and)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(7), cfg)
+    sampler = QuerySampler(kg, seed=19)
+    qs = (sampler.sample_queries("2-chain", 30, n_neg=16)
+          + sampler.sample_queries("2-inter", 30, n_neg=16, n_hard_neg=8))
+    es = evaluation.make_eval_set(group_queries_by_formula(qs))
+    res = evaluation.evaluate_batched(params, cfg, es, n_neg=16)
+    assert set(res.auc_by_structure) == {"2-chain", "2-inter"}
+    for v in res.auc_by_structure.values():
+        assert 0.0 <= v <= 1.0
+    for v in res.apr_by_structure.values():
+        assert 0.0 <= v <= 100.0

@@ -152,9 +152,8 @@ def main(argv=None):
             readout=args.readout,
             margin=args.margin,
         )
-        init_fn, batch_loss_fn, eval_encode_fn = None, None, None
+        init_fn, batch_loss_fn = None, None
     else:
-        import jax as _jax
         from mpqe_tpu.models import gqe as gqe_mod
         cfg = gqe_mod.GQEConfig(
             n_entities=kg.n_entities,
@@ -168,7 +167,6 @@ def main(argv=None):
         )
         init_fn = gqe_mod.init_gqe
         batch_loss_fn = gqe_mod.dense_batch_loss
-        eval_encode_fn = _jax.jit(gqe_mod.encode_dense, static_argnums=(1, 2))
     tc = loop_mod.TrainConfig(
         lr=args.lr, batch_size=args.batch_size, n_neg=args.n_neg,
         max_steps=args.steps, val_every=args.val_every,
@@ -227,7 +225,7 @@ def main(argv=None):
         state, cfg, tc, train_q, val_queries=val_q,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
         train_step=train_step,
-        batch_loss_fn=batch_loss_fn, eval_encode_fn=eval_encode_fn,
+        batch_loss_fn=batch_loss_fn,
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
     )
@@ -237,7 +235,10 @@ def main(argv=None):
     manager.close()
     metrics.log({"step": state.step, "event": "final_checkpoint",
                  "path": final_path})
-    res = evaluation.evaluate(state.params, cfg, val_q, encode_fn=eval_encode_fn)
+    # batched single-sweep final eval (per-query-relation encoders exist
+    # for both MPQE layer kinds and the GQE baselines)
+    res = evaluation.evaluate_batched(
+        state.params, cfg, evaluation.make_eval_set(val_q))
     metrics.log({"step": state.step, "final": res.flat()})
     print(f"final step={state.step} macro_auc={res.macro_auc:.4f} "
           f"macro_apr={res.macro_apr:.2f}")
