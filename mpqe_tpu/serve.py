@@ -45,10 +45,15 @@ class Answer:
 
 
 class QueryServer:
+    """Serves MPQE (both layer kinds) and GQE checkpoints: ``cfg`` is an
+    ``MPQEConfig`` or ``GQEConfig``; the rank program dispatches to the
+    matching per-query-relation encoder (SoftAnd GQE ranks by
+    conjunct-min scores over all candidates)."""
+
     def __init__(
         self,
         params: Dict,
-        cfg: mpqe_mod.MPQEConfig,
+        cfg,  # MPQEConfig or GQEConfig
         entity_mode: np.ndarray,
         max_batch: int = 8192,
     ):
@@ -67,14 +72,30 @@ class QueryServer:
     def _rank_fn(self, structure: str, k: int):
         cfg = self.cfg
 
-        def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode):
-            q = mpqe_mod.encode_dense_multi(
-                params, cfg, structure, ne, nm, er, en)
+        def all_scores(q, ent_norm_t):
             q = q.astype(jnp.float32)
             if cfg.scale_scores:
                 q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-            scores = jnp.dot(q, ent_norm_t,
-                             preferred_element_type=jnp.float32)
+            return jnp.dot(q, ent_norm_t, preferred_element_type=jnp.float32)
+
+        def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode):
+            if isinstance(cfg, mpqe_mod.MPQEConfig):
+                q = mpqe_mod.encode_dense_multi(
+                    params, cfg, structure, ne, nm, er, en)
+                scores = all_scores(q, ent_norm_t)
+            else:  # GQE baselines
+                from mpqe_tpu.models import gqe as gqe_mod
+
+                if cfg.soft_and:
+                    branches = gqe_mod.branch_vectors(
+                        params, cfg, structure, ne, er)
+                    scores = jnp.min(jnp.stack(
+                        [all_scores(b, ent_norm_t) for b in branches], 0),
+                        axis=0)
+                else:
+                    q = gqe_mod.encode_dense_multi(
+                        params, cfg, structure, ne, nm, er, en)
+                    scores = all_scores(q, ent_norm_t)
             mode_ok = mode_arr[None, :] == tgt_mode[:, None]
             scores = jnp.where(mode_ok, scores, -jnp.inf)
             return jax.lax.top_k(scores, k)

@@ -43,14 +43,24 @@ def main(argv=None):
         run_cfg = json.load(f)
     with open(os.path.join(args.run_dir, "model_config.json")) as f:
         mc = json.load(f)
-    if "readout" not in mc:
-        raise SystemExit("serve.py currently serves MPQE checkpoints")
-    cfg = mpqe_mod.MPQEConfig(
-        n_entities=mc["n_entities"], n_modes=mc["n_modes"],
-        n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
-        n_layers=mc["n_layers"], num_bases=mc["num_bases"],
-        readout=mc["readout"], margin=mc["margin"],
-    )
+    init_fn = None
+    if "readout" in mc:  # MPQE
+        cfg = mpqe_mod.MPQEConfig(
+            n_entities=mc["n_entities"], n_modes=mc["n_modes"],
+            n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
+            n_layers=mc["n_layers"], num_bases=mc["num_bases"],
+            readout=mc["readout"], margin=mc["margin"],
+        )
+    else:  # GQE baseline
+        from mpqe_tpu.models import gqe as gqe_mod
+
+        cfg = gqe_mod.GQEConfig(
+            n_entities=mc["n_entities"], n_modes=mc["n_modes"],
+            n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
+            decoder=mc["decoder"], intersection=mc["intersection"],
+            soft_and=mc["soft_and"], margin=mc["margin"],
+        )
+        init_fn = gqe_mod.init_gqe
     targs = train_parse_args(
         [f"--{k}" if v is True else f"--{k}={v}"
          for k, v in run_cfg.items()
@@ -59,7 +69,7 @@ def main(argv=None):
     kg, _, _ = load_data(targs)
 
     template = loop_mod.init_train_state(
-        jax.random.PRNGKey(0), cfg, loop_mod.TrainConfig())
+        jax.random.PRNGKey(0), cfg, loop_mod.TrainConfig(), init_fn=init_fn)
     ckpt = args.ckpt or ckpt_mod.latest_checkpoint(
         os.path.join(args.run_dir, "ckpt"))
     if ckpt is None:

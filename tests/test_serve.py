@@ -103,3 +103,28 @@ def test_server_warmup_compiles_buckets(trained):
     server.warmup(["1-chain"], batch=4, k=5)
     # subsequent calls reuse the cached executables (cache populated)
     assert server._rank_fn.cache_info().currsize >= 1
+
+
+@pytest.mark.parametrize("soft_and", [False, True])
+def test_server_gqe_model(trained, soft_and):
+    """GQE checkpoints serve through the same batched rank program
+    (SoftAnd ranks by conjunct-min scores over all candidates)."""
+    from mpqe_tpu.models import gqe as gqe_mod
+
+    kg, _, _, sampler = trained
+    cfg = gqe_mod.GQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, decoder="bilinear", intersection="min",
+        soft_and=soft_and,
+    )
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(5), cfg)
+    server = QueryServer(params, cfg, kg.entity_mode)
+    qs = (sampler.sample_queries("2-chain", 6, n_neg=1)
+          + sampler.sample_queries("2-inter", 6, n_neg=1))
+    answers = server.answer(qs, k=5)
+    assert len(answers) == len(qs)
+    for q, a in zip(qs, answers):
+        assert a.entity_ids.shape == (5,)
+        assert np.all(np.isfinite(a.scores))
+        t_mode = q.formula.node_modes[q.formula.spec.target_slot]
+        assert all(kg.entity_mode[e] == t_mode for e in a.entity_ids)
