@@ -38,7 +38,10 @@ static inline uint64_t rng_below(uint64_t& s, uint64_t n) {
 //
 // Mirrors data/store.py::pack_dense_batch_np (different RNG stream).
 // anchors: [n_q, n_anchor_slots]; neg CSR pool/ptr; pick: [n_pick]
-// query indices.  Outputs are caller-allocated:
+// query indices.  fb_pool [fb_size] is the shared uniform same-mode
+// fallback pool, sampled on the fly for queries whose CSR range is empty
+// (fb_size == 0 disables it); a draw that hits the target slides to the
+// next pool entry.  Outputs are caller-allocated:
 //   node_entity [B, n_nodes] (must be pre-zeroed), target [B],
 //   negatives [B, n_neg], neg_mask [B, n_neg], query_mask [B].
 // Returns 0 on success.
@@ -48,6 +51,7 @@ int pack_dense_batch(
     const int32_t* targets,
     const int32_t* neg_pool, const int64_t* neg_ptr,
     const int32_t* hard_pool, const int64_t* hard_ptr, int32_t use_hard,
+    const int32_t* fb_pool, int64_t fb_size,
     const int32_t* anchor_slot_ids,  // [n_anchor_slots] template slots
     int32_t n_nodes,
     const int64_t* pick, int64_t n_pick,
@@ -74,6 +78,15 @@ int pack_dense_batch(
     if (hi > lo) {
       for (int32_t k = 0; k < n_neg; ++k) {
         negatives[b * n_neg + k] = pool[lo + (int64_t)rng_below(s, hi - lo)];
+        neg_mask[b * n_neg + k] = 1.0f;
+      }
+    } else if (fb_size > 0 &&
+               !(fb_size == 1 && fb_pool[0] == targets[qi])) {
+      for (int32_t k = 0; k < n_neg; ++k) {
+        int64_t idx = (int64_t)rng_below(s, fb_size);
+        int32_t c = fb_pool[idx];
+        if (c == targets[qi]) c = fb_pool[(idx + 1) % fb_size];
+        negatives[b * n_neg + k] = c;
         neg_mask[b * n_neg + k] = 1.0f;
       }
     }

@@ -60,6 +60,7 @@ def _load(path: str) -> ctypes.CDLL:
         _i32p,  # targets
         _i32p, _i64p,  # neg pool/ptr
         _i32p, _i64p, ctypes.c_int32,  # hard pool/ptr, use_hard
+        _i32p, ctypes.c_int64,  # fallback pool, size (0 = disabled)
         _i32p, ctypes.c_int32,  # anchor_slot_ids, n_nodes
         _i64p, ctypes.c_int64,  # pick, n_pick
         ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,  # B, n_neg, seed
@@ -122,8 +123,10 @@ def pack_dense_batch_native(
     query_mask = np.zeros((B,), np.float32)
     anchor_slots = np.asarray(spec.anchor_slots, np.int32)
     pick64 = np.ascontiguousarray(pick, np.int64)
-    # hard pools may be empty -> pass 1-element dummies
+    # hard/fallback pools may be empty -> pass 1-element dummies
     hp = store.hard_pool if store.hard_pool.size else np.zeros(1, np.int32)
+    fb = store.fallback_pool
+    fb_size = 0 if fb is None else int(fb.size)
     rc = _lib.pack_dense_batch(
         np.ascontiguousarray(store.anchors), store.n_queries,
         spec.n_anchors,
@@ -134,6 +137,8 @@ def pack_dense_batch_native(
         np.ascontiguousarray(hp),
         np.ascontiguousarray(store.hard_ptr),
         1 if use_hard else 0,
+        np.ascontiguousarray(fb) if fb_size else np.zeros(1, np.int32),
+        fb_size,
         anchor_slots, spec.n_nodes,
         pick64, len(pick64),
         B, n_neg, seed,

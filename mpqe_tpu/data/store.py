@@ -31,6 +31,11 @@ class FormulaStore:
     neg_ptr: np.ndarray  # [n_q + 1] int64
     hard_pool: np.ndarray  # [sum |hard|] int32
     hard_ptr: np.ndarray  # [n_q + 1] int64
+    # shared uniform-negative pool (entities of the target's mode) used
+    # ON THE FLY at pack time for queries whose CSR range is empty —
+    # O(n_mode) once per formula instead of O(64) materialized rows per
+    # query (raw-edge / train_edges.pkl-style data at KG scale)
+    fallback_pool: Optional[np.ndarray] = None
 
     @property
     def n_queries(self) -> int:
@@ -41,43 +46,37 @@ def build_formula_store(
     formula: Formula,
     queries: Sequence[Query],
     fallback_pool: Optional[np.ndarray] = None,
-    fallback_size: int = 64,
-    seed: int = 0,
 ) -> FormulaStore:
-    """Flatten queries; queries with empty ``neg_samples`` get a uniform
-    same-mode fallback pool (``fallback_pool`` = candidate entity ids of the
-    target's mode) materialized here, so packers never see empty pools —
-    this is how raw-edge ("train_edges.pkl"-style) data trains without
-    pre-sampled negatives."""
-    rng = np.random.default_rng(seed)
+    """Flatten queries.  ``fallback_pool`` (candidate entity ids of the
+    target's mode) is stored ONCE on the FormulaStore; the packers (numpy
+    and C++) sample it on the fly for queries with empty ``neg_samples``
+    — this is how raw-edge ("train_edges.pkl"-style) data trains without
+    pre-sampled negatives, with no per-query pool materialization."""
     n_q = len(queries)
     n_a = formula.spec.n_anchors
     anchors = np.zeros((n_q, n_a), np.int32)
     targets = np.zeros((n_q,), np.int32)
-    neg_lists = []
     neg_ptr = np.zeros((n_q + 1,), np.int64)
     hard_ptr = np.zeros((n_q + 1,), np.int64)
     for i, q in enumerate(queries):
         anchors[i] = q.anchors
         targets[i] = q.target
-        negs = q.neg_samples
-        if not negs and fallback_pool is not None and fallback_pool.size:
-            draw = fallback_pool[
-                rng.integers(0, fallback_pool.size, fallback_size)
-            ]
-            negs = tuple(int(x) for x in draw[draw != q.target])
-        neg_lists.append(negs)
-        neg_ptr[i + 1] = neg_ptr[i] + len(negs)
+        neg_ptr[i + 1] = neg_ptr[i] + len(q.neg_samples)
         hard_ptr[i + 1] = hard_ptr[i] + len(q.hard_neg_samples)
     neg_pool = np.zeros((int(neg_ptr[-1]),), np.int32)
     hard_pool = np.zeros((int(hard_ptr[-1]),), np.int32)
     for i, q in enumerate(queries):
-        neg_pool[neg_ptr[i] : neg_ptr[i + 1]] = neg_lists[i]
+        neg_pool[neg_ptr[i] : neg_ptr[i + 1]] = q.neg_samples
         hard_pool[hard_ptr[i] : hard_ptr[i + 1]] = q.hard_neg_samples
+    if fallback_pool is not None:
+        fallback_pool = np.ascontiguousarray(fallback_pool, np.int32)
+        if not fallback_pool.size:
+            fallback_pool = None
     return FormulaStore(
         formula=formula, anchors=anchors, targets=targets,
         neg_pool=neg_pool, neg_ptr=neg_ptr,
         hard_pool=hard_pool, hard_ptr=hard_ptr,
+        fallback_pool=fallback_pool,
     )
 
 
@@ -125,6 +124,8 @@ def pack_dense_batch_np(
         (store.hard_pool, store.hard_ptr) if use_hard
         else (store.neg_pool, store.neg_ptr)
     )
+    fb = store.fallback_pool
+    fb_size = 0 if fb is None else int(fb.size)
     for b, qi in enumerate(pick):
         for a_i, slot in enumerate(spec.anchor_slots):
             node_entity[b, slot] = store.anchors[qi, a_i]
@@ -138,6 +139,18 @@ def pack_dense_batch_np(
         if hi > lo:
             negatives[b] = pool_b[lo + rng.integers(0, hi - lo, n_neg)]
             neg_mask[b] = 1.0
+        elif fb_size:
+            # on-the-fly uniform same-mode fallback; a draw that hits the
+            # target slides to the next pool entry (same contract as the
+            # C++ packer, modulo RNG streams)
+            idx = rng.integers(0, fb_size, n_neg)
+            draw = fb[idx]
+            coll = draw == target[b]
+            if coll.any():
+                draw = np.where(coll, fb[(idx + 1) % fb_size], draw)
+            if not (fb_size == 1 and fb[0] == target[b]):
+                negatives[b] = draw
+                neg_mask[b] = 1.0
         query_mask[b] = 1.0
     if n_pick < B:
         node_entity[n_pick:] = node_entity[0]

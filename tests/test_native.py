@@ -124,3 +124,37 @@ def test_native_batch_packing_speed(fstore):
         pack_dense_batch_np(fstore, pick, 512, 4, seed=i)
     t_py = time.perf_counter() - t0
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_pack_on_the_fly_fallback_negatives(kg):
+    """Queries with EMPTY neg_samples draw uniform same-mode negatives
+    from the shared fallback pool at pack time (no materialized per-query
+    pools) — numpy and C++ packers share the contract: negatives come
+    from the pool, never equal the target, masks set."""
+    import dataclasses
+
+    sampler = QuerySampler(kg, seed=31)
+    qs = sampler.sample_queries("1-chain", 25, n_neg=4)
+    f = qs[0].formula
+    qs = [q for q in qs if q.formula == f][:12]
+    qs = [dataclasses.replace(q, neg_samples=()) if hasattr(q, "neg_samples")
+          else q for q in qs]
+    fb = kg.entities_of_mode(f.target_mode)
+    store = build_formula_store(f, qs, fallback_pool=fb)
+    assert store.neg_pool.size == 0 and store.fallback_pool is not None
+
+    pick = np.arange(len(qs), dtype=np.int64)
+    pool = set(int(x) for x in fb)
+    for packer in (pack_dense_batch_np, native.pack_dense_batch_native):
+        b = packer(store, pick, 16, 4, seed=5)
+        n = len(qs)
+        assert np.all(b.neg_mask[:n] == 1.0)
+        for i in range(n):
+            assert set(int(x) for x in b.negatives[i]) <= pool
+            assert int(b.target[i]) not in set(int(x) for x in b.negatives[i])
+
+    # hard-negative packing falls through the same chain (hard -> neg ->
+    # fallback)
+    bh = native.pack_dense_batch_native(store, pick, 16, 4, seed=5,
+                                        use_hard=True)
+    assert np.all(bh.neg_mask[: len(qs)] == 1.0)
