@@ -157,6 +157,7 @@ class EvalSet:
 def make_eval_set(
     queries_by_structure: Dict[str, Dict[Formula, List[Query]]],
     max_queries_per_formula: Optional[int] = 1000,
+    require_negatives: bool = True,
 ) -> EvalSet:
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for structure, by_formula in queries_by_structure.items():
@@ -168,7 +169,8 @@ def make_eval_set(
         for formula, qs in by_formula.items():
             if max_queries_per_formula:
                 qs = qs[:max_queries_per_formula]
-            qs = [q for q in qs if q.neg_samples]
+            if require_negatives:  # full_ranking needs no sampled negs
+                qs = [q for q in qs if q.neg_samples]
             if not qs:
                 continue
             fid = n_formulas
@@ -415,56 +417,80 @@ def evaluate(
     return EvalResult(auc_s, apr_s, hard_s)
 
 
+@functools.lru_cache(maxsize=None)
+def _rank_all_fn():
+    """Jitted [B, n_entities] scoring sweep; dispatches per config type
+    like _score_batch_fn (SoftAnd GQE ranks by conjunct-min scores)."""
+
+    def f(params, cfg, structure, ne, nm, er, en):
+        if isinstance(cfg, mpqe_mod.MPQEConfig):
+            q = mpqe_mod.encode_dense_multi(
+                params, cfg, structure, ne, nm, er, en)
+            return mpqe_mod.score_all_entities(params, cfg, q)
+        from mpqe_tpu.models import gqe as gqe_mod
+
+        m_cfg = gqe_mod._score_cfg(cfg)
+        if cfg.soft_and:
+            branches = gqe_mod.branch_vectors(params, cfg, structure, ne, er)
+            return jnp.min(jnp.stack(
+                [mpqe_mod.score_all_entities(params, m_cfg, b)
+                 for b in branches], 0), axis=0)
+        q = gqe_mod.encode_dense_multi(params, cfg, structure, ne, nm, er, en)
+        return mpqe_mod.score_all_entities(params, m_cfg, q)
+
+    return jax.jit(f, static_argnums=(1, 2))
+
+
 def full_ranking(
     params,
-    cfg: mpqe_mod.MPQEConfig,
+    cfg,  # MPQEConfig or GQEConfig
     queries_by_structure: Dict[str, Dict[Formula, List[Query]]],
     entity_mode: np.ndarray,
     hits_at: Tuple[int, ...] = (1, 3, 10),
     max_queries_per_formula: Optional[int] = 200,
-    encode_fn=None,
+    max_batch: int = 8192,
 ) -> Dict[str, Dict[str, float]]:
     """Full-candidate ranking metrics (MRR / Hits@K) per structure.
 
     Goes beyond the reference's sampled-negative APR: scores every
-    same-mode entity via one ``[B, n_entities]`` MXU matmul
-    (score_all_entities) and ranks the true answer among candidates of the
-    target's mode.  Unfiltered (other true answers count as competitors),
-    like raw KG-completion ranking.
-    """
-    if encode_fn is None:
-        encode_fn = _default_encode_fn()
+    entity via one ``[B, n_entities]`` MXU matmul per chunk and ranks
+    the true answer among candidates of the target's mode.  Unfiltered
+    (other true answers count as competitors), like raw KG-completion
+    ranking.  Batched like :func:`evaluate_batched`: all formulas of a
+    structure sweep in one dispatch per ``max_batch`` chunk."""
     entity_mode = np.asarray(entity_mode)
+    es = make_eval_set(queries_by_structure, max_queries_per_formula,
+                       require_negatives=False)
+    fn = _rank_all_fn()
     out: Dict[str, Dict[str, float]] = {}
-    for structure, by_formula in queries_by_structure.items():
-        ranks: List[float] = []
-        for formula, qs in by_formula.items():
-            if max_queries_per_formula:
-                qs = qs[:max_queries_per_formula]
-            if not qs:
-                continue
-            B = bucket_size(len(qs))
-            b = make_dense_batch(formula, qs, batch_size=B, n_neg=1,
-                                 rng=np.random.default_rng(0))
-            q = encode_fn(
-                params, cfg, b.structure,
-                jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
-                jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
-            )
-            scores = np.asarray(
-                mpqe_mod.score_all_entities(params, cfg, q))[: b.n_queries]
-            mode_ok = entity_mode[None, :] == entity_mode[b.target[: b.n_queries], None]
+    for structure, data in es.by_structure.items():
+        n_q = data["target"].shape[0]
+        ranks = np.zeros(n_q, np.float64)
+        for lo in range(0, n_q, max_batch):
+            hi = min(lo + max_batch, n_q)
+            B = bucket_size(hi - lo)
+
+            def pad(a, fill=0):
+                padded = np.full((B,) + a.shape[1:], fill, a.dtype)
+                padded[: hi - lo] = a[lo:hi]
+                return jnp.asarray(padded)
+
+            scores = np.asarray(fn(
+                params, cfg, structure,
+                pad(data["node_entity"]), pad(data["node_mode"]),
+                pad(data["edge_rel"]), pad(data["edge_norm"], 1),
+            ))[: hi - lo]
+            tgt = data["target"][lo:hi]
+            mode_ok = entity_mode[None, :] == entity_mode[tgt][:, None]
             scores = np.where(mode_ok, scores, -np.inf)
-            true_s = scores[np.arange(b.n_queries), b.target[: b.n_queries]]
-            rank = 1 + (scores > true_s[:, None]).sum(axis=1)
-            ranks.extend(rank.tolist())
-        if ranks:
-            r = np.asarray(ranks, dtype=np.float64)
+            true_s = scores[np.arange(hi - lo), tgt]
+            ranks[lo:hi] = 1 + (scores > true_s[:, None]).sum(axis=1)
+        if n_q:
             m: Dict[str, float] = {
-                "mrr": float(np.mean(1.0 / r)),
-                "mean_rank": float(r.mean()),
+                "mrr": float(np.mean(1.0 / ranks)),
+                "mean_rank": float(ranks.mean()),
             }
             for k in hits_at:
-                m[f"hits@{k}"] = float(np.mean(r <= k))
+                m[f"hits@{k}"] = float(np.mean(ranks <= k))
             out[structure] = m
     return out

@@ -154,3 +154,25 @@ def test_full_ranking_metrics():
     assert 0 <= s["mrr"] <= 1
     assert s["hits@1"] <= s["hits@3"] <= s["hits@10"]
     assert s["mean_rank"] >= 1
+
+
+@pytest.mark.parametrize("soft_and", [False, True])
+def test_full_ranking_gqe(soft_and):
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+    from mpqe_tpu.models import gqe as gqe_mod
+    kg = make_random_kg(n_entities=80, n_modes=2, n_base_rels=3,
+                        n_triples=300, seed=62)
+    sampler = QuerySampler(kg, seed=4)
+    qs = (sampler.sample_queries("2-chain", 15, n_neg=4)
+          + sampler.sample_queries("2-inter", 15, n_neg=4))
+    grouped = group_queries_by_formula(qs)
+    cfg = gqe_mod.GQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, decoder="bilinear", intersection="min",
+        soft_and=soft_and)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(1), cfg)
+    m = evaluation.full_ranking(params, cfg, grouped, kg.entity_mode)
+    for s in ("2-chain", "2-inter"):
+        assert 0 <= m[s]["mrr"] <= 1
+        assert m[s]["hits@1"] <= m[s]["hits@3"] <= m[s]["hits@10"]
+        assert m[s]["mean_rank"] >= 1
