@@ -97,6 +97,43 @@ def build_stores(
     return out
 
 
+def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
+    """Raw-edge 1-chain training stores straight from the KG's triple
+    arrays — zero per-edge Python objects (the 100M-edge scale path for
+    the reference's ``train_edges.pkl`` protocol, SURVEY.md §A.3).
+
+    One store per directed relation (anchors = sources, targets =
+    destinations); negatives come from the shared same-mode fallback
+    pool at pack time (uniform, not answer-set-checked — the native
+    sampler's convention).  Pass the result as ``run_train``'s
+    ``train_stores``."""
+    src, rel, dst = kg.directed_edges()
+    order = np.argsort(rel, kind="stable")
+    src = np.ascontiguousarray(src[order], np.int32)
+    rel = np.ascontiguousarray(rel[order], np.int32)
+    dst = np.ascontiguousarray(dst[order], np.int32)
+    bounds = np.searchsorted(rel, np.arange(kg.n_rels + 1))
+    stores: List[FormulaStore] = []
+    for r in range(kg.n_rels):
+        lo, hi = int(bounds[r]), int(bounds[r + 1])
+        if hi == lo:
+            continue
+        dm, rm = kg.rel_id_modes(r)
+        n = hi - lo
+        stores.append(FormulaStore(
+            formula=Formula("1-chain", (int(r),), (int(dm), int(rm))),
+            anchors=np.ascontiguousarray(src[lo:hi, None]),
+            targets=dst[lo:hi],
+            neg_pool=np.zeros(0, np.int32),
+            neg_ptr=np.zeros(n + 1, np.int64),
+            hard_pool=np.zeros(0, np.int32),
+            hard_ptr=np.zeros(n + 1, np.int64),
+            fallback_pool=np.ascontiguousarray(
+                kg.entities_of_mode(int(rm)), np.int32),
+        ))
+    return {"1-chain": stores}
+
+
 def pack_dense_batch_np(
     store: FormulaStore,
     pick: np.ndarray,  # [n_pick] query indices

@@ -248,6 +248,7 @@ def run_train(
     warmup: bool = False,
     prefetch: int = 0,
     steps_per_call: int = 1,
+    train_stores=None,  # pre-built {structure: [FormulaStore]} overrides
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience.
 
@@ -271,7 +272,10 @@ def run_train(
     from mpqe_tpu.data import native as native_mod
     from mpqe_tpu.data.store import build_stores, pack_dense_batch_np
 
-    stores = build_stores(train_queries, kg=kg)
+    # (or taken pre-built from ``train_stores`` — the array-native
+    # raw-edge path, store.stores_from_edges, at KG scale)
+    stores = (train_stores if train_stores is not None
+              else build_stores(train_queries, kg=kg))
     use_native = native_mod.available()
 
     structures = [s for s in stores if stores[s]]

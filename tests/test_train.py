@@ -224,3 +224,40 @@ def test_multistep_scan_matches_per_step_semantics(setting):
     assert ks and all(k == 4 for k in ks)
     losses = [r["loss_mean_k"] for r in records if "loss_mean_k" in r]
     assert losses[-1] < 0.6 * losses[0]
+
+
+def test_raw_edge_stores_train_end_to_end():
+    """stores_from_edges: array-native 1-chain stores straight from KG
+    triples (no per-edge Query objects), on-the-fly fallback negatives —
+    the loss must decrease when training over them."""
+    from mpqe_tpu.data.store import stores_from_edges
+
+    kg = make_random_kg(n_entities=120, n_modes=2, n_base_rels=3,
+                        n_triples=600, seed=41)
+    stores = stores_from_edges(kg)["1-chain"]
+    # every directed edge appears exactly once across the stores
+    assert sum(s.n_queries for s in stores) == 2 * kg.n_triples
+    for s in stores:
+        r = s.formula.rels[0]
+        dm, rm = kg.rel_id_modes(r)
+        assert s.fallback_pool is not None and s.fallback_pool.size
+        assert set(np.unique(kg.entity_mode[s.targets])) <= {rm}
+        assert set(np.unique(kg.entity_mode[s.anchors[:, 0]])) <= {dm}
+
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=3, readout="tgt",
+    )
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=64, n_neg=4,
+                              max_steps=120, conv_tol=-1.0,
+                              val_every=100_000)
+    state = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    losses = []
+    state = loop_mod.run_train(
+        state, cfg, tc, {}, train_stores={"1-chain": stores},
+        log_fn=lambda d: losses.append(d.get("loss"))
+        if d.get("loss") is not None else None,
+    )
+    real = [x for x in losses if x is not None]
+    assert len(real) >= 2
+    assert real[-1] < 0.8 * real[0], (real[0], real[-1])

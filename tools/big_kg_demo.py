@@ -57,6 +57,30 @@ def main():
                       "sampled_ok": int(ok.sum()), "seconds": t_s,
                       "queries_per_s": args.queries / t_s}), flush=True)
 
+    # raw-edge 1-chain stores: array-native, zero per-edge Python objects,
+    # on-the-fly fallback negatives (no materialized pools).  At 100M
+    # edges this holds ~800 MB of triple views + O(n_mode) pools — the
+    # old per-query materialization would need ~26 GB.
+    t0 = time.perf_counter()
+    from mpqe_tpu.data.store import stores_from_edges
+
+    stores = stores_from_edges(kg)["1-chain"]
+    t_st = time.perf_counter() - t0
+    n_edge_q = sum(s.n_queries for s in stores)
+    t0 = time.perf_counter()
+    big = max(stores, key=lambda s: s.n_queries)
+    pick = np.random.default_rng(0).integers(
+        0, big.n_queries, args.batch_size).astype(np.int64)
+    b = native.pack_dense_batch_native(
+        big, pick, args.batch_size, args.n_neg, seed=3)
+    t_pk = time.perf_counter() - t0
+    assert float(b.neg_mask.min()) == 1.0  # fallback negatives present
+    print(json.dumps({"phase": "raw_edge_stores", "edge_queries": n_edge_q,
+                      "build_seconds": t_st,
+                      "pack_batch_seconds": t_pk,
+                      "pack_queries_per_s": args.batch_size / t_pk}),
+          flush=True)
+
     if args.train_steps <= 0:
         return
 
