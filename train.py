@@ -119,6 +119,16 @@ def load_data(args):
         kg, _, _ = loader_mod.load_graph_pickle(os.path.join(d, "graph_data.pkl"))
         train_q: dict = {}
         val_q: dict = {}
+        # 1-chain data comes from {train,val}_edges.pkl in the GQE lineage
+        # (SURVEY.md §A.3); when train_edges.pkl is absent, main() derives
+        # the 1-chain training set from the train graph's edges directly
+        # (stores_from_edges — the two are equivalent by construction).
+        for name, dest in (("train_edges.pkl", train_q),
+                           ("val_edges.pkl", val_q)):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                for s, by_f in loader_mod.load_queries_pickle(p, kg).items():
+                    dest.setdefault(s, {}).update(by_f)
         for arity in (2, 3):
             tp = os.path.join(d, f"train_queries_{arity}.pkl")
             vp = os.path.join(d, f"val_queries_{arity}.pkl")
@@ -221,6 +231,20 @@ def main(argv=None):
         metrics.log({"step": st.step, "event": "checkpoint",
                      "path": path, "val_auc": metric})
 
+    # reference protocol: 1-chain training covers the train graph's edges.
+    # If the dataset shipped no train_edges.pkl, derive the edge set from
+    # the KG arrays (zero per-edge Python objects; fallback negatives are
+    # sampled on the fly by the packers).
+    train_stores = None
+    if args.data.startswith("pkl:") and "1-chain" not in train_q:
+        from mpqe_tpu.data.store import build_stores, stores_from_edges
+
+        train_stores = build_stores(train_q, kg=kg)
+        train_stores.update(stores_from_edges(kg))
+        metrics.log({"event": "raw_edge_1chain_derived",
+                     "edge_queries": sum(
+                         s.n_queries for s in train_stores["1-chain"])})
+
     state = loop_mod.run_train(
         state, cfg, tc, train_q, val_queries=val_q,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
@@ -228,6 +252,7 @@ def main(argv=None):
         batch_loss_fn=batch_loss_fn,
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
+        train_stores=train_stores,
     )
     # always save a final checkpoint (best-val checkpoints only exist when
     # validation ran during training); metric-less saves are never pruned
