@@ -114,11 +114,15 @@ def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
     dst = np.ascontiguousarray(dst[order], np.int32)
     bounds = np.searchsorted(rel, np.arange(kg.n_rels + 1))
     stores: List[FormulaStore] = []
+    mode_pools: Dict[int, np.ndarray] = {}  # shared across stores
     for r in range(kg.n_rels):
         lo, hi = int(bounds[r]), int(bounds[r + 1])
         if hi == lo:
             continue
         dm, rm = kg.rel_id_modes(r)
+        if int(rm) not in mode_pools:
+            mode_pools[int(rm)] = np.ascontiguousarray(
+                kg.entities_of_mode(int(rm)), np.int32)
         n = hi - lo
         stores.append(FormulaStore(
             formula=Formula("1-chain", (int(r),), (int(dm), int(rm))),
@@ -128,8 +132,7 @@ def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
             neg_ptr=np.zeros(n + 1, np.int64),
             hard_pool=np.zeros(0, np.int32),
             hard_ptr=np.zeros(n + 1, np.int64),
-            fallback_pool=np.ascontiguousarray(
-                kg.entities_of_mode(int(rm)), np.int32),
+            fallback_pool=mode_pools[int(rm)],
         ))
     return {"1-chain": stores}
 
