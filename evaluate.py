@@ -38,7 +38,6 @@ def main(argv=None):
     with open(os.path.join(args.run_dir, "model_config.json")) as f:
         mc = json.load(f)
     init_fn = None
-    eval_encode_fn = None
     if "readout" in mc:  # MPQE
         cfg = mpqe_mod.MPQEConfig(
             n_entities=mc["n_entities"], n_modes=mc["n_modes"],
@@ -77,17 +76,11 @@ def main(argv=None):
     state = ckpt_mod.restore_checkpoint(ckpt, template)
 
     # batched single-sweep eval (both MPQE and GQE encode per-query
-    # relations); the per-formula path remains for custom encoders
-    batched = eval_encode_fn is None
-
+    # relations)
     def run_eval(queries):
-        if batched:
-            return evaluation.evaluate_batched(
-                state.params, cfg, evaluation.make_eval_set(queries),
-                n_neg=args.n_neg)
-        return evaluation.evaluate(
-            state.params, cfg, queries, n_neg=args.n_neg,
-            encode_fn=eval_encode_fn)
+        return evaluation.evaluate_batched(
+            state.params, cfg, evaluation.make_eval_set(queries),
+            n_neg=args.n_neg)
 
     res = run_eval(val_q)
     print(json.dumps({"checkpoint": ckpt, "step": state.step,

@@ -265,23 +265,8 @@ def dense_batch_loss(
 
     Branch vectors are computed ONCE and scored against positives and
     negatives (two score_queries calls would encode the query twice)."""
-    ent = params["emb"]["ent"]
-    m_cfg = _score_cfg(cfg)
-    branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
-    if cfg.soft_and:
-        def min_score(cand, expand):
-            scores = [
-                mpqe_mod.score(m_cfg, b[:, None, :] if expand else b, cand)
-                for b in branches
-            ]
-            return jnp.min(jnp.stack(scores, 0), axis=0)
-
-        pos = min_score(ent[target], False)
-        neg = min_score(ent[negatives], True)
-    else:
-        q = _intersect(cfg, params, branches)
-        pos = mpqe_mod.score(m_cfg, q, ent[target])
-        neg = mpqe_mod.score(m_cfg, q[:, None, :], ent[negatives])
+    pos, neg = score_pos_neg(
+        params, cfg, structure, node_entity, edge_rel, target, negatives)
     viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
     w = neg_mask * query_mask[:, None]
     return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -57,9 +57,16 @@ class QueryServer:
         entity_mode: np.ndarray,
         max_batch: int = 8192,
     ):
+        from mpqe_tpu.train.evaluation import _effective_max_batch
+
         self.cfg = cfg
         self.entity_mode = np.asarray(entity_mode, dtype=np.int32)
-        self.max_batch = max_batch
+        # bound per-dispatch intermediates: the [B, n_entities] score
+        # matrix always, plus [B, d, do] w_rel gathers for full-weight
+        per_row = cfg.n_entities
+        if isinstance(cfg, mpqe_mod.MPQEConfig) and cfg.num_bases is None:
+            per_row = max(per_row, cfg.embed_dim * cfg.embed_dim)
+        self.max_batch = _effective_max_batch(cfg, max_batch, per_row)
         ent = params["emb"]["ent"].astype(jnp.float32)
         if cfg.scale_scores:
             ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)

@@ -213,6 +213,24 @@ def make_eval_set(
     return EvalSet(by_structure=out)
 
 
+def _pad_chunk(a: np.ndarray, lo: int, hi: int, B: int, fill=0) -> jax.Array:
+    """Rows [lo, hi) of ``a`` padded to bucket size ``B`` with ``fill``."""
+    padded = np.full((B,) + a.shape[1:], fill, a.dtype)
+    padded[: hi - lo] = a[lo:hi]
+    return jnp.asarray(padded)
+
+
+def _effective_max_batch(cfg, max_batch: int, per_row_elems: int) -> int:
+    """Cap the sweep chunk so per-dispatch intermediates stay bounded.
+
+    ``per_row_elems`` = device elements materialized per batch row (e.g.
+    ``n_entities`` for a full score matrix, ``d*do`` per gathered
+    full-weight relation matrix).  Budget: ~2^28 fp32 elements (1 GiB)
+    per intermediate."""
+    cap = max(256, (1 << 28) // max(per_row_elems, 1))
+    return min(max_batch, cap)
+
+
 def _sample_csr(pool, ptr, n_neg, rng):
     """[Nq, n_neg] samples (with replacement) + mask from CSR pools."""
     cnt = np.diff(ptr)
@@ -278,6 +296,10 @@ def evaluate_batched(
     hard_s: Dict[str, float] = {}
     score_fn = _score_batch_fn()
     rng = np.random.default_rng(seed)
+    if isinstance(cfg, mpqe_mod.MPQEConfig) and cfg.num_bases is None:
+        # full-weight models gather [B, d, do] per edge slot
+        max_batch = _effective_max_batch(
+            cfg, max_batch, cfg.embed_dim * cfg.embed_dim)
     for structure, data in eval_set.by_structure.items():
         n_q = data["target"].shape[0]
         negs, mask = _sample_csr(
@@ -287,17 +309,14 @@ def evaluate_batched(
         for lo in range(0, n_q, max_batch):
             hi = min(lo + max_batch, n_q)
             B = bucket_size(hi - lo)
-
-            def pad(a, fill=0):
-                padded = np.full((B,) + a.shape[1:], fill, a.dtype)
-                padded[: hi - lo] = a[lo:hi]
-                return jnp.asarray(padded)
-
             p_s, n_s = score_fn(
                 params, cfg, structure,
-                pad(data["node_entity"]), pad(data["node_mode"]),
-                pad(data["edge_rel"]), pad(data["edge_norm"], 1),
-                pad(data["target"]), pad(negs),
+                _pad_chunk(data["node_entity"], lo, hi, B),
+                _pad_chunk(data["node_mode"], lo, hi, B),
+                _pad_chunk(data["edge_rel"], lo, hi, B),
+                _pad_chunk(data["edge_norm"], lo, hi, B, 1),
+                _pad_chunk(data["target"], lo, hi, B),
+                _pad_chunk(negs, lo, hi, B),
             )
             pos_all[lo:hi] = np.asarray(p_s)[: hi - lo]
             neg_all[lo:hi] = np.asarray(n_s)[: hi - lo]
@@ -330,17 +349,14 @@ def evaluate_batched(
             for lo in range(0, n_q, max_batch):
                 hi = min(lo + max_batch, n_q)
                 B = bucket_size(hi - lo)
-
-                def pad(a, fill=0):
-                    padded = np.full((B,) + a.shape[1:], fill, a.dtype)
-                    padded[: hi - lo] = a[lo:hi]
-                    return jnp.asarray(padded)
-
                 _, n_s = score_fn(
                     params, cfg, structure,
-                    pad(data["node_entity"]), pad(data["node_mode"]),
-                    pad(data["edge_rel"]), pad(data["edge_norm"], 1),
-                    pad(data["target"]), pad(hneg),
+                    _pad_chunk(data["node_entity"], lo, hi, B),
+                    _pad_chunk(data["node_mode"], lo, hi, B),
+                    _pad_chunk(data["edge_rel"], lo, hi, B),
+                    _pad_chunk(data["edge_norm"], lo, hi, B, 1),
+                    _pad_chunk(data["target"], lo, hi, B),
+                    _pad_chunk(hneg, lo, hi, B),
                 )
                 hneg_s[lo:hi] = np.asarray(n_s)[: hi - lo]
             for f in range(int(data["n_formulas"])):
@@ -462,6 +478,8 @@ def full_ranking(
     es = make_eval_set(queries_by_structure, max_queries_per_formula,
                        require_negatives=False)
     fn = _rank_all_fn()
+    # each chunk materializes a [B, n_entities] score matrix on device
+    max_batch = _effective_max_batch(cfg, max_batch, cfg.n_entities)
     out: Dict[str, Dict[str, float]] = {}
     for structure, data in es.by_structure.items():
         n_q = data["target"].shape[0]
@@ -469,16 +487,12 @@ def full_ranking(
         for lo in range(0, n_q, max_batch):
             hi = min(lo + max_batch, n_q)
             B = bucket_size(hi - lo)
-
-            def pad(a, fill=0):
-                padded = np.full((B,) + a.shape[1:], fill, a.dtype)
-                padded[: hi - lo] = a[lo:hi]
-                return jnp.asarray(padded)
-
             scores = np.asarray(fn(
                 params, cfg, structure,
-                pad(data["node_entity"]), pad(data["node_mode"]),
-                pad(data["edge_rel"]), pad(data["edge_norm"], 1),
+                _pad_chunk(data["node_entity"], lo, hi, B),
+                _pad_chunk(data["node_mode"], lo, hi, B),
+                _pad_chunk(data["edge_rel"], lo, hi, B),
+                _pad_chunk(data["edge_norm"], lo, hi, B, 1),
             ))[: hi - lo]
             tgt = data["target"][lo:hi]
             mode_ok = entity_mode[None, :] == entity_mode[tgt][:, None]

@@ -398,7 +398,14 @@ def run_train(
             metric = res.macro_auc
             if log_fn:
                 log_fn({"step": state.step, "val": res.flat()})
-            if metric > best_val:
+            if not np.isfinite(metric):
+                # no scoreable validation queries (e.g. raw val edges
+                # without sampled negatives): don't let NaN count as "no
+                # improvement" and silently early-stop / skip best-ckpt
+                if log_fn:
+                    log_fn({"step": state.step,
+                            "event": "val_unscoreable_skipped"})
+            elif metric > best_val:
                 best_val = metric
                 bad_evals = 0
                 if checkpoint_fn:

@@ -261,3 +261,33 @@ def test_raw_edge_stores_train_end_to_end():
     real = [x for x in losses if x is not None]
     assert len(real) >= 2
     assert real[-1] < 0.8 * real[0], (real[0], real[-1])
+
+
+def test_unscoreable_validation_does_not_early_stop():
+    """Val queries without sampled negatives (raw val edges) produce NaN
+    macro_auc; that must NOT count as 'no improvement' and trigger the
+    patience early-stop / suppress training."""
+    import dataclasses as _dc
+
+    kg = make_random_kg(n_entities=80, n_modes=2, n_base_rels=3,
+                        n_triples=400, seed=51)
+    sampler = QuerySampler(kg, seed=5)
+    train_q = group_queries_by_formula(
+        sampler.sample_queries("1-chain", 200, n_neg=8))
+    val_q = group_queries_by_formula([
+        _dc.replace(q, neg_samples=())
+        for q in sampler.sample_queries("1-chain", 30, n_neg=4)])
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=1, num_bases=2, readout="tgt")
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=32, n_neg=4,
+                              max_steps=60, val_every=10, patience=2,
+                              conv_tol=-1.0)
+    events = []
+    state = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state = loop_mod.run_train(
+        state, cfg, tc, train_q, val_queries=val_q,
+        log_fn=lambda d: events.append(d.get("event")))
+    assert state.step == 60, "NaN validation must not early-stop"
+    assert "val_unscoreable_skipped" in events
+    assert "early_stop" not in events

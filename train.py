@@ -236,7 +236,10 @@ def main(argv=None):
     # the KG arrays (zero per-edge Python objects; fallback negatives are
     # sampled on the fly by the packers).
     train_stores = None
-    if args.data.startswith("pkl:") and "1-chain" not in train_q:
+    want_1chain = (args.structures in ("all", "chains")
+                   or "1-chain" in args.structures.split(","))
+    if args.data.startswith("pkl:") and want_1chain \
+            and "1-chain" not in train_q:
         from mpqe_tpu.data.store import build_stores, stores_from_edges
 
         train_stores = build_stores(train_q, kg=kg)
