@@ -127,3 +127,55 @@ def test_train_from_gqe_pickle_dir(tmp_path):
     ])
     assert state.step == 30
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_pkl_derives_raw_edge_1chain_respecting_structures(tmp_path):
+    """Without train_edges.pkl, train.py derives 1-chain training stores
+    from the train graph (reference protocol) — but only when the
+    --structures selection includes 1-chain."""
+    import json as _json
+
+    import train as train_mod
+    from mpqe_tpu.data import loader as loader_mod
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+
+    kg = make_random_kg(n_entities=80, n_modes=2, n_base_rels=3,
+                        n_triples=300, seed=91)
+    d = tmp_path / "dataset"
+    d.mkdir()
+    rel_map = loader_mod.save_graph_pickle(str(d / "graph_data.pkl"), kg)
+    sampler = QuerySampler(kg, seed=7)
+    loader_mod.save_queries_pickle(
+        str(d / "train_queries_2.pkl"),
+        sampler.sample_queries("2-inter", 40, n_neg=8), rel_id_map=rel_map)
+    loader_mod.save_queries_pickle(
+        str(d / "val_queries_2.pkl"),
+        sampler.sample_queries("2-inter", 15, n_neg=8), rel_id_map=rel_map)
+
+    def events(run_dir):
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            return [_json.loads(line) for line in f]
+
+    # default structures=all -> raw-edge 1-chain derived, burn-in runs
+    r1 = str(tmp_path / "run_all")
+    train_mod.main([
+        "--data", f"pkl:{d}", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "20", "--val_every", "100",
+        "--batch_size", "32", "--n_neg", "4", "--run_dir", r1,
+    ])
+    ev = events(r1)
+    derived = [e for e in ev if e.get("event") == "raw_edge_1chain_derived"]
+    assert derived and derived[0]["edge_queries"] == 2 * kg.n_triples
+    assert any(e.get("structure") == "1-chain" for e in ev if "loss" in e)
+
+    # explicit exclusion of 1-chain -> nothing derived, no 1-chain steps
+    r2 = str(tmp_path / "run_no1c")
+    train_mod.main([
+        "--data", f"pkl:{d}", "--structures", "2-inter",
+        "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "20", "--val_every", "100",
+        "--batch_size", "32", "--n_neg", "4", "--run_dir", r2,
+    ])
+    ev = events(r2)
+    assert not any(e.get("event") == "raw_edge_1chain_derived" for e in ev)
+    assert not any(e.get("structure") == "1-chain" for e in ev if "loss" in e)
