@@ -216,8 +216,11 @@ def bench_matrix():
         qmask = jnp.asarray(np.ones((B,), np.float32))
         msgs = B * mpqe_mod.executed_edge_messages(cfg, mc["structure"])
 
+        # batch arrays are explicit arguments, NOT closure captures —
+        # captured jnp arrays become HLO constants and overflow the
+        # remote-relay compile request (CLAUDE.md HTTP 413 hazard)
         @jax.jit
-        def fwd_loop(params, en0, n):
+        def fwd_loop(params, ne, nm, er, en0, n):
             def body(i, carry):
                 e, acc = carry
                 q = mpqe_mod.encode_dense(
@@ -231,7 +234,7 @@ def bench_matrix():
         # iterations than the flagship or relay dispatch noise swamps the
         # overhead-cancelled difference
         n_small, n_large = (500, 5500) if B <= 8192 else (N_SMALL, N_LARGE)
-        fwd_dt = _timed_loop(fwd_loop, params, en,
+        fwd_dt = _timed_loop(fwd_loop, params, ne, nm, er, en,
                              n_small=n_small, n_large=n_large)
         rl = profiling.mpqe_fwd_roofline(B, cfg, mc["structure"])
 
@@ -239,7 +242,8 @@ def bench_matrix():
         opt_state = opt.init(params)
 
         @jax.jit
-        def step_loop(params, opt_state, n):
+        def step_loop(params, opt_state, ne, nm, er, en, tgt, neg, nmask,
+                      qmask, n):
             def body(i, carry):
                 p, o, _ = carry
                 def loss_fn(pp):
@@ -254,14 +258,21 @@ def bench_matrix():
             return loss
 
         log(f"[matrix {mc['name']}] compiling train step...")
-        step_dt = _timed_loop(step_loop, params, opt_state,
+        step_dt = _timed_loop(step_loop, params, opt_state, ne, nm, er, en,
+                              tgt, neg, nmask, qmask,
                               n_small=n_small // 10 or N_SMALL,
                               n_large=n_large // 10 or N_LARGE)
+        # rows whose forward sits below the relay measurement noise floor
+        # (~0.2 ms/dispatch) get flagged and NO roofline fraction — a
+        # fraction computed on noise is not a statement about the kernel
+        below_noise = fwd_dt < 2e-4
         rows.append({
             "name": mc["name"], "batch": B,
             "fwd_ms": fwd_dt * 1e3,
             "fwd_edges_per_s": msgs / fwd_dt,
-            "roofline_fraction": rl.min_seconds / fwd_dt,
+            "roofline_fraction": (None if below_noise
+                                  else rl.min_seconds / fwd_dt),
+            "fwd_below_noise_floor": below_noise,
             "train_step_ms": step_dt * 1e3,
             "train_queries_per_s": B / step_dt,
         })

@@ -35,7 +35,9 @@ def initialize(
 
         if _dist.global_state.client is not None:
             return  # already initialized
-    except ImportError:  # pragma: no cover - private API moved
+    except (ImportError, AttributeError):  # pragma: no cover - private
+        # API moved OR an attribute was renamed (both mean "can't probe";
+        # fall through to the normal init path)
         pass
     if coordinator_address is not None:
         # explicit cluster spec: failures are real errors, never swallowed

@@ -24,8 +24,7 @@ sampled or piped queries, report latency).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +65,13 @@ class QueryServer:
         per_row = cfg.n_entities
         if isinstance(cfg, mpqe_mod.MPQEConfig) and cfg.num_bases is None:
             per_row = max(per_row, cfg.embed_dim * cfg.embed_dim)
-        self.max_batch = _effective_max_batch(cfg, max_batch, per_row)
+        eff = _effective_max_batch(cfg, max_batch, per_row)
+        # round DOWN to a power of two: _pack pads to bucket sizes and
+        # warmup() walks power-of-two buckets only — a non-pow2 cap would
+        # make the first capped-size production request pay a fresh JIT
+        # compile (minutes over the remote-relay backend)
+        self.max_batch = 1 << (eff.bit_length() - 1)
+        self._rank_fns: Dict[Tuple[str, int], Any] = {}
         ent = params["emb"]["ent"].astype(jnp.float32)
         if cfg.scale_scores:
             ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
@@ -75,8 +80,13 @@ class QueryServer:
         self._mode_dev = jnp.asarray(self.entity_mode)
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=None)
     def _rank_fn(self, structure: str, k: int):
+        # instance-level cache (NOT functools.lru_cache on the bound
+        # method, which would pin every server instance + its params in a
+        # module-global cache for process lifetime)
+        cached = self._rank_fns.get((structure, k))
+        if cached is not None:
+            return cached
         cfg = self.cfg
 
         def all_scores(q, ent_norm_t):
@@ -107,7 +117,9 @@ class QueryServer:
             scores = jnp.where(mode_ok, scores, -jnp.inf)
             return jax.lax.top_k(scores, k)
 
-        return jax.jit(fn)
+        jitted = jax.jit(fn)
+        self._rank_fns[(structure, k)] = jitted
+        return jitted
 
     # ------------------------------------------------------------------
     def _pack(self, queries: Sequence[Query]):

@@ -15,6 +15,7 @@ and renames on commit, and ``latest_checkpoint`` ignores tmp dirs.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import List, Optional, Tuple
@@ -122,7 +123,40 @@ class CheckpointManager:
         self.ckpt_dir = ckpt_dir
         self.keep_best = keep_best
         self._ckptr = ocp.StandardCheckpointer() if _HAS_ORBAX else None
-        self._scored: List[Tuple[float, int, str]] = []
+        # best-k state survives restarts: scores.json next to the ckpt
+        # dirs records (metric, step, path); reload + prune on resume so
+        # a crashed run's stale best checkpoints are still retired
+        self._scores_path = os.path.join(ckpt_dir, "scores.json")
+        self._scored: List[Tuple[float, int, str]] = self._load_scores()
+        if self._scored:
+            self._prune()
+
+    def _load_scores(self) -> List[Tuple[float, int, str]]:
+        if not os.path.exists(self._scores_path):
+            return []
+        try:
+            with open(self._scores_path) as f:
+                entries = json.load(f)
+        except (OSError, ValueError):
+            return []
+        out = []
+        for e in entries:
+            path = e["path"]
+            if not os.path.isabs(path):  # stored relative to ckpt_dir
+                path = os.path.abspath(os.path.join(self.ckpt_dir, path))
+            if os.path.isdir(path):  # drop entries whose dir vanished
+                out.append((float(e["metric"]), int(e["step"]), path))
+        return out
+
+    def _save_scores(self) -> None:
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        tmp = self._scores_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                [{"metric": m, "step": s,
+                  "path": os.path.relpath(p, self.ckpt_dir)}
+                 for m, s, p in self._scored], f)
+        os.replace(tmp, self._scores_path)  # atomic: no torn scores.json
 
     def save(self, state: TrainState, metric: Optional[float] = None,
              wait: bool = False) -> str:
@@ -148,6 +182,7 @@ class CheckpointManager:
             self._scored = [t for t in self._scored if t[2] != path]
             self._scored.append((float(metric), state.step, path))
             self._prune()
+            self._save_scores()
         return path
 
     def _prune(self) -> None:
@@ -160,6 +195,7 @@ class CheckpointManager:
             _, _, path = self._scored.pop(0)
             if os.path.isdir(path):
                 shutil.rmtree(path)
+        self._save_scores()
 
     def best(self) -> Optional[str]:
         if not self._scored:

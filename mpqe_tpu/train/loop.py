@@ -265,6 +265,15 @@ def run_train(
         if steps_per_call > 1:
             multi_step = make_multistep_train_step(
                 cfg, optimizer, batch_loss_fn)
+    elif steps_per_call > 1:
+        # a supplied step (spmd/halo) owns its own jit/sharding — silently
+        # running it one-dispatch-per-step would ignore the K the caller
+        # asked for
+        raise ValueError(
+            "steps_per_call > 1 is not supported with a custom train_step "
+            "(--parallel spmd/halo_*): the multistep scan wraps only the "
+            "default dense step"
+        )
 
     # Flatten query lists into array-native FormulaStores once; per-step
     # batch packing then runs through the C++ host runtime when available

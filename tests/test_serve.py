@@ -128,3 +128,27 @@ def test_server_gqe_model(trained, soft_and):
         assert np.all(np.isfinite(a.scores))
         t_mode = q.formula.node_modes[q.formula.spec.target_slot]
         assert all(kg.entity_mode[e] == t_mode for e in a.entity_ids)
+
+
+def test_server_max_batch_is_power_of_two_and_cache_is_instance_level(
+        trained):
+    """The effective batch cap rounds DOWN to a power of two (so warmup's
+    pow2 buckets cover every shape answer() can produce), and the rank-fn
+    cache lives on the instance, not in a module-global lru_cache that
+    would pin params for process lifetime."""
+    kg, cfg, state, sampler = trained
+    # a non-pow2 requested cap must round down
+    server = QueryServer(state.params, cfg, kg.entity_mode, max_batch=300)
+    assert server.max_batch == 256
+    assert server.max_batch & (server.max_batch - 1) == 0
+    qs = sampler.sample_queries("1-chain", 3, n_neg=1)
+    server.answer(qs, k=5)
+    assert ("1-chain", 5) in server._rank_fns
+    # a second server has its own empty cache; deleting a server frees it
+    other = QueryServer(state.params, cfg, kg.entity_mode)
+    assert other._rank_fns == {}
+    import weakref
+
+    ref = weakref.ref(other)
+    del other
+    assert ref() is None, "server instance retained after del"

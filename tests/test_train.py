@@ -111,7 +111,8 @@ def test_checkpoint_manager_best_k_and_async(tmp_path, setting):
         states.append(st)
         mgr.save(st, metric=metric)
     mgr.wait()
-    kept = sorted(os.listdir(str(tmp_path)))
+    kept = sorted(n for n in os.listdir(str(tmp_path))
+                  if n.startswith("step_"))
     assert kept == ["step_20", "step_40"], kept  # best two metrics
     assert mgr.best().endswith("step_20")
     # metric-less saves are never pruned
@@ -125,6 +126,44 @@ def test_checkpoint_manager_best_k_and_async(tmp_path, setting):
     a = jax.tree_util.tree_leaves(states[1].params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_retention_survives_restart(tmp_path, setting):
+    """Best-k state persists across manager instances (scores.json): a
+    resumed run keeps pruning and best() still answers (VERDICT round 2
+    weak item 5 — retention was process-local)."""
+    import os
+
+    kg, cfg, train_q, val_q = setting
+    tc = loop_mod.TrainConfig(lr=0.01, batch_size=16, n_neg=2)
+
+    def save(mgr, step, metric):
+        st = loop_mod.init_train_state(jax.random.PRNGKey(step), cfg, tc)
+        st.step = step
+        mgr.save(st, metric=metric)
+
+    mgr1 = ckpt_mod.CheckpointManager(str(tmp_path), keep_best=2)
+    save(mgr1, 10, 0.5)
+    save(mgr1, 20, 0.9)
+    save(mgr1, 30, 0.3)
+    mgr1.close()  # "crash"/restart boundary: state only on disk now
+
+    mgr2 = ckpt_mod.CheckpointManager(str(tmp_path), keep_best=2)
+    assert mgr2.best() is not None and mgr2.best().endswith("step_20")
+    save(mgr2, 40, 0.7)
+    save(mgr2, 50, 0.8)
+    mgr2.close()
+    kept = sorted(n for n in os.listdir(str(tmp_path))
+                  if n.startswith("step_"))
+    # best two across BOTH lifetimes: 0.9 (step 20) and 0.8 (step 50)
+    assert kept == ["step_20", "step_50"], kept
+    assert mgr2.best().endswith("step_20")
+    # a third instance prunes immediately if keep_best shrank
+    mgr3 = ckpt_mod.CheckpointManager(str(tmp_path), keep_best=1)
+    kept = sorted(n for n in os.listdir(str(tmp_path))
+                  if n.startswith("step_"))
+    assert kept == ["step_20"], kept
+    assert mgr3.best().endswith("step_20")
 
 
 def test_latest_checkpoint_skips_interrupted_tmp_dirs(tmp_path, setting):
@@ -291,3 +330,14 @@ def test_unscoreable_validation_does_not_early_stop():
     assert state.step == 60, "NaN validation must not early-stop"
     assert "val_unscoreable_skipped" in events
     assert "early_stop" not in events
+
+
+def test_steps_per_call_rejected_with_custom_train_step(setting):
+    """A supplied (spmd/halo) step + steps_per_call>1 must fail loudly,
+    not silently run one dispatch per step (ADVICE round 2)."""
+    kg, cfg, train_q, val_q = setting
+    tc = loop_mod.TrainConfig(batch_size=16, n_neg=2, max_steps=2)
+    state = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    with pytest.raises(ValueError, match="steps_per_call"):
+        loop_mod.run_train(state, cfg, tc, train_q,
+                           train_step=lambda *a: None, steps_per_call=2)
