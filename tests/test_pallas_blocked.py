@@ -67,37 +67,93 @@ def test_blocked_matches_sparse_bf16_tolerance(rng):
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
-def test_blocked_gradients_match_f32_path(rng):
-    """The backward is the exact f32 XLA twin: given the same upstream
-    cotangent, grads equal the composable-path grads."""
-    st = _graph(rng, n_nodes=40, n_e=120)
-    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, N_RELS, 3)
-    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
-    bk = prb.bucket_edges_blocked(st, node_block=16, chunk=8)
-    args = (
+def _msg_args(bk):
+    fwd = (
         jnp.asarray(bk["src_local"]), jnp.asarray(bk["dst_local"]),
         jnp.asarray(bk["rel"]), jnp.asarray(bk["norm"]),
         jnp.asarray(bk["chunk_src_blk"]), jnp.asarray(bk["chunk_dst_blk"]),
     )
+    t = (
+        jnp.asarray(bk["t_src_local"]), jnp.asarray(bk["t_dst_local"]),
+        jnp.asarray(bk["t_rel"]), jnp.asarray(bk["t_norm"]),
+        jnp.asarray(bk["t_chunk_src_blk"]),
+        jnp.asarray(bk["t_chunk_dst_blk"]),
+    )
+    return fwd, t
+
+
+def test_blocked_gradients_match_f32_path(rng):
+    """The Pallas backward (dx via the transpose-bucketed forward kernel,
+    dbasis/dcoeff via the grad kernel) matches the composable f32 twin's
+    grads to bf16-matmul tolerance."""
+    st = _graph(rng, n_nodes=40, n_e=120)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, N_RELS, 3)
+    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+    bk = prb.bucket_edges_blocked(st, node_block=16, chunk=8)
+    fwd_args, t_args = _msg_args(bk)
     g_out = jnp.asarray(
         rng.normal(size=(st.n_nodes, D)).astype(np.float32))
 
     def loss_blocked(x, basis, coeff):
         out = prb._blocked_messages(
-            x, basis, coeff, *args, N_RELS, 16, 8, True)
+            x, basis, coeff, *fwd_args, *t_args, N_RELS, 16, 8, True)
         return jnp.vdot(out, g_out)
 
     def loss_twin(x, basis, coeff):
         out = prb._messages_xla_twin(
-            x, basis, coeff, *args, N_RELS, 16, 8)
+            x, basis, coeff, *fwd_args, N_RELS, 16, 8)
         return jnp.vdot(out, g_out)
 
     g1 = jax.grad(loss_blocked, argnums=(0, 1, 2))(
         x, p["basis"], p["coeff"])
     g2 = jax.grad(loss_twin, argnums=(0, 1, 2))(x, p["basis"], p["coeff"])
-    for a, b in zip(g1, g2):
+    scale = [np.abs(np.asarray(b)).max() for b in g2]
+    for a, b, s in zip(g1, g2, scale):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+            np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-2 * s)
+
+
+def test_blocked_backward_has_no_edge_basis_blowup(rng):
+    """The backward jaxpr contains NO [E, Bb, do]-sized intermediate —
+    the round-2 XLA-twin backward materialized exactly that (8 GB at the
+    benched workload), making the fast path forward-only at scale."""
+    # enough edges that the [E, Bb, do] threat dwarfs the lane-padded
+    # parameter constants ([Bb, 128, 128] etc.), so the assertion tests
+    # the edge-proportional blowup and not padding noise
+    st = _graph(rng, n_nodes=64, n_e=3000)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(1), D, D, N_RELS, 3)
+    x = jnp.asarray(rng.normal(size=(st.n_nodes, D)).astype(np.float32))
+    bk = prb.bucket_edges_blocked(st, node_block=16, chunk=8)
+    fwd_args, t_args = _msg_args(bk)
+    e_pad = bk["src_local"].shape[0]
+    bb = p["basis"].shape[0]
+    blowup = e_pad * bb * D  # elements of the [E, Bb, do] intermediate
+    assert blowup > 2 * bb * 128 * 128, "shape too small to be probative"
+
+    def loss(x, basis, coeff):
+        out = prb._blocked_messages(
+            x, basis, coeff, *fwd_args, *t_args, N_RELS, 16, 8, True)
+        return jnp.sum(out)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(
+        x, p["basis"], p["coeff"])
+
+    def max_interm(jx):
+        worst = 0
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                if hasattr(v.aval, "size"):
+                    worst = max(worst, v.aval.size)
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    inner = sub.jaxpr if hasattr(sub.jaxpr, "eqns") else sub
+                    worst = max(worst, max_interm(inner))
+        return worst
+
+    worst = max_interm(jaxpr.jaxpr)
+    assert worst < blowup, (
+        f"backward materializes a {worst}-element intermediate "
+        f">= the [E, Bb, do] blowup ({blowup})")
 
 
 def test_encode_sparse_blocked_matches_encode_sparse():

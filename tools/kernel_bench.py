@@ -63,28 +63,103 @@ def bench_config(n_nodes, n_e, n_rels, d, num_bases, chunk, paths):
         results[name] = dt
         return dt
 
+    def run_grad(name, layer_fn):
+        """Time value+grad wrt (x, params) of sum(layer(x)^2)."""
+        def loss(xx, pp):
+            out = layer_fn(xx, pp)
+            return jnp.sum(out * out) * 1e-6
+
+        grad_fn = jax.value_and_grad(loss, argnums=(0, 1))
+
+        @jax.jit
+        def loop(x0, pp, n):
+            def body(i, carry):
+                xx, acc = carry
+                _, (dx, dp) = grad_fn(xx, pp)
+                return xx + dx * 1e-30, acc + dx[0, 0]
+            _, acc = jax.lax.fori_loop(0, n, body, (x0, 0.0))
+            return acc
+
+        print(f"compiling {name} (fwd+bwd)...", file=sys.stderr, flush=True)
+        dt = profiling.loop_time(lambda n: loop(x, p, n))
+        rec = {
+            "path": name, "ms": dt * 1e3, "edges_per_s": n_e / dt,
+            "n_nodes": n_nodes, "n_edges": n_e, "e_pad": e_pad,
+            "n_rels": n_rels, "d": d, "num_bases": num_bases,
+            "chunk": chunk, "grad": True,
+        }
+        print(json.dumps(rec), flush=True)
+        results[name] = dt
+        return dt
+
+    def xla_layer(xx, pp):
+        return rgcn_ops.rgcn_sparse(
+            xx, pp, jnp.asarray(st.src), jnp.asarray(st.dst),
+            jnp.asarray(st.rel), jnp.asarray(st.norm), n_rels)
+
     if "xla" in paths:
-        run("rgcn_sparse_xla", lambda xx: rgcn_ops.rgcn_sparse(
-            xx, p, jnp.asarray(st.src), jnp.asarray(st.dst),
-            jnp.asarray(st.rel), jnp.asarray(st.norm), n_rels))
+        run("rgcn_sparse_xla", lambda xx: xla_layer(xx, p))
+    if "xla_grad" in paths:
+        run_grad("rgcn_sparse_xla_grad", xla_layer)
     if "fused" in paths:
         run("rgcn_sparse_fused", lambda xx: pr.rgcn_sparse_fused(
             xx, p, ch_dev, n_rels))
-    if "blocked" in paths and num_bases is not None:
+    if "fused_grad" in paths:
+        run_grad("rgcn_sparse_fused_grad",
+                 lambda xx, pp: pr.rgcn_sparse_fused(xx, pp, ch_dev, n_rels))
+    if num_bases is not None and any("blocked" in pp for pp in paths):
         from mpqe_tpu.ops import pallas_rgcn_blocked as prb
 
         default_shapes = f"{prb.DEFAULT_NODE_BLOCK}:{prb.DEFAULT_CHUNK}"
-        for sb, c in [(int(x) for x in s.split(":"))
-                      for s in os.environ.get(
-                          "MPQE_BLOCKED_SHAPES", default_shapes).split(",")]:
+        shapes = [tuple(int(x) for x in s.split(":"))
+                  for s in os.environ.get(
+                      "MPQE_BLOCKED_SHAPES", default_shapes).split(",")]
+        bk_first = None
+        for sb, c in shapes:
             bk = prb.bucket_edges_blocked(st, node_block=sb, chunk=c)
             bk_dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
                           else v) for k, v in bk.items()}
-            run(f"rgcn_sparse_blocked_bf16_sb{sb}_c{c}",
-                lambda xx, _bk=bk_dev: prb.rgcn_sparse_blocked(
-                    xx, p, _bk, n_rels))
-        results["rgcn_sparse_blocked_bf16"] = min(
-            v for k, v in results.items() if "blocked" in k)
+            if bk_first is None:
+                bk_first = bk_dev
+            if "blocked" in paths:
+                run(f"rgcn_sparse_blocked_bf16_sb{sb}_c{c}",
+                    lambda xx, _bk=bk_dev: prb.rgcn_sparse_blocked(
+                        xx, p, _bk, n_rels))
+        if "blocked" in paths:
+            results["rgcn_sparse_blocked_bf16"] = min(
+                v for k, v in results.items() if "blocked" in k)
+        if "blocked_grad" in paths:
+            run_grad("rgcn_sparse_blocked_bf16_grad",
+                     lambda xx, pp: prb.rgcn_sparse_blocked(
+                         xx, pp, bk_first, n_rels))
+        if "grad_parity" in paths:
+            # at-scale (E >= 1M) gradient parity: the blocked backward vs
+            # the fused f32 path (whose custom VJP is also blowup-free),
+            # bf16 tolerance.  Being runnable at all is the point — the
+            # round-2 XLA-twin backward OOM'd here.
+            print("compiling grad parity check...", file=sys.stderr,
+                  flush=True)
+
+            def gp(layer_fn):
+                def loss(xx, pp):
+                    out = layer_fn(xx, pp)
+                    return jnp.sum(out * out) * 1e-6
+                return jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+            dx_b, dp_b = gp(lambda xx, pp: prb.rgcn_sparse_blocked(
+                xx, pp, bk_first, n_rels))(x, p)
+            dx_x, dp_x = gp(lambda xx, pp: pr.rgcn_sparse_fused(
+                xx, pp, ch_dev, n_rels))(x, p)
+            devs = {"dx": (dx_b, dx_x)}
+            for k in dp_b:
+                devs[f"d{k}"] = (dp_b[k], dp_x[k])
+            rec = {"grad_parity": True}
+            for k, (a, b) in devs.items():
+                a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+                scale = np.abs(b).max() + 1e-12
+                rec[f"{k}_max_rel_dev"] = float(
+                    np.abs(a - b).max() / scale)
+            print(json.dumps(rec), flush=True)
 
     if "rgcn_sparse_xla" in results and "rgcn_sparse_fused" in results:
         speedup = results["rgcn_sparse_xla"] / results["rgcn_sparse_fused"]

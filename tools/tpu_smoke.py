@@ -80,13 +80,35 @@ def main():
     from mpqe_tpu.ops import pallas_rgcn_blocked as prb
 
     bk = prb.bucket_edges_blocked(st, node_block=128, chunk=128)
+    bk_dev = {k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+              for k, v in bk.items()}
     stage("compiling rgcn_sparse_blocked (bf16)...")
     got = np.asarray(jax.jit(
-        lambda xx, pp: prb.rgcn_sparse_blocked(xx, pp, {
-            k: (jnp.asarray(v) if hasattr(v, "shape") else v)
-            for k, v in bk.items()}, n_rels)
+        lambda xx, pp: prb.rgcn_sparse_blocked(xx, pp, bk_dev, n_rels)
     )(jnp.asarray(x), p))
     ok &= check("rgcn_sparse_blocked_bf16", got, want, rtol=5e-2, atol=5e-2)
+
+    # blocked backward (Pallas dx/dbasis/dcoeff kernels) vs the fused
+    # f32 custom-VJP path — compiled-mode grad parity, bf16 tolerance
+    stage("compiling rgcn_sparse_blocked grad (fwd+bwd)...")
+
+    def _gp(layer_fn):
+        def loss(xx, pp):
+            return jnp.sum(layer_fn(xx, pp) ** 2) * 1e-3
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    dx_b, dp_b = _gp(lambda xx, pp: prb.rgcn_sparse_blocked(
+        xx, pp, bk_dev, n_rels))(jnp.asarray(x), p)
+    stage("compiling rgcn_sparse_fused grad (oracle)...")
+    with jax.default_matmul_precision("highest"):
+        dx_f, dp_f = _gp(lambda xx, pp: pr.rgcn_sparse_fused(
+            xx, pp, ch, n_rels))(jnp.asarray(x), p)
+    for name, a, b in [("dx", dx_b, dx_f),
+                       ("dbasis", dp_b["basis"], dp_f["basis"]),
+                       ("dcoeff", dp_b["coeff"], dp_f["coeff"])]:
+        s = float(np.abs(np.asarray(b)).max()) + 1e-12
+        ok &= check(f"blocked_grad_{name}", np.asarray(a) / s,
+                    np.asarray(b) / s, rtol=5e-2, atol=5e-2)
 
     # SDDMM
     from mpqe_tpu.ops import pallas_sddmm as sd
