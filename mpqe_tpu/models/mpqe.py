@@ -609,3 +609,92 @@ def dense_batch_loss_fused(
     return margin_loss_from_rows(
         cfg, q, pos_rows, neg_rows, neg_mask, query_mask
     )
+
+
+# ----------------------------------------------------------------------
+# Kernel-path batch losses (dense signature -> on-device sparse layout)
+# ----------------------------------------------------------------------
+def _sparse_view_on_device(structure: str, node_entity, node_mode):
+    """Flatten a dense template batch into the sparse-view node arrays,
+    all synthesized on-device (ops/template_layout.py rationale)."""
+    spec = STRUCTURES[structure]
+    B, n = node_entity.shape
+    is_var = [0.0] * n
+    for s in spec.free_slots:
+        is_var[s] = 1.0
+    node_is_var = jnp.tile(jnp.asarray(is_var, jnp.float32), B)
+    node_query = jax.lax.iota(jnp.int32, B * n) // n
+    target_node = jax.lax.iota(jnp.int32, B) * n + spec.target_slot
+    return (node_entity.reshape(-1), node_mode.reshape(-1), node_is_var,
+            node_query, target_node, B)
+
+
+def dense_batch_loss_kernel_fused(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,
+    negatives: jax.Array,
+    neg_mask: jax.Array,
+    query_mask: jax.Array,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``dense_batch_loss`` math routed through the fused Pallas R-GCN
+    kernel (ops/pallas_rgcn.py): same dense-batch arguments, so it drops
+    into ``make_train_step`` as ``batch_loss_fn`` (``--kernel fused``).
+    The relation-chunk layout is built on-device per step
+    (ops/template_layout.py) — zero host work, one executable per
+    (structure, B) bucket."""
+    from mpqe_tpu.ops import template_layout
+
+    ne_f, nm_f, niv, nq, tn, B = _sparse_view_on_device(
+        structure, node_entity, node_mode)
+    chunked = template_layout.template_chunked(
+        structure, edge_rel, edge_norm, B, chunk)
+    q = encode_sparse_fused(
+        params, cfg, structure, ne_f, nm_f, niv, chunked, nq, tn, B,
+        interpret=interpret)
+    return margin_loss_from_queries(
+        params, cfg, q, target, negatives, neg_mask, query_mask)
+
+
+def dense_batch_loss_kernel_blocked(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,
+    negatives: jax.Array,
+    neg_mask: jax.Array,
+    query_mask: jax.Array,
+    queries_per_block: int = 512,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``dense_batch_loss`` math routed through the blocked bf16 kernel
+    (ops/pallas_rgcn_blocked.py, Pallas fwd AND bwd) — ``--kernel
+    blocked``.  Diagonal query-aligned node blocks (ops/template_layout
+    .py) give a zero-padding static layout; requires basis decomposition
+    (the kernel's contract)."""
+    from mpqe_tpu.ops import template_layout
+
+    if cfg.num_bases is None:
+        raise ValueError("--kernel blocked requires num_bases > 0")
+    ne_f, nm_f, niv, nq, tn, B = _sparse_view_on_device(
+        structure, node_entity, node_mode)
+    bucketed = template_layout.template_blocked(
+        structure, edge_rel, edge_norm, B,
+        queries_per_block=queries_per_block, chunk=chunk)
+    q = encode_sparse_blocked(
+        params, cfg, structure, ne_f, nm_f, niv, bucketed, nq, tn, B,
+        interpret=interpret)
+    return margin_loss_from_queries(
+        params, cfg, q, target, negatives, neg_mask, query_mask)

@@ -62,6 +62,14 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=1,
                    help=">1: scan K train steps per device dispatch")
+    p.add_argument("--kernel", default="dense",
+                   choices=["dense", "fused", "blocked"],
+                   help="R-GCN compute path: dense = structure-batched "
+                        "template einsums (default); fused = relation-"
+                        "chunked Pallas kernel; blocked = bf16 blocked "
+                        "Pallas kernel (needs --num_bases). Sparse "
+                        "layouts are synthesized on-device per step "
+                        "(ops/template_layout.py)")
     p.add_argument("--parallel", default="none",
                    choices=["none", "spmd", "halo_ring", "halo_gather"],
                    help="distributed train step: spmd = GSPMD DP+TP+EP; "
@@ -163,7 +171,21 @@ def main(argv=None):
             margin=args.margin,
         )
         init_fn, batch_loss_fn = None, None
+        if args.kernel != "dense":
+            import functools
+
+            if args.kernel == "blocked" and not args.num_bases:
+                raise SystemExit("--kernel blocked requires --num_bases")
+            on_cpu = jax.default_backend() == "cpu"
+            batch_loss_fn = functools.partial(
+                mpqe_mod.dense_batch_loss_kernel_fused
+                if args.kernel == "fused"
+                else mpqe_mod.dense_batch_loss_kernel_blocked,
+                interpret=on_cpu,  # Pallas kernels compile on TPU only
+            )
     else:
+        if args.kernel != "dense":
+            raise SystemExit("--kernel applies to --model rgcn only")
         from mpqe_tpu.models import gqe as gqe_mod
         cfg = gqe_mod.GQEConfig(
             n_entities=kg.n_entities,
@@ -188,6 +210,10 @@ def main(argv=None):
     if args.parallel != "none":
         if args.model != "rgcn":
             raise SystemExit("--parallel requires --model rgcn")
+        if args.kernel != "dense":
+            raise SystemExit(
+                "--kernel {fused,blocked} is single-chip for now; the "
+                "distributed steps (--parallel) own their own layer path")
         from mpqe_tpu.parallel import mesh as mesh_lib
 
         shape = (tuple(int(x) for x in args.mesh.split(","))
