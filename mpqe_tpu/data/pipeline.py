@@ -40,6 +40,10 @@ class BatchPipeline:
       seed: RNG seed for the draw sequence.
       prefetch: queue depth.
       device_put: move arrays to the default device in the producer.
+      steps_per_call: K > 1 emits K same-formula batches PRE-STACKED with
+        a leading [K] axis (feeding the multistep ``lax.scan`` dispatch) —
+        the draw order mirrors the synchronous multistep loop exactly, so
+        trajectories are identical to the unpiped path with the same seed.
     """
 
     def __init__(
@@ -52,6 +56,7 @@ class BatchPipeline:
         seed: int = 0,
         prefetch: int = 2,
         device_put: bool = True,
+        steps_per_call: int = 1,
     ):
         self.stores = {s: v for s, v in stores.items() if v}
         self.structures = structures or sorted(self.stores)
@@ -60,6 +65,7 @@ class BatchPipeline:
         self.hard_neg_prob = hard_neg_prob
         self.rng = np.random.default_rng(seed)
         self.device_put = device_put
+        self.steps_per_call = steps_per_call
         self.use_native = native_mod.available()
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -84,7 +90,22 @@ class BatchPipeline:
             if self.use_native
             else pack_dense_batch_np
         )
-        return pack(fstore, pick, self.batch_size, self.n_neg, seed, use_hard)
+        first = pack(fstore, pick, self.batch_size, self.n_neg, seed,
+                     use_hard)
+        if self.steps_per_call <= 1:
+            return first
+        # K-1 extra same-formula batches, drawn in the same (pick, seed)
+        # order the synchronous multistep loop uses
+        batches = [first]
+        for _ in range(self.steps_per_call - 1):
+            pk = self.rng.integers(
+                0, fstore.n_queries,
+                size=min(self.batch_size, fstore.n_queries),
+            ).astype(np.int64)
+            sd = int(self.rng.integers(2**62))
+            batches.append(pack(fstore, pk, self.batch_size, self.n_neg,
+                                sd, use_hard))
+        return stack_batches(batches)
 
     def _producer(self):
         while not self._stop.is_set():
@@ -125,6 +146,23 @@ class BatchPipeline:
 
     def __next__(self) -> DenseQueryBatch:
         return self._q.get()
+
+
+def stack_batches(batches) -> DenseQueryBatch:
+    """K same-structure batches -> one batch whose arrays carry a leading
+    [K] axis (the multistep scan's xs layout).  Stacking happens on the
+    producer thread, so the train loop never touches numpy for it."""
+    import dataclasses
+
+    first = batches[0]
+    stk = lambda f: np.stack([np.asarray(getattr(b, f)) for b in batches])
+    return dataclasses.replace(
+        first,
+        node_entity=stk("node_entity"), node_mode=stk("node_mode"),
+        edge_rel=stk("edge_rel"), edge_norm=stk("edge_norm"),
+        target=stk("target"), negatives=stk("negatives"),
+        neg_mask=stk("neg_mask"), query_mask=stk("query_mask"),
+    )
 
 
 def _to_device(batch: DenseQueryBatch) -> DenseQueryBatch:

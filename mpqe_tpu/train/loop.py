@@ -161,6 +161,24 @@ def run_multistep(
     return [float(l) for l in np.asarray(losses)]
 
 
+def run_multistep_stacked(
+    train_step: Callable, state: TrainState, batch: DenseQueryBatch
+) -> List[float]:
+    """One scanned dispatch over a PRE-STACKED [K, ...] batch (produced by
+    BatchPipeline(steps_per_call=K) on its background thread) — the
+    prefetch path's multistep entry: no host-side stacking here."""
+    state.params, state.opt_state, losses = train_step(
+        state.params, state.opt_state, batch.structure,
+        jnp.asarray(batch.node_entity), jnp.asarray(batch.node_mode),
+        jnp.asarray(batch.edge_rel), jnp.asarray(batch.edge_norm),
+        jnp.asarray(batch.target), jnp.asarray(batch.negatives),
+        jnp.asarray(batch.neg_mask), jnp.asarray(batch.query_mask),
+    )
+    losses = np.asarray(losses)
+    state.step += len(losses)
+    return [float(l) for l in losses]
+
+
 def run_step(
     train_step: Callable,
     state: TrainState,
@@ -324,6 +342,7 @@ def run_train(
             stores, batch_size=tc.batch_size, n_neg=tc.n_neg,
             structures=structs, hard_neg_prob=tc.hard_neg_prob,
             seed=tc.seed, prefetch=prefetch,
+            steps_per_call=steps_per_call if multi_step is not None else 1,
         ).start()
 
     if prefetch > 0:
@@ -358,20 +377,24 @@ def run_train(
                     fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
                 )
         t0 = time.perf_counter()
-        if multi_step is not None and pipeline is None:
-            # pack K-1 more same-formula batches and scan them on-device
-            extra = []
-            for _ in range(steps_per_call - 1):
-                pk = rng.integers(
-                    0, fstore.n_queries,
-                    size=min(tc.batch_size, fstore.n_queries),
-                ).astype(np.int64)
-                sd = int(rng.integers(2**62))
-                pack = (native_mod.pack_dense_batch_native if use_native
-                        else pack_dense_batch_np)
-                extra.append(pack(fstore, pk, tc.batch_size, tc.n_neg, sd,
-                                  use_hard))
-            k_losses = run_multistep(multi_step, state, [batch] + extra)
+        if multi_step is not None:
+            if pipeline is not None:
+                # the producer thread already packed + stacked K batches
+                k_losses = run_multistep_stacked(multi_step, state, batch)
+            else:
+                # pack K-1 more same-formula batches and scan them on-device
+                extra = []
+                for _ in range(steps_per_call - 1):
+                    pk = rng.integers(
+                        0, fstore.n_queries,
+                        size=min(tc.batch_size, fstore.n_queries),
+                    ).astype(np.int64)
+                    sd = int(rng.integers(2**62))
+                    pack = (native_mod.pack_dense_batch_native if use_native
+                            else pack_dense_batch_np)
+                    extra.append(pack(fstore, pk, tc.batch_size, tc.n_neg,
+                                      sd, use_hard))
+                k_losses = run_multistep(multi_step, state, [batch] + extra)
             dt = time.perf_counter() - t0
             losses.extend(k_losses)
             loss = k_losses[-1]

@@ -265,6 +265,28 @@ def test_multistep_scan_matches_per_step_semantics(setting):
     assert losses[-1] < 0.6 * losses[0]
 
 
+def test_multistep_with_prefetch_matches_sync_trajectory(setting):
+    """steps_per_call>1 now composes with prefetch (VERDICT r2 item 5 —
+    they were mutually exclusive): the piped producer draws (structure,
+    formula, picks, seeds) in exactly the synchronous multistep order, so
+    the loss trajectory is IDENTICAL batch-for-batch."""
+    kg, cfg, train_q, _ = setting
+
+    def run(prefetch):
+        tc = loop_mod.TrainConfig(max_steps=48, batch_size=32, n_neg=4,
+                                  val_every=10_000, conv_tol=-1.0, seed=5)
+        state = loop_mod.init_train_state(jax.random.PRNGKey(9), cfg, tc)
+        records = []
+        loop_mod.run_train(state, cfg, tc, train_q, steps_per_call=4,
+                           prefetch=prefetch, log_fn=records.append)
+        assert state.step == 48
+        return [r["loss_mean_k"] for r in records if "loss_mean_k" in r]
+
+    sync, piped = run(0), run(2)
+    assert len(sync) == len(piped) == 12
+    np.testing.assert_allclose(piped, sync, rtol=1e-6)
+
+
 def test_raw_edge_stores_train_end_to_end():
     """stores_from_edges: array-native 1-chain stores straight from KG
     triples (no per-edge Query objects), on-the-fly fallback negatives —
