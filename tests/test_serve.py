@@ -102,7 +102,7 @@ def test_server_warmup_compiles_buckets(trained):
     server = QueryServer(state.params, cfg, kg.entity_mode)
     server.warmup(["1-chain"], batch=4, k=5)
     # subsequent calls reuse the cached executables (cache populated)
-    assert server._rank_fn.cache_info().currsize >= 1
+    assert len(server._rank_fns) >= 1
 
 
 @pytest.mark.parametrize("soft_and", [False, True])
