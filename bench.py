@@ -337,6 +337,90 @@ def bench_shared_negatives():
             "n_shared_negatives": K, "protocol": "shared_negatives_variant"}
 
 
+def bench_kernel_paths():
+    """Flagship-shape train-step comparison across the three R-GCN compute
+    paths (--kernel {dense,fused,blocked}): same batch, same loss, full
+    fwd+bwd+Adam.  Answers VERDICT r2 item 2's question — does either
+    Pallas sparse-view path beat the dense template einsum for template
+    batches?  Opt-in via MPQE_BENCH_KERNELS=1 (three remote compiles)."""
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
+        embed_dim=D, n_layers=N_LAYERS, num_bases=NUM_BASES, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = BATCH
+    ne = jnp.asarray(rng.integers(
+        0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(
+        0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    er = jnp.asarray(rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    en = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+    tgt = jnp.asarray(rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+    neg = jnp.asarray(rng.integers(
+        0, N_ENTITIES, (B, N_NEG)).astype(np.int32))
+    nmask = jnp.asarray(np.ones((B, N_NEG), np.float32))
+    qmask = jnp.asarray(np.ones((B,), np.float32))
+    opt = optax.adam(0.01)
+
+    qpb = int(os.environ.get("MPQE_KERNEL_QPB", "128"))
+    loss_fns = {
+        "dense": mpqe_mod.dense_batch_loss,
+        "fused": functools.partial(
+            mpqe_mod.dense_batch_loss_kernel_fused, chunk=512),
+        "blocked": functools.partial(
+            mpqe_mod.dense_batch_loss_kernel_blocked,
+            queries_per_block=qpb, chunk=512),
+    }
+    rows = []
+    for name, loss_fn in loss_fns.items():
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step_loop(params, opt_state, ne, nm, er, en, tgt, neg, nmask,
+                      qmask, n, _loss_fn=loss_fn):
+            def body(i, carry):
+                p, o, _ = carry
+
+                def lf(pp):
+                    return _loss_fn(pp, cfg, STRUCTURE, ne, nm, er, en,
+                                    tgt, neg, nmask, qmask)
+
+                loss, grads = jax.value_and_grad(lf)(p)
+                up, o = opt.update(grads, o, p)
+                return optax.apply_updates(p, up), o, loss
+
+            _, _, loss = jax.lax.fori_loop(
+                0, n, body, (params, opt_state, jnp.float32(0)))
+            return loss
+
+        log(f"[kernel {name}] compiling train step (B={B})...")
+        try:
+            dt = _timed_loop(step_loop, params, opt_state, ne, nm, er, en,
+                             tgt, neg, nmask, qmask)
+        except Exception as e:  # pragma: no cover - surface, don't abort
+            log(f"[kernel {name}] FAILED: {type(e).__name__}: {e}")
+            rows.append({"kernel": name, "error": str(e)[:300]})
+            continue
+        rows.append({
+            "kernel": name, "train_step_ms": dt * 1e3,
+            "train_queries_per_s": B / dt, "batch": B,
+            **({"queries_per_block": qpb} if name == "blocked" else {}),
+        })
+        log(f"[kernel {name}] step {dt*1e3:.2f} ms")
+    return rows
+
+
 def bench_torch_baseline():
     """Reference-spec forward in torch (CPU): per-relation gather->GEMM->
     index_add over the flattened batched query graph + TGT readout."""
@@ -455,6 +539,8 @@ def main():
     if os.environ.get("MPQE_BENCH_MATRIX"):
         extra["configs"] = bench_matrix()
         extra["shared_neg_variant"] = bench_shared_negatives()
+    if os.environ.get("MPQE_BENCH_KERNELS"):
+        extra["kernel_paths"] = bench_kernel_paths()
     record = {
         "metric": "rgcn_fwd_edges_per_s_chip",
         "value": jx["fwd_edges_per_s"],
