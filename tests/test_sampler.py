@@ -84,6 +84,51 @@ def test_make_rule_kg_deterministic_structure():
         assert all(1 <= d <= 2 for d in degs)
 
 
+def test_make_rule_kg_variants():
+    """The warp/band rule families (VERDICT r2 item 4 substrates): warp =
+    piecewise translations (parity-dependent shift); band = many-to-many
+    row/column relations whose range-sharing pairs are crossed (their
+    2-inter pins a single cell)."""
+    from mpqe_tpu.data.sampler import make_rule_kg
+
+    g = 10  # 300 entities / 3 modes = 100 = g*g
+    warp = make_rule_kg(n_entities=300, n_modes=3, n_base_rels=6,
+                        out_degree=2, seed=3, variant="warp")
+    # out_degree piecewise branches + 1 plain shift -> degree <= 3
+    for r in range(warp.n_base_rels):
+        dom = np.where(warp.entity_mode == warp.rel_domain[r])[0]
+        for h in dom[:10]:
+            assert 1 <= len(warp.neighbors(2 * r, int(h))) <= 3
+
+    band = make_rule_kg(n_entities=300, n_modes=3, n_base_rels=6,
+                        seed=3, variant="band")
+    per_mode = 100
+    for r in range(band.n_base_rels):
+        dom = np.where(band.entity_mode == band.rel_domain[r])[0]
+        # whole-line images: out-degree g
+        tails0 = band.neighbors(2 * r, int(dom[0]))
+        assert len(tails0) == g
+        # crossed pair (r, r+3) shares the range mode; a column and a row
+        # intersect in exactly one cell
+        other = (r + 3) % 6
+        if int(band.rel_range[r]) == int(band.rel_range[other]):
+            dom2 = np.where(band.entity_mode == band.rel_domain[other])[0]
+            tails1 = band.neighbors(2 * other, int(dom2[0]))
+            inter = set(map(int, tails0)) & set(map(int, tails1))
+            assert len(inter) == 1, (r, other, len(inter))
+
+    noisy = make_rule_kg(n_entities=300, n_modes=3, n_base_rels=6,
+                         out_degree=2, seed=3, noise=0.2)
+    clean = make_rule_kg(n_entities=300, n_modes=3, n_base_rels=6,
+                         out_degree=2, seed=3, noise=0.0)
+    both = set(map(tuple, np.stack(
+        [noisy.heads, noisy.rels, noisy.tails], 1).tolist()))
+    ref = set(map(tuple, np.stack(
+        [clean.heads, clean.rels, clean.tails], 1).tolist()))
+    frac_changed = 1 - len(both & ref) / len(ref)
+    assert 0.05 < frac_changed < 0.4  # ~20% rewired
+
+
 def test_all_edge_queries_cover_every_directed_edge(kg):
     """all_edge_queries = the reference train_edges.pkl protocol: exactly
     one 1-chain query per directed KG edge, with valid negatives."""

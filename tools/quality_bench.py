@@ -42,6 +42,7 @@ def build_data(args):
     kg = make_rule_kg(
         n_entities=args.entities, n_modes=3, n_base_rels=args.rels,
         out_degree=2, seed=args.seed,
+        variant=args.kg_variant, noise=args.kg_noise,
     )
     holdout = set(args.holdout.split(",")) if args.holdout else set()
     sampler = QuerySampler(kg, seed=args.seed + 1)
@@ -124,6 +125,14 @@ def main(argv=None):
     ap.add_argument("--holdout", default="",
                     help="comma list of structures excluded from training "
                          "and evaluated zero-shot")
+    ap.add_argument("--kg_variant", default="torus",
+                    choices=["torus", "warp", "band"],
+                    help="rule family (data.sampler.make_rule_kg): torus "
+                         "= translations (linear maps, GQE-friendly); "
+                         "warp = piecewise translations; band = "
+                         "many-to-many row/column relations")
+    ap.add_argument("--kg_noise", type=float, default=0.0,
+                    help="fraction of tails rewired uniformly")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -139,10 +148,13 @@ def main(argv=None):
         print(json.dumps({"model": model, **res.flat()}), flush=True)
 
     title = "# Quality benchmark: MPQE-TGT vs GQE-bilinear"
+    if args.kg_variant != "torus" or args.kg_noise:
+        title += f" [variant={args.kg_variant}, noise={args.kg_noise}]"
     if args.holdout:
         title += f" (ZERO-SHOT on held-out structures: {args.holdout})"
     lines = [title, "",
-             f"Rule KG: {kg.n_entities} entities, {kg.heads.shape[0]} "
+             f"Rule KG ({args.kg_variant}): {kg.n_entities} entities, "
+             f"{kg.heads.shape[0]} "
              f"triples, {kg.n_base_rels} rels; identical query sets; "
              f"{args.steps} steps each.", "",
              "| structure | " + " | ".join(
