@@ -53,6 +53,8 @@ def main(argv=None):
             n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
             decoder=mc["decoder"], intersection=mc["intersection"],
             soft_and=mc["soft_and"], margin=mc["margin"],
+            encoder=mc.get("encoder", "direct"),
+            aggregator=mc.get("aggregator", "mean"),
         )
         init_fn = gqe_mod.init_gqe
 
@@ -65,6 +67,20 @@ def main(argv=None):
                   "syn_val_queries") and v is not None]
     )
     kg, _, val_q = load_data(targs)
+
+    # the neighborhood encoder's fanout table is a deterministic function
+    # of (kg, fanout, seed) — rebuild it exactly as the run sampled it
+    neighbor_table = None
+    if getattr(cfg, "encoder", None) == "neighborhood":
+        import jax.numpy as jnp
+
+        from mpqe_tpu.models import aggregators as agg_mod
+
+        nt = agg_mod.build_neighbor_table(
+            kg, fanout=run_cfg.get("gqe_fanout", 8),
+            seed=run_cfg.get("seed", 0))
+        neighbor_table = {"idx": jnp.asarray(nt["idx"]),
+                          "mask": jnp.asarray(nt["mask"])}
 
     tc = loop_mod.TrainConfig()
     template = loop_mod.init_train_state(
@@ -80,7 +96,7 @@ def main(argv=None):
     def run_eval(queries):
         return evaluation.evaluate_batched(
             state.params, cfg, evaluation.make_eval_set(queries),
-            n_neg=args.n_neg)
+            n_neg=args.n_neg, neighbor_table=neighbor_table)
 
     res = run_eval(val_q)
     print(json.dumps({"checkpoint": ckpt, "step": state.step,

@@ -31,6 +31,7 @@ from mpqe_tpu.queries import STRUCTURES
 
 DECODERS = ("bilinear", "transe", "distmult")
 INTERSECTIONS = ("min", "mean", "deepsets")
+ENCODERS = ("direct", "neighborhood")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +43,12 @@ class GQEConfig:
     decoder: str = "bilinear"
     intersection: str = "deepsets"
     soft_and: bool = False  # SoftAndEncoderDecoder scoring
+    # anchor entity encoder (reference mpqe/encoders.py Encoder +
+    # aggregators.py): "direct" = embedding lookup; "neighborhood" =
+    # GraphSAGE-style combine(self, agg(sampled neighbors)) over a fixed
+    # -fanout table (models/aggregators.py) passed as ``neighbor_table``
+    encoder: str = "direct"
+    aggregator: str = "mean"  # mean | max | pool (neighborhood encoder)
     margin: float = 1.0
     scale_scores: bool = True
     dtype: Any = jnp.float32
@@ -51,16 +58,23 @@ class GQEConfig:
             raise ValueError(f"decoder {self.decoder}")
         if self.intersection not in INTERSECTIONS:
             raise ValueError(f"intersection {self.intersection}")
+        if self.encoder not in ENCODERS:
+            raise ValueError(f"encoder {self.encoder}")
 
 
 def init_gqe(key: jax.Array, cfg: GQEConfig) -> Dict[str, Any]:
-    k_emb, k_dec, k_i1, k_i2 = jax.random.split(key, 4)
+    k_emb, k_dec, k_i1, k_i2, k_nbr = jax.random.split(key, 5)
     d, r = cfg.embed_dim, cfg.n_rels
     params: Dict[str, Any] = {
         "emb": emb_mod.init_embeddings(
             k_emb, cfg.n_entities, cfg.n_modes, d, cfg.dtype
         )
     }
+    if cfg.encoder == "neighborhood":
+        from mpqe_tpu.models import aggregators as agg_mod
+
+        params["nbr"] = agg_mod.init_neighborhood_encoder(
+            k_nbr, d, cfg.aggregator, cfg.dtype)
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, cfg.dtype))
     if cfg.decoder == "bilinear":
         # near-identity init keeps deep compositions stable
@@ -118,21 +132,49 @@ def _intersect(
     return jnp.dot(pooled, params["int_post"]) + params["int_post_b"]
 
 
+def _anchor_embed(
+    params: Dict[str, Any],
+    cfg: GQEConfig,
+    ids: jax.Array,
+    neighbor_table: Optional[Dict[str, jax.Array]],
+) -> jax.Array:
+    """Anchor representation: direct lookup, or the GraphSAGE-style
+    neighborhood encoder (models/aggregators.py) when configured.
+    Candidate scoring stays direct-embedding either way (the encoder
+    enriches the QUERY side; ranking all entities through it would make
+    full-ranking sweeps quadratic in the fanout for no protocol reason).
+    """
+    ent = params["emb"]["ent"]
+    if cfg.encoder == "neighborhood":
+        if neighbor_table is None:
+            raise ValueError(
+                "GQEConfig.encoder='neighborhood' needs neighbor_table= "
+                "(build_neighbor_table(kg)) threaded into the loss/encode "
+                "call")
+        from mpqe_tpu.models import aggregators as agg_mod
+
+        return agg_mod.encode_entities(
+            params["nbr"], ent, neighbor_table["idx"],
+            neighbor_table["mask"], ids, cfg.aggregator)
+    return ent[ids]
+
+
 def branch_vectors(
     params: Dict[str, Any],
     cfg: GQEConfig,
     structure: str,
     node_entity: jax.Array,  # [B, n]
     edge_rel: jax.Array,  # [n_edges] or [B, n_edges] (per-query)
+    neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ) -> List[jax.Array]:
     """Per-incoming-edge composed vectors at the target node (the query's
     conjunct branches), each ``[B, d]``."""
     spec = STRUCTURES[structure]
-    ent = params["emb"]["ent"]
     # per-node list of composed branch vectors
     node_branches: List[Optional[List[jax.Array]]] = [None] * spec.n_nodes
     for s in spec.anchor_slots:
-        node_branches[s] = [ent[node_entity[:, s]]]
+        node_branches[s] = [
+            _anchor_embed(params, cfg, node_entity[:, s], neighbor_table)]
     for node in range(spec.n_nodes):
         in_edges = [j for j in range(spec.n_edges) if spec.edge_dst[j] == node]
         if not in_edges:
@@ -161,10 +203,12 @@ def encode_dense(
     node_mode: jax.Array,  # unused (kept for API parity with MPQE)
     edge_rel: jax.Array,
     edge_norm: jax.Array,  # unused
+    neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
     """Query vector ``[B, d]``: intersected target representation
     (QueryEncoderDecoder semantics)."""
-    branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
+    branches = branch_vectors(
+        params, cfg, structure, node_entity, edge_rel, neighbor_table)
     return _intersect(cfg, params, branches)
 
 
@@ -176,13 +220,15 @@ def encode_dense_multi(
     node_mode: jax.Array,  # unused (API parity with MPQE)
     edge_rel_q: jax.Array,  # [B, n_edges] per-query relations
     edge_norm_q: jax.Array,  # unused
+    neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
     """Mixed-formula batched encoding (API parity with
     ``mpqe.encode_dense_multi``): relation hops gather per-query
     parameters, so queries of MANY formulas of one structure encode in a
     single device call."""
     return encode_dense(
-        params, cfg, structure, node_entity, node_mode, edge_rel_q, None)
+        params, cfg, structure, node_entity, node_mode, edge_rel_q, None,
+        neighbor_table)
 
 
 def score_pos_neg(
@@ -193,13 +239,15 @@ def score_pos_neg(
     edge_rel: jax.Array,  # [n_edges] or [B, n_edges]
     target: jax.Array,  # [B]
     negatives: jax.Array,  # [B, K]
+    neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ):
     """(pos_scores [B], neg_scores [B, K]) with branches computed once;
     honors SoftAnd conjunct-min semantics (unlike scoring a single
     intersected vector would)."""
     ent = params["emb"]["ent"]
     m_cfg = _score_cfg(cfg)
-    branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
+    branches = branch_vectors(
+        params, cfg, structure, node_entity, edge_rel, neighbor_table)
     if cfg.soft_and:
         def min_score(cand, expand):
             scores = [
@@ -222,19 +270,23 @@ def score_queries(
     node_entity: jax.Array,
     edge_rel: jax.Array,
     targets: jax.Array,  # [B] or [B, K]
+    neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
     """Affinity scores; SoftAnd scores each conjunct and takes the min."""
     ent = params["emb"]["ent"]
     cand = ent[targets]
     m_cfg = _score_cfg(cfg)
     if cfg.soft_and:
-        branches = branch_vectors(params, cfg, structure, node_entity, edge_rel)
+        branches = branch_vectors(
+            params, cfg, structure, node_entity, edge_rel, neighbor_table)
         scores = []
         for b in branches:
             q = b if targets.ndim == 1 else b[:, None, :]
             scores.append(mpqe_mod.score(m_cfg, q, cand))
         return jnp.min(jnp.stack(scores, 0), axis=0)
-    q = encode_dense(params, cfg, structure, node_entity, None, edge_rel, None)
+    q = encode_dense(
+        params, cfg, structure, node_entity, None, edge_rel, None,
+        neighbor_table)
     if targets.ndim > 1:
         q = q[:, None, :]
     return mpqe_mod.score(m_cfg, q, cand)
@@ -260,13 +312,22 @@ def dense_batch_loss(
     negatives: jax.Array,
     neg_mask: jax.Array,
     query_mask: jax.Array,
+    neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
     """Margin ranking loss (same protocol as MPQE; SURVEY.md §A.4).
 
     Branch vectors are computed ONCE and scored against positives and
-    negatives (two score_queries calls would encode the query twice)."""
+    negatives (two score_queries calls would encode the query twice).
+
+    ``neighbor_table`` (encoder="neighborhood") is partial-bound by the
+    driver — inside jit it becomes a compile-time constant, which is fine
+    at the CPU quality-bench scale this baseline targets (~50 KB at 588
+    entities) but would overflow the remote-relay compile request at
+    million-entity scale (CLAUDE.md closure-capture gotcha); the MPQE
+    production path never uses it."""
     pos, neg = score_pos_neg(
-        params, cfg, structure, node_entity, edge_rel, target, negatives)
+        params, cfg, structure, node_entity, edge_rel, target, negatives,
+        neighbor_table)
     viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
     w = neg_mask * query_mask[:, None]
     return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)

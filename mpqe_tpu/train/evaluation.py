@@ -251,12 +251,13 @@ def _multi_encode_fn():
 
 @functools.lru_cache(maxsize=None)
 def _score_batch_fn():
-    def f(params, cfg, structure, ne, nm, er, en, tgt, neg):
+    def f(params, cfg, structure, ne, nm, er, en, tgt, neg, nbr=None):
         if not isinstance(cfg, mpqe_mod.MPQEConfig):  # GQE baselines
             from mpqe_tpu.models import gqe as gqe_mod
 
             return gqe_mod.score_pos_neg(
-                params, cfg, structure, ne, er, tgt, neg)
+                params, cfg, structure, ne, er, tgt, neg,
+                neighbor_table=nbr)
         q = mpqe_mod.encode_dense_multi(params, cfg, structure, ne, nm, er, en)
         ent = params["emb"]["ent"]
         pos_s = mpqe_mod.score(cfg, q, ent[tgt])
@@ -285,12 +286,15 @@ def evaluate_batched(
     n_neg: int = 64,
     max_batch: int = 8192,
     seed: int = 0,
+    neighbor_table=None,
 ) -> EvalResult:
     """One encode+score sweep per structure (chunked at ``max_batch``),
     metrics reduced with vectorized numpy — no per-formula dispatches, no
     per-query Python.  Same protocol as :func:`evaluate`.  Covers both
     MPQE layer kinds and the GQE baselines (incl. SoftAnd conjunct-min
-    scoring) via per-query-relation encoders."""
+    scoring) via per-query-relation encoders.  ``neighbor_table`` (jnp
+    ``{"idx", "mask"}``) activates the GQE neighborhood anchor encoder
+    (GQEConfig.encoder="neighborhood") — train and eval must agree."""
     auc_s: Dict[str, float] = {}
     apr_s: Dict[str, float] = {}
     hard_s: Dict[str, float] = {}
@@ -317,6 +321,7 @@ def evaluate_batched(
                 _pad_chunk(data["edge_norm"], lo, hi, B, 1),
                 _pad_chunk(data["target"], lo, hi, B),
                 _pad_chunk(negs, lo, hi, B),
+                neighbor_table,
             )
             pos_all[lo:hi] = np.asarray(p_s)[: hi - lo]
             neg_all[lo:hi] = np.asarray(n_s)[: hi - lo]
@@ -357,6 +362,7 @@ def evaluate_batched(
                     _pad_chunk(data["edge_norm"], lo, hi, B, 1),
                     _pad_chunk(data["target"], lo, hi, B),
                     _pad_chunk(hneg, lo, hi, B),
+                    neighbor_table,
                 )
                 hneg_s[lo:hi] = np.asarray(n_s)[: hi - lo]
             for f in range(int(data["n_formulas"])):
@@ -438,7 +444,7 @@ def _rank_all_fn():
     """Jitted [B, n_entities] scoring sweep; dispatches per config type
     like _score_batch_fn (SoftAnd GQE ranks by conjunct-min scores)."""
 
-    def f(params, cfg, structure, ne, nm, er, en):
+    def f(params, cfg, structure, ne, nm, er, en, nbr=None):
         if isinstance(cfg, mpqe_mod.MPQEConfig):
             q = mpqe_mod.encode_dense_multi(
                 params, cfg, structure, ne, nm, er, en)
@@ -447,11 +453,13 @@ def _rank_all_fn():
 
         m_cfg = gqe_mod._score_cfg(cfg)
         if cfg.soft_and:
-            branches = gqe_mod.branch_vectors(params, cfg, structure, ne, er)
+            branches = gqe_mod.branch_vectors(
+                params, cfg, structure, ne, er, nbr)
             return jnp.min(jnp.stack(
                 [mpqe_mod.score_all_entities(params, m_cfg, b)
                  for b in branches], 0), axis=0)
-        q = gqe_mod.encode_dense_multi(params, cfg, structure, ne, nm, er, en)
+        q = gqe_mod.encode_dense_multi(
+            params, cfg, structure, ne, nm, er, en, nbr)
         return mpqe_mod.score_all_entities(params, m_cfg, q)
 
     return jax.jit(f, static_argnums=(1, 2))
@@ -465,6 +473,7 @@ def full_ranking(
     hits_at: Tuple[int, ...] = (1, 3, 10),
     max_queries_per_formula: Optional[int] = 200,
     max_batch: int = 8192,
+    neighbor_table=None,
 ) -> Dict[str, Dict[str, float]]:
     """Full-candidate ranking metrics (MRR / Hits@K) per structure.
 
@@ -493,6 +502,7 @@ def full_ranking(
                 _pad_chunk(data["node_mode"], lo, hi, B),
                 _pad_chunk(data["edge_rel"], lo, hi, B),
                 _pad_chunk(data["edge_norm"], lo, hi, B, 1),
+                neighbor_table,
             ))[: hi - lo]
             tgt = data["target"][lo:hi]
             mode_ok = entity_mode[None, :] == entity_mode[tgt][:, None]

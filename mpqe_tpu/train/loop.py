@@ -267,6 +267,7 @@ def run_train(
     prefetch: int = 0,
     steps_per_call: int = 1,
     train_stores=None,  # pre-built {structure: [FormulaStore]} overrides
+    neighbor_table=None,  # GQE neighborhood-encoder table (eval side)
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience.
 
@@ -317,7 +318,8 @@ def run_train(
 
     def run_validation():
         if eval_set is not None:
-            return evaluation.evaluate_batched(state.params, cfg, eval_set)
+            return evaluation.evaluate_batched(
+                state.params, cfg, eval_set, neighbor_table=neighbor_table)
         return evaluation.evaluate(
             state.params, cfg, val_queries, encode_fn=eval_encode_fn)
 

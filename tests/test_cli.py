@@ -93,6 +93,33 @@ def test_train_gqe_cli(tmp_path):
     eval_mod.main(["--run_dir", run_dir, "--n_neg", "8"])
 
 
+def test_train_gqe_neighborhood_cli(tmp_path):
+    """--gqe_encoder neighborhood: the fanout table threads through the
+    loss, the in-loop validation, the final eval, and the eval CLI (which
+    rebuilds the table deterministically from the run config)."""
+    import train as train_mod
+
+    run_dir = str(tmp_path / "gqe_nbr")
+    state = train_mod.main([
+        "--data", "synthetic", "--model", "gqe", "--decoder", "bilinear",
+        "--intersection", "min", "--gqe_encoder", "neighborhood",
+        "--gqe_aggregator", "mean", "--gqe_fanout", "4",
+        "--embed_dim", "16", "--steps", "40",
+        "--val_every", "20", "--batch_size", "32", "--n_neg", "2",
+        "--structures", "1-chain,2-inter",
+        "--syn_entities", "120", "--syn_triples", "300",
+        "--syn_train_queries", "120", "--syn_val_queries", "24",
+        "--run_dir", run_dir,
+    ])
+    assert state.step == 40
+    assert "nbr" in state.params  # combine weights exist and were trained
+    mc = json.load(open(os.path.join(run_dir, "model_config.json")))
+    assert mc["encoder"] == "neighborhood"
+
+    import evaluate as eval_mod
+    eval_mod.main(["--run_dir", run_dir, "--n_neg", "8"])
+
+
 def test_train_from_gqe_pickle_dir(tmp_path):
     """Full reference-format path: synthetic KG -> graph_data.pkl + query
     pickles -> train.py --data pkl:<dir>."""

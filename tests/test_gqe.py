@@ -1,5 +1,7 @@
 """GQE baselines: metapath decoders, set intersections, SoftAnd, training."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -189,3 +191,104 @@ def test_evaluate_batched_gqe(kg, soft_and):
         assert 0.0 <= v <= 1.0
     for v in res.apr_by_structure.values():
         assert 0.0 <= v <= 100.0
+
+
+def _nbr_table(kg, fanout=6, seed=3):
+    from mpqe_tpu.models import aggregators as agg_mod
+
+    nt = agg_mod.build_neighbor_table(kg, fanout=fanout, seed=seed)
+    return {"idx": jnp.asarray(nt["idx"]), "mask": jnp.asarray(nt["mask"])}
+
+
+def test_neighborhood_encoder_matches_aggregator_math(kg):
+    """encoder='neighborhood' anchors == aggregators.encode_entities
+    composed through the same relation maps (2-chain bilinear)."""
+    from mpqe_tpu.models import aggregators as agg_mod
+
+    cfg = _cfg(kg, decoder="bilinear", intersection="min",
+               encoder="neighborhood", aggregator="mean")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(11), cfg)
+    nt = _nbr_table(kg)
+    b = _batch(kg, "2-chain")
+    q = np.asarray(gqe_mod.encode_dense(
+        params, cfg, "2-chain", jnp.asarray(b.node_entity),
+        jnp.asarray(b.node_mode), jnp.asarray(b.edge_rel),
+        jnp.asarray(b.edge_norm), neighbor_table=nt))
+    anchor = np.asarray(agg_mod.encode_entities(
+        params["nbr"], params["emb"]["ent"], nt["idx"], nt["mask"],
+        jnp.asarray(b.node_entity[:, 0]), "mean"))
+    w = np.asarray(params["rel_mat"])
+    r0, r1 = b.edge_rel
+    want = anchor @ w[r0] @ w[r1]
+    np.testing.assert_allclose(q, want, rtol=2e-4, atol=2e-4)
+    # and it differs from the direct-encoder path (the table is live)
+    q_direct = np.asarray(gqe_mod.encode_dense(
+        params, cfg.__class__(**{**dataclasses.asdict(cfg),
+                                 "encoder": "direct"}),
+        "2-chain", jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm)))
+    assert np.abs(q - q_direct).max() > 1e-4
+
+
+def test_neighborhood_missing_table_raises(kg):
+    cfg = _cfg(kg, encoder="neighborhood")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(12), cfg)
+    b = _batch(kg, "2-chain")
+    with pytest.raises(ValueError, match="neighbor_table"):
+        gqe_mod.encode_dense(
+            params, cfg, "2-chain", jnp.asarray(b.node_entity),
+            jnp.asarray(b.node_mode), jnp.asarray(b.edge_rel),
+            jnp.asarray(b.edge_norm))
+
+
+@pytest.mark.parametrize("aggregator", ["mean", "pool"])
+def test_neighborhood_encoder_trains_and_evals(kg, aggregator):
+    """Loss decreases through the partial-bound table and
+    evaluate_batched accepts the same table (train/eval agreement)."""
+    import functools
+
+    import optax
+
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.train import evaluation
+
+    cfg = _cfg(kg, decoder="bilinear", intersection="min",
+               encoder="neighborhood", aggregator=aggregator)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(13), cfg)
+    nt = _nbr_table(kg)
+    loss_with_table = functools.partial(
+        gqe_mod.dense_batch_loss, neighbor_table=nt)
+    b = _batch(kg, "2-inter", B=16)
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return loss_with_table(
+                p, cfg, "2-inter",
+                jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+                jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+                jnp.asarray(b.target), jnp.asarray(b.negatives),
+                jnp.asarray(b.neg_mask), jnp.asarray(b.query_mask))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # the combine weights must receive gradient (encoder is live)
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), grads["nbr"], 0.0)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, gnorm
+
+    losses, gnorms = [], []
+    for _ in range(40):
+        params, opt_state, loss, gnorm = step(params, opt_state)
+        losses.append(float(loss))
+        gnorms.append(float(gnorm))
+    assert losses[-1] < 0.7 * losses[0], losses[::10]
+    assert max(gnorms) > 0.0
+
+    sampler = QuerySampler(kg, seed=23)
+    qs = sampler.sample_queries("2-inter", 30, n_neg=16)
+    es = evaluation.make_eval_set(group_queries_by_formula(qs))
+    res = evaluation.evaluate_batched(
+        params, cfg, es, n_neg=16, neighbor_table=nt)
+    assert 0.0 <= res.auc_by_structure["2-inter"] <= 1.0

@@ -46,6 +46,15 @@ def parse_args(argv=None):
                    choices=["bilinear", "transe", "distmult"])
     p.add_argument("--intersection", default="deepsets",
                    choices=["min", "mean", "deepsets"])
+    p.add_argument("--gqe_encoder", default="direct",
+                   choices=["direct", "neighborhood"],
+                   help="GQE anchor encoder: direct embedding lookup, or "
+                        "the GraphSAGE-style neighborhood aggregator over "
+                        "a fixed-fanout table sampled once from the KG "
+                        "(models/aggregators.py)")
+    p.add_argument("--gqe_aggregator", default="mean",
+                   choices=["mean", "max", "pool"])
+    p.add_argument("--gqe_fanout", type=int, default=8)
     p.add_argument("--embed_dim", type=int, default=128)
     p.add_argument("--n_layers", type=int, default=3)
     p.add_argument("--num_bases", type=int, default=0,
@@ -159,6 +168,7 @@ def main(argv=None):
     metrics.write_config(vars(args))
 
     kg, train_q, val_q = load_data(args)
+    neighbor_table = None
     if args.model == "rgcn":
         cfg = mpqe_mod.MPQEConfig(
             n_entities=kg.n_entities,
@@ -195,10 +205,25 @@ def main(argv=None):
             decoder=args.decoder,
             intersection=args.intersection,
             soft_and=args.model == "gqe_softand",
+            encoder=args.gqe_encoder,
+            aggregator=args.gqe_aggregator,
             margin=args.margin,
         )
         init_fn = gqe_mod.init_gqe
         batch_loss_fn = gqe_mod.dense_batch_loss
+        if args.gqe_encoder == "neighborhood":
+            import functools
+
+            import jax.numpy as jnp
+
+            from mpqe_tpu.models import aggregators as agg_mod
+
+            nt = agg_mod.build_neighbor_table(
+                kg, fanout=args.gqe_fanout, seed=args.seed)
+            neighbor_table = {"idx": jnp.asarray(nt["idx"]),
+                              "mask": jnp.asarray(nt["mask"])}
+            batch_loss_fn = functools.partial(
+                gqe_mod.dense_batch_loss, neighbor_table=neighbor_table)
     tc = loop_mod.TrainConfig(
         lr=args.lr, batch_size=args.batch_size, n_neg=args.n_neg,
         max_steps=args.steps, val_every=args.val_every,
@@ -282,6 +307,7 @@ def main(argv=None):
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
         train_stores=train_stores,
+        neighbor_table=neighbor_table,
     )
     # always save a final checkpoint (best-val checkpoints only exist when
     # validation ran during training); metric-less saves are never pruned
@@ -292,7 +318,8 @@ def main(argv=None):
     # batched single-sweep final eval (per-query-relation encoders exist
     # for both MPQE layer kinds and the GQE baselines)
     res = evaluation.evaluate_batched(
-        state.params, cfg, evaluation.make_eval_set(val_q))
+        state.params, cfg, evaluation.make_eval_set(val_q),
+        neighbor_table=neighbor_table)
     metrics.log({"step": state.step, "final": res.flat()})
     print(f"final step={state.step} macro_auc={res.macro_auc:.4f} "
           f"macro_apr={res.macro_apr:.2f}")
