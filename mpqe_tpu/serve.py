@@ -55,6 +55,8 @@ class QueryServer:
         cfg,  # MPQEConfig or GQEConfig
         entity_mode: np.ndarray,
         max_batch: int = 8192,
+        neighbor_table: Optional[Dict[str, Any]] = None,  # GQE
+        # encoder="neighborhood": the fanout table ({"idx","mask"})
     ):
         from mpqe_tpu.train.evaluation import _effective_max_batch
 
@@ -78,6 +80,14 @@ class QueryServer:
         self.params = dict(params)
         self._ent_norm_t = jnp.asarray(ent).T  # [d, n_entities]
         self._mode_dev = jnp.asarray(self.entity_mode)
+        self._nbr = (None if neighbor_table is None else
+                     {"idx": jnp.asarray(neighbor_table["idx"]),
+                      "mask": jnp.asarray(neighbor_table["mask"])})
+        if (getattr(cfg, "encoder", "direct") == "neighborhood"
+                and self._nbr is None):
+            raise ValueError(
+                "GQEConfig.encoder='neighborhood' checkpoints need "
+                "neighbor_table= (build_neighbor_table(kg))")
 
     # ------------------------------------------------------------------
     def _rank_fn(self, structure: str, k: int):
@@ -95,7 +105,8 @@ class QueryServer:
                 q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
             return jnp.dot(q, ent_norm_t, preferred_element_type=jnp.float32)
 
-        def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode):
+        def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode,
+               nbr=None):
             if isinstance(cfg, mpqe_mod.MPQEConfig):
                 q = mpqe_mod.encode_dense_multi(
                     params, cfg, structure, ne, nm, er, en)
@@ -105,13 +116,13 @@ class QueryServer:
 
                 if cfg.soft_and:
                     branches = gqe_mod.branch_vectors(
-                        params, cfg, structure, ne, er)
+                        params, cfg, structure, ne, er, nbr)
                     scores = jnp.min(jnp.stack(
                         [all_scores(b, ent_norm_t) for b in branches], 0),
                         axis=0)
                 else:
                     q = gqe_mod.encode_dense_multi(
-                        params, cfg, structure, ne, nm, er, en)
+                        params, cfg, structure, ne, nm, er, en, nbr)
                     scores = all_scores(q, ent_norm_t)
             mode_ok = mode_arr[None, :] == tgt_mode[:, None]
             scores = jnp.where(mode_ok, scores, -jnp.inf)
@@ -160,7 +171,7 @@ class QueryServer:
         top_scores, top_ids = fn(
             self.params, self._ent_norm_t, self._mode_dev,
             jnp.asarray(ne), jnp.asarray(nm), jnp.asarray(er),
-            jnp.asarray(en), jnp.asarray(tm),
+            jnp.asarray(en), jnp.asarray(tm), self._nbr,
         )
         top_scores = np.asarray(top_scores)
         top_ids = np.asarray(top_ids)

@@ -59,6 +59,8 @@ def main(argv=None):
             n_rels=mc["n_rels"], embed_dim=mc["embed_dim"],
             decoder=mc["decoder"], intersection=mc["intersection"],
             soft_and=mc["soft_and"], margin=mc["margin"],
+            encoder=mc.get("encoder", "direct"),
+            aggregator=mc.get("aggregator", "mean"),
         )
         init_fn = gqe_mod.init_gqe
     targs = train_parse_args(
@@ -76,7 +78,15 @@ def main(argv=None):
         raise SystemExit("no checkpoint found")
     state = ckpt_mod.restore_checkpoint(ckpt, template)
 
-    server = QueryServer(state.params, cfg, kg.entity_mode)
+    neighbor_table = None
+    if getattr(cfg, "encoder", None) == "neighborhood":
+        from mpqe_tpu.models import aggregators as agg_mod
+
+        neighbor_table = agg_mod.build_neighbor_table(
+            kg, fanout=run_cfg.get("gqe_fanout", 8),
+            seed=run_cfg.get("seed", 0))
+    server = QueryServer(state.params, cfg, kg.entity_mode,
+                         neighbor_table=neighbor_table)
     structures = args.structures.split(",")
     server.warmup(structures, batch=args.batch, k=args.k)
 

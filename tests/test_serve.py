@@ -152,3 +152,29 @@ def test_server_max_batch_is_power_of_two_and_cache_is_instance_level(
     ref = weakref.ref(other)
     del other
     assert ref() is None, "server instance retained after del"
+
+
+def test_server_gqe_neighborhood_model(trained):
+    """encoder='neighborhood' GQE checkpoints serve with the fanout
+    table threaded into the rank program; missing table raises."""
+    from mpqe_tpu.models import aggregators as agg_mod
+    from mpqe_tpu.models import gqe as gqe_mod
+
+    kg, _, _, sampler = trained
+    cfg = gqe_mod.GQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, decoder="bilinear", intersection="min",
+        encoder="neighborhood", aggregator="mean",
+    )
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(6), cfg)
+    with pytest.raises(ValueError, match="neighbor_table"):
+        QueryServer(params, cfg, kg.entity_mode)
+    nt = agg_mod.build_neighbor_table(kg, fanout=4, seed=0)
+    server = QueryServer(params, cfg, kg.entity_mode, neighbor_table=nt)
+    qs = (sampler.sample_queries("2-chain", 6, n_neg=1)
+          + sampler.sample_queries("2-inter", 6, n_neg=1))
+    answers = server.answer(qs, k=5)
+    assert len(answers) == len(qs)
+    for q, a in zip(qs, answers):
+        assert a.entity_ids.shape == (5,)
+        assert np.all(np.isfinite(a.scores))

@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""AM-scale 3-chain_inter APR — the driver's north-star quality metric
+(BASELINE.json "3-chain_inter APR on AM") at the AM dataset's scale:
+~2M entities / ~20M directed edges (VERDICT r2 item 6).
+
+No real AM bytes exist offline (the reference mount is empty), so the KG
+is the C++ host runtime's schema-respecting synthetic at AM shape.  The
+whole run is TPU-native and device-resident:
+
+  * KG generation + incoming-CSR + backward-walk query sampling run in
+    the C++ host runtime (tools/big_kg_demo.py's path);
+  * the ENTIRE query bank then moves to HBM once (~100 MB beside the
+    1 GB entity table) and training runs as ``lax.fori_loop`` dispatches
+    that gather each batch ON DEVICE — zero host->device traffic in the
+    hot loop, which matters doubly over the relay (tools/
+    e2e_train_bench.py measured the relay link at ~100 MB/s);
+  * per-query relations go through ``encode_dense_multi`` so one
+    compiled program trains every sampled formula (no per-formula
+    stores — at 32 directed rels a 3-edge structure has ~3e4 live
+    formulas, useless as separate dense-template programs);
+  * curriculum: 1-chain burn-in straight from a device-resident
+    directed-edge bank (negatives drawn on device from the target's
+    contiguous mode block — the native sampler's uniform convention),
+    then the 3-chain_inter phase.
+
+Eval: held-out queries (deduped against the train bank by row hash),
+APR = per-query percentile of the true answer among its sampled
+same-mode negatives (train/evaluation.py protocol).
+
+Usage (defaults reproduce the BASELINE.md row):
+  python tools/am_scale_quality.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def dedup_against(train_ents, train_rels, val_ents, val_rels):
+    """Drop val rows whose (entities, rels) tuple appears in train."""
+    def keys(e, r):
+        flat = np.concatenate([e, r], axis=1).astype(np.uint64)
+        # order-sensitive polynomial row hash (vectorized)
+        h = np.zeros(flat.shape[0], np.uint64)
+        for c in range(flat.shape[1]):
+            h = h * np.uint64(0x100000001B3) + flat[:, c]
+        return h
+
+    seen = np.unique(keys(train_ents, train_rels))
+    return ~np.isin(keys(val_ents, val_rels), seen)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=2_000_000)
+    ap.add_argument("--modes", type=int, default=8)
+    ap.add_argument("--base_rels", type=int, default=16)
+    ap.add_argument("--triples", type=int, default=10_000_000,
+                    help="undirected triples (directed edges = 2x)")
+    ap.add_argument("--train_queries", type=int, default=1_000_000)
+    ap.add_argument("--val_queries", type=int, default=16_384)
+    ap.add_argument("--edge_bank", type=int, default=4_000_000,
+                    help="directed edges device-resident for 1-chain")
+    ap.add_argument("--structure", default="3-chain_inter")
+    ap.add_argument("--batch_size", type=int, default=65_536)
+    ap.add_argument("--n_neg", type=int, default=4)
+    ap.add_argument("--n_neg_eval", type=int, default=64)
+    ap.add_argument("--burn_in_steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=12_000)
+    ap.add_argument("--steps_per_call", type=int, default=500)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--bases", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=0.003)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from mpqe_tpu.data import native
+    if not native.ensure_built():
+        raise SystemExit("C++ host library unavailable")
+
+    t0 = time.perf_counter()
+    kg = native.make_synthetic_kg_native(
+        args.entities, args.modes, args.base_rels, args.triples,
+        seed=args.seed)
+    print(json.dumps({"phase": "kg_gen", "triples": int(kg.n_triples),
+                      "directed_edges": int(2 * kg.n_triples),
+                      "seconds": time.perf_counter() - t0}), flush=True)
+
+    t0 = time.perf_counter()
+    csr = native.build_incoming_csr_native(kg)
+    tr = native.sample_queries_native(
+        kg, args.structure, args.train_queries, n_neg=args.n_neg,
+        seed=args.seed + 1, csr=csr)
+    va = native.sample_queries_native(
+        kg, args.structure, 2 * args.val_queries, n_neg=args.n_neg_eval,
+        seed=args.seed + 2, csr=csr)
+    ok_t = tr["entities"][:, 0] >= 0
+    ok_v = va["entities"][:, 0] >= 0
+    tr = {k: v[ok_t] for k, v in tr.items()}
+    va = {k: v[ok_v] for k, v in va.items()}
+    keep = dedup_against(tr["entities"], tr["rels"],
+                         va["entities"], va["rels"])
+    va = {k: v[keep][: args.val_queries] for k, v in va.items()}
+    print(json.dumps({"phase": "sampling",
+                      "train": int(tr["entities"].shape[0]),
+                      "val_heldout": int(va["entities"].shape[0]),
+                      "seconds": time.perf_counter() - t0}), flush=True)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+    from mpqe_tpu.train.evaluation import _apr_percentiles
+
+    spec = STRUCTURES[args.structure]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=args.dim, n_layers=args.layers, num_bases=args.bases,
+        readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(args.seed), cfg)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    # ---- device-resident banks -------------------------------------
+    entity_mode = jnp.asarray(kg.entity_mode)  # [n_entities] int32
+    mode_start = jnp.asarray(np.searchsorted(
+        kg.entity_mode, np.arange(kg.n_modes + 1)).astype(np.int32))
+    bank = {
+        "ents": jnp.asarray(tr["entities"]),       # [N, n_nodes]
+        "rels": jnp.asarray(tr["rels"]),           # [N, n_edges]
+        "negs": jnp.asarray(tr["negatives"]),      # [N, n_neg]
+    }
+    src, rel, dst = kg.directed_edges()
+    rng = np.random.default_rng(args.seed + 3)
+    pick = rng.choice(src.shape[0], size=min(args.edge_bank, src.shape[0]),
+                      replace=False)
+    ebank = {"src": jnp.asarray(src[pick]), "rel": jnp.asarray(rel[pick]),
+             "dst": jnp.asarray(dst[pick])}
+    B, K = args.batch_size, args.n_neg
+    N_q = int(bank["ents"].shape[0])
+    N_e = int(ebank["src"].shape[0])
+
+    def _margin(p, q, tgt, neg):  # all-real masks, built in-graph
+        return mpqe_mod.margin_loss_from_queries(
+            p, cfg, q, tgt, neg,
+            jnp.ones(neg.shape, jnp.float32),
+            jnp.ones(tgt.shape, jnp.float32))
+
+    def multi_loss(p, ne, nm, er, tgt, neg):
+        en = jnp.ones(er.shape, jnp.float32)
+        q = mpqe_mod.encode_dense_multi(p, cfg, args.structure,
+                                        ne, nm, er, en)
+        return _margin(p, q, tgt, neg)
+
+    def chain_loss(p, emode, anchor, r, tgt, neg):
+        ne = jnp.stack([anchor, tgt], axis=1)
+        nm = emode[ne]
+        er = r[:, None]
+        en = jnp.ones((anchor.shape[0], 1), jnp.float32)
+        q = mpqe_mod.encode_dense_multi(p, cfg, "1-chain", ne, nm, er, en)
+        return _margin(p, q, tgt, neg)
+
+    # the banks are ARGUMENTS of the jitted phase functions, never
+    # closures — closure-captured jnp arrays become HLO constants, which
+    # overflows the relay compile request at this size (CLAUDE.md)
+    def make_phase(loss_kind):
+        def run(p, o, data, emode, mstart, start, n):
+            def body(i, carry):
+                p, o, _ = carry
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 7), i)
+                k_idx, k_neg = jax.random.split(key)
+                if loss_kind == "multi":
+                    idx = jax.random.randint(k_idx, (B,), 0, N_q)
+                    ne = data["ents"][idx]
+
+                    def loss_fn(pp):
+                        return multi_loss(pp, ne, emode[ne],
+                                          data["rels"][idx],
+                                          ne[:, spec.target_slot],
+                                          data["negs"][idx])
+                else:
+                    idx = jax.random.randint(k_idx, (B,), 0, N_e)
+                    tgt = data["dst"][idx]
+                    lo = mstart[emode[tgt]]
+                    width = mstart[emode[tgt] + 1] - lo
+                    u = jax.random.randint(k_neg, (B, K), 0, 1 << 30)
+                    neg = lo[:, None] + (u % width[:, None])
+
+                    def loss_fn(pp):
+                        return chain_loss(pp, emode, data["src"][idx],
+                                          data["rel"][idx], tgt, neg)
+                l, g = jax.value_and_grad(loss_fn)(p)
+                up, o = opt.update(g, o, p)
+                return optax.apply_updates(p, up), o, l
+
+            return jax.lax.fori_loop(start, start + n, body,
+                                     (p, o, jnp.float32(0)))
+
+        return jax.jit(run, static_argnums=(6,), donate_argnums=(0, 1))
+
+    burn = make_phase("chain")
+    full = make_phase("multi")
+
+    def drive(fn, p, o, data, total, label):
+        t0 = time.perf_counter()
+        step = 0
+        while step < total:
+            n = min(args.steps_per_call, total - step)
+            p, o, l = fn(p, o, data, entity_mode, mode_start, step, n)
+            step += n
+            print(json.dumps({"phase": label, "step": step,
+                              "loss": float(l),
+                              "seconds": time.perf_counter() - t0}),
+                  flush=True)
+        return p, o
+
+    params, opt_state = drive(burn, params, opt_state, ebank,
+                              args.burn_in_steps, "burn_in")
+    params, opt_state = drive(full, params, opt_state, bank,
+                              args.steps, "full")
+
+    # ---- held-out eval ---------------------------------------------
+    @jax.jit
+    def eval_chunk(p, ne, nm, er, tgt, neg):
+        en = jnp.ones(er.shape, jnp.float32)
+        q = mpqe_mod.encode_dense_multi(p, cfg, args.structure,
+                                        ne, nm, er, en)
+        ent = p["emb"]["ent"]
+        pos_s = mpqe_mod.score(cfg, q, ent[tgt])
+        neg_s = mpqe_mod.score(cfg, q[:, None, :], ent[neg])
+        return pos_s, neg_s
+
+    n_v = va["entities"].shape[0]
+    pos_all = np.zeros(n_v, np.float32)
+    neg_all = np.zeros((n_v, args.n_neg_eval), np.float32)
+    CH = 8192
+    pad = (-n_v) % CH
+    ve = np.pad(va["entities"], ((0, pad), (0, 0)))
+    vr = np.pad(va["rels"], ((0, pad), (0, 0)))
+    vn = np.pad(va["negatives"], ((0, pad), (0, 0)))
+    em_np = kg.entity_mode
+    for lo in range(0, n_v, CH):
+        ps, ns = eval_chunk(
+            params, jnp.asarray(ve[lo:lo + CH]),
+            jnp.asarray(em_np[ve[lo:lo + CH]]),
+            jnp.asarray(vr[lo:lo + CH]),
+            jnp.asarray(ve[lo:lo + CH, spec.target_slot]),
+            jnp.asarray(vn[lo:lo + CH]))
+        hi = min(lo + CH, n_v)
+        pos_all[lo:hi] = np.asarray(ps)[: hi - lo]
+        neg_all[lo:hi] = np.asarray(ns)[: hi - lo]
+    mask = np.ones_like(neg_all, np.float32)
+    apr = float(np.mean(_apr_percentiles(pos_all, neg_all, mask)))
+    # per-query AUC against its own negatives == APR/100; also report the
+    # pooled Mann-Whitney for continuity with the small-scale tables
+    from mpqe_tpu.train.evaluation import roc_auc
+    auc = float(roc_auc(pos_all, neg_all))
+    print(json.dumps({
+        "phase": "result", "structure": args.structure,
+        "entities": kg.n_entities, "directed_edges": int(2 * kg.n_triples),
+        "train_queries": N_q, "val_heldout": n_v,
+        "steps": args.steps, "burn_in_steps": args.burn_in_steps,
+        "batch": B, "apr": apr, "auc_pooled": auc,
+        "backend": __import__("jax").default_backend(),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

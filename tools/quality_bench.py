@@ -91,10 +91,27 @@ def train_model(model, kg, train_q, val_q, args):
         cfg = gqe_mod.GQEConfig(
             n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
             embed_dim=args.dim, decoder="bilinear", intersection="deepsets",
+            encoder=args.gqe_encoder,
         )
         init_fn = gqe_mod.init_gqe
         loss_fn = gqe_mod.dense_batch_loss
         enc = jax.jit(gqe_mod.encode_dense, static_argnums=(1, 2))
+        if args.gqe_encoder == "neighborhood":
+            import functools
+
+            import jax.numpy as jnp
+
+            from mpqe_tpu.models import aggregators as agg_mod
+
+            nt = agg_mod.build_neighbor_table(
+                kg, fanout=args.gqe_fanout, seed=args.seed)
+            nt = {"idx": jnp.asarray(nt["idx"]),
+                  "mask": jnp.asarray(nt["mask"])}
+            loss_fn = functools.partial(
+                gqe_mod.dense_batch_loss, neighbor_table=nt)
+            enc = jax.jit(
+                functools.partial(gqe_mod.encode_dense, neighbor_table=nt),
+                static_argnums=(1, 2))
     state = loop_mod.init_train_state(
         jax.random.PRNGKey(args.seed), cfg, tc, init_fn=init_fn)
     state = loop_mod.run_train(
@@ -122,6 +139,11 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--models", default="mpqe,gqe")
+    ap.add_argument("--gqe_encoder", default="direct",
+                    choices=["direct", "neighborhood"],
+                    help="GQE anchor encoder (models/aggregators.py "
+                         "GraphSAGE-style when 'neighborhood')")
+    ap.add_argument("--gqe_fanout", type=int, default=8)
     ap.add_argument("--holdout", default="",
                     help="comma list of structures excluded from training "
                          "and evaluated zero-shot")
