@@ -362,6 +362,41 @@ def dense_batch_loss_shared_negs(
     return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def make_shared_negs_batch_loss(n_shared: int):
+    """Adapt ``dense_batch_loss_shared_negs`` to the train loop's
+    standard ``batch_loss_fn`` signature (``train/loop.py
+    make_train_step``), so ``train.py --shared_negatives K`` can select
+    the batch-shared-candidates protocol variant end-to-end.
+
+    The shared candidate set is drawn IN-GRAPH from the batch's own
+    per-query sampled negatives (one candidate per donor query, donors
+    strided across the batch for formula diversity) — no new data path
+    or host RNG.  Donor rows that are padding (query_mask == 0) fall
+    back to the first query's negative, which is live in any non-empty
+    batch.  Candidates keep the sampler's same-mode convention w.r.t.
+    their DONOR query, so a mixed-mode batch yields a mixed-mode
+    candidate set; cross-mode candidates are easy negatives, which is
+    the protocol trade-off this variant knowingly makes for the ~1.6x
+    step-time win (BASELINE.md shared-negatives rows).
+    """
+    if n_shared <= 0:
+        raise ValueError("n_shared must be positive")
+
+    def fn(params, cfg, structure, node_entity, node_mode, edge_rel,
+           edge_norm, target, negatives, neg_mask, query_mask):
+        bsz = negatives.shape[0]
+        k = min(n_shared, bsz)
+        donors = (jnp.arange(k) * max(bsz // k, 1)) % bsz
+        cand = negatives[donors, 0]
+        live = query_mask[donors] > 0
+        shared = jnp.where(live, cand, negatives[0, 0])
+        return dense_batch_loss_shared_negs(
+            params, cfg, structure, node_entity, node_mode, edge_rel,
+            edge_norm, target, shared, query_mask)
+
+    return fn
+
+
 # ----------------------------------------------------------------------
 # Sparse forward — general graphs / distributed path
 # ----------------------------------------------------------------------

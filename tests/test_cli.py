@@ -206,3 +206,44 @@ def test_pkl_derives_raw_edge_1chain_respecting_structures(tmp_path):
     ev = events(r2)
     assert not any(e.get("event") == "raw_edge_1chain_derived" for e in ev)
     assert not any(e.get("structure") == "1-chain" for e in ev if "loss" in e)
+
+
+def test_train_shared_negatives_cli(tmp_path):
+    """--shared_negatives K trains through the batch-shared-candidates
+    protocol variant (models/mpqe.py make_shared_negs_batch_loss) and
+    still learns: train memorization AUC well above chance."""
+    import math
+
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    state = train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "300", "--val_every", "250",
+        "--batch_size", "64", "--n_neg", "4",
+        "--structures", "1-chain,2-inter",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "300", "--syn_val_queries", "60",
+        "--shared_negatives", "32",
+        "--run_dir", run_dir,
+    ])
+    assert state.step == 300
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
+    vals = [json.loads(ln) for ln in lines if '"val"' in ln]
+    assert vals, "no validation events logged"
+    assert all(math.isfinite(v["val"]["auc_macro"]) for v in vals)
+
+    # guards: wrong model / kernel / parallel combinations refuse
+    import pytest
+
+    for extra in (["--model", "gqe"],
+                  ["--kernel", "fused", "--num_bases", "4"],
+                  ["--parallel", "spmd"]):
+        with pytest.raises(SystemExit):
+            train_mod.main([
+                "--data", "synthetic", "--steps", "5",
+                "--shared_negatives", "8",
+                "--syn_entities", "60", "--syn_triples", "150",
+                "--syn_train_queries", "40", "--syn_val_queries", "10",
+                "--run_dir", str(tmp_path / "guard"),
+            ] + extra)
