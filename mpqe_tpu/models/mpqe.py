@@ -135,43 +135,45 @@ def _encode_dense_tgt_pruned(
     anchors = set(spec.anchor_slots)
     a_col = {s: k for k, s in enumerate(
         s for s in in_slots0 if s in anchors)}
-    cols = []
+    # slot -> [B, d]: the slots are never consumed as one [B, n, d]
+    # tensor on this path (tgt readout reads a single slot), so keep
+    # them as separate arrays — the round-2 trace attribution showed
+    # the stack/slice round-trips cost real layout copies on TPU
+    xs = {}
     for s in in_slots0:
         if s in anchors:
             if anchor_rows is not None:
-                cols.append(anchor_rows[:, a_col[s], :])
+                xs[s] = anchor_rows[:, a_col[s], :]
             else:
-                cols.append(params["emb"]["ent"][node_entity[:, s]])
+                xs[s] = params["emb"]["ent"][node_entity[:, s]]
         else:
-            cols.append(params["emb"]["var"][node_mode[:, s]])
-    x = jnp.stack(cols, axis=1)  # [B, |in_slots0|, d]
+            xs[s] = params["emb"]["var"][node_mode[:, s]]
     cur_slots = in_slots0
 
     for li, (in_slots, out_slots, edges) in enumerate(plan):
         assert in_slots == cur_slots
-        col = {s: i for i, s in enumerate(in_slots)}
         lp = params["layers"][li]
         w_e = rgcn_ops._edge_weights(lp, edge_rel) if edges else None
-        outs = []
+        last = li == steps - 1
+        nxt = {}
         for s in out_slots:
             acc = jnp.dot(
-                x[:, col[s], :], lp["w_self"],
+                xs[s], lp["w_self"],
                 preferred_element_type=jnp.float32,
             )
             for j in edges:
                 if spec.edge_dst[j] != s:
                     continue
                 msg = jnp.dot(
-                    x[:, col[spec.edge_src[j]], :], w_e[j],
+                    xs[spec.edge_src[j]], w_e[j],
                     preferred_element_type=jnp.float32,
                 )
                 acc = acc + msg * edge_norm[j].astype(msg.dtype)
-            outs.append(acc + lp["bias"])
-        x = jnp.stack(outs, axis=1).astype(cfg.dtype)
+            acc = (acc + lp["bias"]).astype(cfg.dtype)
+            nxt[s] = acc if last else jax.nn.relu(acc)
+        xs = nxt
         cur_slots = out_slots
-        if li < steps - 1:
-            x = jax.nn.relu(x)
-    return x[:, cur_slots.index(spec.target_slot), :]
+    return xs[spec.target_slot]
 
 
 def encode_dense(
@@ -258,17 +260,17 @@ def encode_dense_multi(
 
     in_slots0 = plan[0][0]
     anchors = set(spec.anchor_slots)
-    cols = []
+    # slot -> [B, d] (no [B, n, d] stack/slice round-trips; see
+    # _encode_dense_tgt_pruned) — non-tgt readouts stack ONCE at the end
+    xs = {}
     for s in in_slots0:
         if s in anchors:
-            cols.append(params["emb"]["ent"][node_entity[:, s]])
+            xs[s] = params["emb"]["ent"][node_entity[:, s]]
         else:
-            cols.append(params["emb"]["var"][node_mode[:, s]])
-    x = jnp.stack(cols, axis=1)  # [B, |in_slots0|, d]
+            xs[s] = params["emb"]["var"][node_mode[:, s]]
     cur_slots = in_slots0
 
     for li, (in_slots, out_slots, edges) in enumerate(plan):
-        col = {s: i for i, s in enumerate(in_slots)}
         lp = params["layers"][li]
         has_basis = "basis" in lp
         if has_basis:
@@ -277,15 +279,16 @@ def encode_dense_multi(
             src_slots = sorted({spec.edge_src[j] for j in edges})
             h_b = {
                 s: jnp.einsum(
-                    "bd,kdo->bko", x[:, col[s], :], basis,
+                    "bd,kdo->bko", xs[s], basis,
                     preferred_element_type=jnp.float32,
                 )
                 for s in src_slots
             }
-        outs = []
+        last = li == steps - 1
+        nxt = {}
         for s in out_slots:
             acc = jnp.dot(
-                x[:, col[s], :], lp["w_self"],
+                xs[s], lp["w_self"],
                 preferred_element_type=jnp.float32,
             )
             for j in edges:
@@ -300,17 +303,17 @@ def encode_dense_multi(
                 else:
                     w_q = lp["w_rel"][edge_rel_q[:, j]]  # [B, d, do]
                     msg = jnp.einsum(
-                        "bd,bdo->bo", x[:, col[spec.edge_src[j]], :], w_q,
+                        "bd,bdo->bo", xs[spec.edge_src[j]], w_q,
                         preferred_element_type=jnp.float32,
                     )
                 acc = acc + msg * edge_norm_q[:, j, None].astype(msg.dtype)
-            outs.append(acc + lp["bias"])
-        x = jnp.stack(outs, axis=1).astype(cfg.dtype)
+            acc = (acc + lp["bias"]).astype(cfg.dtype)
+            nxt[s] = acc if last else jax.nn.relu(acc)
+        xs = nxt
         cur_slots = out_slots
-        if li < steps - 1:
-            x = jax.nn.relu(x)
     if cfg.readout == "tgt":
-        return x[:, cur_slots.index(spec.target_slot), :]
+        return xs[spec.target_slot]
+    x = jnp.stack([xs[s] for s in cur_slots], axis=1)
     return readout_mod.readout_dense(
         cfg.readout, params["readout"], x, spec.target_slot
     )
