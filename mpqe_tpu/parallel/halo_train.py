@@ -205,6 +205,47 @@ def make_halo_train_step(
     return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
 
 
+def make_halo_multistep_train_step(
+    cfg: mpqe_mod.MPQEConfig,
+    tc: loop_mod.TrainConfig,
+    mesh: Mesh,
+    layer_kind: str = "ring",
+    axis: str = "data",
+) -> Callable:
+    """K halo train steps per dispatch: ``lax.scan`` over batch arrays
+    with a leading [K] axis (``loop.run_multistep`` stacking convention),
+    each step's forward+backward through the distributed halo layers.
+    Amortizes dispatch latency K-fold for ``--parallel halo_*`` exactly
+    like ``loop.make_multistep_train_step`` does for the dense step."""
+    optimizer = loop_mod.make_optimizer(tc)
+
+    def step_fn(params, opt_state, structure,
+                node_entity, node_mode, edge_rel, edge_norm,
+                target, negatives, neg_mask, query_mask):
+        def body(carry, xs):
+            p, o = carry
+            ne, nm, er, en, tg, ng, nmsk, qmsk = xs
+
+            def loss_fn(pp):
+                return halo_dense_batch_loss(
+                    pp, cfg, mesh, layer_kind, structure,
+                    ne, nm, er, en, tg, ng, nmsk, qmsk, axis=axis,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (node_entity, node_mode, edge_rel, edge_norm,
+             target, negatives, neg_mask, query_mask),
+        )
+        return params, opt_state, losses
+
+    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+
+
 def init_halo_train_state(
     key: jax.Array, cfg, tc: loop_mod.TrainConfig, mesh: Mesh,
     shard_entity_table: bool = False,

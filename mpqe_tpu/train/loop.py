@@ -260,6 +260,7 @@ def run_train(
     log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
     checkpoint_fn: Optional[Callable[[TrainState, float], None]] = None,
     train_step: Optional[Callable] = None,
+    multi_step: Optional[Callable] = None,
     batch_loss_fn: Optional[Callable] = None,
     eval_encode_fn: Optional[Callable] = None,
     kg=None,
@@ -278,21 +279,23 @@ def run_train(
     """
     rng = np.random.default_rng(tc.seed)
     optimizer = make_optimizer(tc)
-    multi_step = None
     if train_step is None:
         train_step = make_train_step(cfg, optimizer, batch_loss_fn)
-        if steps_per_call > 1:
+        if steps_per_call > 1 and multi_step is None:
             multi_step = make_multistep_train_step(
                 cfg, optimizer, batch_loss_fn)
-    elif steps_per_call > 1:
+    elif steps_per_call > 1 and multi_step is None:
         # a supplied step (spmd/halo) owns its own jit/sharding — silently
         # running it one-dispatch-per-step would ignore the K the caller
-        # asked for
+        # asked for; distributed callers pass their own scanned step
+        # (spmd.make_spmd_multistep_train_step /
+        # halo_train.make_halo_multistep_train_step)
         raise ValueError(
-            "steps_per_call > 1 is not supported with a custom train_step "
-            "(--parallel spmd/halo_*): the multistep scan wraps only the "
-            "default dense step"
+            "steps_per_call > 1 with a custom train_step needs a matching "
+            "custom multi_step (--parallel spmd/halo_* builds one)"
         )
+    if steps_per_call <= 1:
+        multi_step = None  # the scanned path only engages for K > 1
 
     # Flatten query lists into array-native FormulaStores once; per-step
     # batch packing then runs through the C++ host runtime when available

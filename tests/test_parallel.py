@@ -341,3 +341,56 @@ def test_spmd_multistep_scan(mesh8):
             first = losses[0]
     assert state.step == 5 * K
     assert losses[-1] < 0.6 * first, (first, losses[-1])
+
+
+def test_halo_multistep_matches_singlestep_trajectory(mesh8):
+    """K scanned halo steps per dispatch == K sequential halo dispatches
+    (loss sequence and final params) — the multistep amortization for
+    --parallel halo_* changes dispatch granularity, never math."""
+    from mpqe_tpu.parallel import halo_train
+
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.02, batch_size=16, n_neg=8)
+    key = jax.random.PRNGKey(11)
+
+    st_seq = halo_train.init_halo_train_state(key, cfg, tc, mesh8)
+    st_scan = halo_train.init_halo_train_state(key, cfg, tc, mesh8)
+    step = halo_train.make_halo_train_step(cfg, tc, mesh8, layer_kind="ring")
+    mstep = halo_train.make_halo_multistep_train_step(
+        cfg, tc, mesh8, layer_kind="ring")
+
+    seq_losses = [loop_mod.run_step(step, st_seq, batch) for _ in range(4)]
+    scan_losses = loop_mod.run_multistep(mstep, st_scan, [batch] * 4)
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=2e-4, atol=2e-5)
+    assert st_scan.step == 4
+    for a, b in zip(jax.tree_util.tree_leaves(st_seq.params),
+                    jax.tree_util.tree_leaves(st_scan.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-5)
+
+
+def test_spmd_multistep_matches_singlestep_trajectory(mesh42):
+    """Same for --parallel spmd: the scanned sharded step follows the
+    one-dispatch-per-step trajectory exactly."""
+    from mpqe_tpu.parallel import spmd as spmd_lib
+
+    kg, cfg, batch = _setting()
+    tc = loop_mod.TrainConfig(lr=0.02, batch_size=16, n_neg=8)
+    key = jax.random.PRNGKey(12)
+
+    init_fn, step = spmd_lib.make_spmd_train_step(
+        cfg, tc, mesh42, shard_entity_table=True)
+    _, mstep = spmd_lib.make_spmd_multistep_train_step(
+        cfg, tc, mesh42, shard_entity_table=True)
+    pa, oa = init_fn(key)
+    pb, ob = init_fn(key)
+    st_seq = loop_mod.TrainState(params=pa, opt_state=oa)
+    st_scan = loop_mod.TrainState(params=pb, opt_state=ob)
+
+    seq_losses = [loop_mod.run_step(step, st_seq, batch) for _ in range(4)]
+    scan_losses = loop_mod.run_multistep(mstep, st_scan, [batch] * 4)
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_seq.params),
+                    jax.tree_util.tree_leaves(st_scan.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-5)

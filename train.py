@@ -246,6 +246,7 @@ def main(argv=None):
     metrics.write_config(dataclasses.asdict(cfg), "model_config.json")
 
     train_step = None
+    multi_step = None
     if args.parallel != "none":
         if args.model != "rgcn":
             raise SystemExit("--parallel requires --model rgcn")
@@ -269,14 +270,18 @@ def main(argv=None):
 
             _, train_step = spmd_lib.make_spmd_train_step(
                 cfg, tc, mesh, shard_entity_table=True)
+            if args.steps_per_call > 1:
+                _, multi_step = spmd_lib.make_spmd_multistep_train_step(
+                    cfg, tc, mesh, shard_entity_table=True)
         else:
             from mpqe_tpu.parallel import halo_train
 
+            kind = ("ring" if args.parallel == "halo_ring" else "gather")
             train_step = halo_train.make_halo_train_step(
-                cfg, tc, mesh,
-                layer_kind="ring" if args.parallel == "halo_ring"
-                else "gather",
-            )
+                cfg, tc, mesh, layer_kind=kind)
+            if args.steps_per_call > 1:
+                multi_step = halo_train.make_halo_multistep_train_step(
+                    cfg, tc, mesh, layer_kind=kind)
 
     state = loop_mod.init_train_state(
         jax.random.PRNGKey(args.seed), cfg, tc,
@@ -321,6 +326,7 @@ def main(argv=None):
         state, cfg, tc, train_q, val_queries=val_q,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
         train_step=train_step,
+        multi_step=multi_step,
         batch_loss_fn=batch_loss_fn,
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
