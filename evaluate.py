@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--split", action="store_true",
                    help="report seen-edges vs one-new-edge buckets")
     p.add_argument("--n_neg", type=int, default=64)
+    p.add_argument("--ranking", action="store_true",
+                   help="also report full-candidate MRR / Hits@K per "
+                        "structure (every same-mode entity ranked via one "
+                        "[B, n_entities] matmul per chunk — beyond the "
+                        "reference's sampled-negative protocol)")
+    p.add_argument("--hits_at", default="1,3,10")
     args, _ = p.parse_known_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -101,6 +107,14 @@ def main(argv=None):
     res = run_eval(val_q)
     print(json.dumps({"checkpoint": ckpt, "step": state.step,
                       **res.flat()}))
+
+    if args.ranking:
+        hits = tuple(int(k) for k in args.hits_at.split(","))
+        rk = evaluation.full_ranking(
+            state.params, cfg, val_q, kg.entity_mode, hits_at=hits,
+            neighbor_table=neighbor_table)
+        for structure, m in rk.items():
+            print(json.dumps({"ranking": structure, **m}))
 
     if args.split:
         flat = [q for by_f in val_q.values() for qs in by_f.values() for q in qs]

@@ -23,7 +23,8 @@ def test_train_then_evaluate(tmp_path):
     assert any('"loss"' in ln for ln in lines)
     assert any('"checkpoint"' in ln for ln in lines)
 
-    eval_mod.main(["--run_dir", run_dir, "--split", "--n_neg", "16"])
+    eval_mod.main(["--run_dir", run_dir, "--split", "--n_neg", "16",
+                   "--ranking", "--hits_at", "1,5"])
 
     # serving CLI answers queries from the same checkpoint
     import serve as serve_mod
