@@ -78,15 +78,10 @@ def main(argv=None):
     # of (kg, fanout, seed) — rebuild it exactly as the run sampled it
     neighbor_table = None
     if getattr(cfg, "encoder", None) == "neighborhood":
-        import jax.numpy as jnp
-
         from mpqe_tpu.models import aggregators as agg_mod
 
-        nt = agg_mod.build_neighbor_table(
-            kg, fanout=run_cfg.get("gqe_fanout", 8),
-            seed=run_cfg.get("seed", 0))
-        neighbor_table = {"idx": jnp.asarray(nt["idx"]),
-                          "mask": jnp.asarray(nt["mask"])}
+        neighbor_table = agg_mod.build_neighbor_table_device(
+            kg, fanout=run_cfg["gqe_fanout"], seed=run_cfg["seed"])
 
     tc = loop_mod.TrainConfig()
     template = loop_mod.init_train_state(

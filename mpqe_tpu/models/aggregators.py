@@ -34,20 +34,35 @@ def build_neighbor_table(
     """
     rng = np.random.default_rng(seed)
     src, _, dst = kg.directed_edges()
-    order = np.argsort(src, kind="stable")
+    # shuffle edges within each source row (random key per edge, stable
+    # lexsort by (src, key)), then keep each row's first <= fanout edges:
+    # uniform sampling without replacement, fully vectorized — the
+    # previous per-entity Python loop cost minutes at serve startup for
+    # million-entity KGs.  Same distribution, different RNG stream: a
+    # table built by an older version of this function will not be
+    # bit-identical for the same seed.
+    keys = rng.random(src.shape[0])
+    order = np.lexsort((keys, src))
     src_s, dst_s = src[order], dst[order]
     ptr = np.searchsorted(src_s, np.arange(kg.n_entities + 1))
+    pos = np.arange(src_s.shape[0], dtype=np.int64) - ptr[src_s]
+    sel = pos < fanout
     idx = np.tile(np.arange(kg.n_entities, dtype=np.int32)[:, None], (1, fanout))
     mask = np.zeros((kg.n_entities, fanout), np.float32)
-    for e in range(kg.n_entities):
-        lo, hi = int(ptr[e]), int(ptr[e + 1])
-        if hi <= lo:
-            continue
-        take = min(fanout, hi - lo)
-        sel = rng.choice(hi - lo, size=take, replace=(hi - lo) < take)
-        idx[e, :take] = dst_s[lo + sel]
-        mask[e, :take] = 1.0
+    idx[src_s[sel], pos[sel]] = dst_s[sel]
+    mask[src_s[sel], pos[sel]] = 1.0
     return {"idx": idx, "mask": mask}
+
+
+def build_neighbor_table_device(
+    kg: KnowledgeGraph, fanout: int = 8, seed: int = 0
+) -> Dict[str, jax.Array]:
+    """:func:`build_neighbor_table` with idx/mask as device arrays — the
+    one shared entry point for train/evaluate/serve/quality tooling so
+    the (kg, fanout, seed) -> table contract can never drift between the
+    path that trains a checkpoint and the path that rebuilds its table."""
+    nt = build_neighbor_table(kg, fanout=fanout, seed=seed)
+    return {"idx": jnp.asarray(nt["idx"]), "mask": jnp.asarray(nt["mask"])}
 
 
 def init_neighborhood_encoder(

@@ -60,6 +60,10 @@ class GQEConfig:
             raise ValueError(f"intersection {self.intersection}")
         if self.encoder not in ENCODERS:
             raise ValueError(f"encoder {self.encoder}")
+        from mpqe_tpu.models import aggregators as agg_mod
+
+        if self.aggregator not in agg_mod.AGGREGATORS:
+            raise ValueError(f"aggregator {self.aggregator}")
 
 
 def init_gqe(key: jax.Array, cfg: GQEConfig) -> Dict[str, Any]:

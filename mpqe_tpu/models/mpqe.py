@@ -361,7 +361,11 @@ def dense_batch_loss_shared_negs(
     pos = score(cfg, q, pos_rows)  # [B]
     neg = jnp.dot(qf, nf.T, preferred_element_type=jnp.float32)  # [B, K]
     viol = jax.nn.relu(cfg.margin - pos[:, None] + neg)
-    w = query_mask[:, None] * jnp.ones((1, neg.shape[1]), viol.dtype)
+    # a shared candidate that IS some query's positive target would be
+    # actively pushed down by that query every step (in-batch false
+    # negative) — mask those (query, candidate) pairs out of the loss
+    not_self = (shared_negatives[None, :] != target[:, None])
+    w = query_mask[:, None] * not_self.astype(viol.dtype)
     return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 

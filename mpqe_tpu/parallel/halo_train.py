@@ -27,7 +27,6 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mpqe_tpu.models import embeddings as emb_mod
@@ -185,24 +184,12 @@ def make_halo_train_step(
     """Drop-in for ``loop.make_train_step`` whose forward+backward run
     through the distributed halo layers (the batch itself stays replicated
     host-side; node features shard over ``axis`` inside the loss)."""
-    optimizer = loop_mod.make_optimizer(tc)
+    def loss_fn(p, c, structure, *arrays):
+        return halo_dense_batch_loss(
+            p, c, mesh, layer_kind, structure, *arrays, axis=axis)
 
-    def step_fn(params, opt_state, structure,
-                node_entity, node_mode, edge_rel, edge_norm,
-                target, negatives, neg_mask, query_mask):
-        def loss_fn(p):
-            return halo_dense_batch_loss(
-                p, cfg, mesh, layer_kind, structure,
-                node_entity, node_mode, edge_rel, edge_norm,
-                target, negatives, neg_mask, query_mask, axis=axis,
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+    return loop_mod.make_train_step(
+        cfg, loop_mod.make_optimizer(tc), batch_loss_fn=loss_fn)
 
 
 def make_halo_multistep_train_step(
@@ -216,34 +203,15 @@ def make_halo_multistep_train_step(
     with a leading [K] axis (``loop.run_multistep`` stacking convention),
     each step's forward+backward through the distributed halo layers.
     Amortizes dispatch latency K-fold for ``--parallel halo_*`` exactly
-    like ``loop.make_multistep_train_step`` does for the dense step."""
-    optimizer = loop_mod.make_optimizer(tc)
+    like ``loop.make_multistep_train_step`` does for the dense step —
+    and reuses its scan/jit wrapper so the dispatch convention lives in
+    one place."""
+    def loss_fn(p, c, structure, *arrays):
+        return halo_dense_batch_loss(
+            p, c, mesh, layer_kind, structure, *arrays, axis=axis)
 
-    def step_fn(params, opt_state, structure,
-                node_entity, node_mode, edge_rel, edge_norm,
-                target, negatives, neg_mask, query_mask):
-        def body(carry, xs):
-            p, o = carry
-            ne, nm, er, en, tg, ng, nmsk, qmsk = xs
-
-            def loss_fn(pp):
-                return halo_dense_batch_loss(
-                    pp, cfg, mesh, layer_kind, structure,
-                    ne, nm, er, en, tg, ng, nmsk, qmsk, axis=axis,
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, o = optimizer.update(grads, o, p)
-            return (optax.apply_updates(p, updates), o), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state),
-            (node_entity, node_mode, edge_rel, edge_norm,
-             target, negatives, neg_mask, query_mask),
-        )
-        return params, opt_state, losses
-
-    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+    return loop_mod.make_multistep_train_step(
+        cfg, loop_mod.make_optimizer(tc), batch_loss_fn=loss_fn)
 
 
 def init_halo_train_state(

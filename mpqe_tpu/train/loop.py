@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -74,6 +75,7 @@ def make_train_step(
     cfg,
     optimizer: optax.GradientTransformation,
     batch_loss_fn: Optional[Callable] = None,
+    loss_consts: Optional[Dict[str, Any]] = None,
 ) -> Callable:
     """Jitted (params, opt_state, batch arrays) -> (params, opt_state, loss).
 
@@ -81,12 +83,19 @@ def make_train_step(
     array-shape bucket).  ``batch_loss_fn(params, cfg, structure, *arrays)``
     defaults to the MPQE dense-batch margin loss; pass
     ``models.gqe.dense_batch_loss`` (with a GQEConfig) for the baselines.
+
+    ``loss_consts`` is a kwargs dict of per-run array pytrees forwarded
+    to ``batch_loss_fn`` (e.g. ``{"neighbor_table": ...}``).  They ride
+    as TRACED arguments of the jitted step — never functools.partial or
+    closure-capture large arrays into the loss, which bakes them into
+    the HLO as constants and overflows the remote-relay compile request
+    (CLAUDE.md / docs/design.md §6).
     """
     if batch_loss_fn is None:
         batch_loss_fn = mpqe_mod.dense_batch_loss
 
     def step_fn(
-        params, opt_state, structure: str,
+        consts, params, opt_state, structure: str,
         node_entity, node_mode, edge_rel, edge_norm,
         target, negatives, neg_mask, query_mask,
     ):
@@ -94,6 +103,7 @@ def make_train_step(
             return batch_loss_fn(
                 p, cfg, structure, node_entity, node_mode, edge_rel,
                 edge_norm, target, negatives, neg_mask, query_mask,
+                **consts,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -101,23 +111,26 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+    jit_step = jax.jit(step_fn, static_argnums=(3,), donate_argnums=(1, 2))
+    return functools.partial(jit_step, loss_consts or {})
 
 
 def make_multistep_train_step(
     cfg,
     optimizer: optax.GradientTransformation,
     batch_loss_fn: Optional[Callable] = None,
+    loss_consts: Optional[Dict[str, Any]] = None,
 ) -> Callable:
     """K train steps per dispatch: batch arrays gain a leading [K] axis and
     a ``lax.scan`` consumes them on-device.  Amortizes host->device dispatch
     latency K-fold (essential on remote-relay backends, useful everywhere);
-    returns per-step losses ``[K]``."""
+    returns per-step losses ``[K]``.  ``loss_consts`` as in
+    :func:`make_train_step` (shared across the K scanned steps)."""
     if batch_loss_fn is None:
         batch_loss_fn = mpqe_mod.dense_batch_loss
 
     def step_fn(
-        params, opt_state, structure: str,
+        consts, params, opt_state, structure: str,
         node_entity, node_mode, edge_rel, edge_norm,
         target, negatives, neg_mask, query_mask,
     ):
@@ -127,7 +140,8 @@ def make_multistep_train_step(
 
             def loss_fn(pp):
                 return batch_loss_fn(
-                    pp, cfg, structure, ne, nm, er, en, tg, ng, nmsk, qmsk
+                    pp, cfg, structure, ne, nm, er, en, tg, ng, nmsk, qmsk,
+                    **consts,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -141,7 +155,8 @@ def make_multistep_train_step(
         )
         return params, opt_state, losses
 
-    return jax.jit(step_fn, static_argnums=(2,), donate_argnums=(0, 1))
+    jit_step = jax.jit(step_fn, static_argnums=(3,), donate_argnums=(1, 2))
+    return functools.partial(jit_step, loss_consts or {})
 
 
 def run_multistep(
@@ -262,6 +277,7 @@ def run_train(
     train_step: Optional[Callable] = None,
     multi_step: Optional[Callable] = None,
     batch_loss_fn: Optional[Callable] = None,
+    loss_consts: Optional[Dict[str, Any]] = None,
     eval_encode_fn: Optional[Callable] = None,
     kg=None,
     warmup: bool = False,
@@ -280,10 +296,11 @@ def run_train(
     rng = np.random.default_rng(tc.seed)
     optimizer = make_optimizer(tc)
     if train_step is None:
-        train_step = make_train_step(cfg, optimizer, batch_loss_fn)
+        train_step = make_train_step(
+            cfg, optimizer, batch_loss_fn, loss_consts=loss_consts)
         if steps_per_call > 1 and multi_step is None:
             multi_step = make_multistep_train_step(
-                cfg, optimizer, batch_loss_fn)
+                cfg, optimizer, batch_loss_fn, loss_consts=loss_consts)
     elif steps_per_call > 1 and multi_step is None:
         # a supplied step (spmd/halo) owns its own jit/sharding — silently
         # running it one-dispatch-per-step would ignore the K the caller

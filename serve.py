@@ -82,9 +82,8 @@ def main(argv=None):
     if getattr(cfg, "encoder", None) == "neighborhood":
         from mpqe_tpu.models import aggregators as agg_mod
 
-        neighbor_table = agg_mod.build_neighbor_table(
-            kg, fanout=run_cfg.get("gqe_fanout", 8),
-            seed=run_cfg.get("seed", 0))
+        neighbor_table = agg_mod.build_neighbor_table_device(
+            kg, fanout=run_cfg["gqe_fanout"], seed=run_cfg["seed"])
     server = QueryServer(state.params, cfg, kg.entity_mode,
                          neighbor_table=neighbor_table)
     structures = args.structures.split(",")

@@ -99,14 +99,10 @@ def train_model(model, kg, train_q, val_q, args):
         if args.gqe_encoder == "neighborhood":
             import functools
 
-            import jax.numpy as jnp
-
             from mpqe_tpu.models import aggregators as agg_mod
 
-            nt = agg_mod.build_neighbor_table(
+            nt = agg_mod.build_neighbor_table_device(
                 kg, fanout=args.gqe_fanout, seed=args.seed)
-            nt = {"idx": jnp.asarray(nt["idx"]),
-                  "mask": jnp.asarray(nt["mask"])}
             loss_fn = functools.partial(
                 gqe_mod.dense_batch_loss, neighbor_table=nt)
             enc = jax.jit(

@@ -226,18 +226,14 @@ def main(argv=None):
         init_fn = gqe_mod.init_gqe
         batch_loss_fn = gqe_mod.dense_batch_loss
         if args.gqe_encoder == "neighborhood":
-            import functools
-
-            import jax.numpy as jnp
-
             from mpqe_tpu.models import aggregators as agg_mod
 
-            nt = agg_mod.build_neighbor_table(
+            # the table rides as a TRACED argument of the train step
+            # (loss_consts below) — partial-binding it into the jitted
+            # loss would bake [n_entities, fanout] into the HLO and
+            # overflow the remote-relay compile request (CLAUDE.md)
+            neighbor_table = agg_mod.build_neighbor_table_device(
                 kg, fanout=args.gqe_fanout, seed=args.seed)
-            neighbor_table = {"idx": jnp.asarray(nt["idx"]),
-                              "mask": jnp.asarray(nt["mask"])}
-            batch_loss_fn = functools.partial(
-                gqe_mod.dense_batch_loss, neighbor_table=neighbor_table)
     tc = loop_mod.TrainConfig(
         lr=args.lr, batch_size=args.batch_size, n_neg=args.n_neg,
         max_steps=args.steps, val_every=args.val_every,
@@ -328,6 +324,8 @@ def main(argv=None):
         train_step=train_step,
         multi_step=multi_step,
         batch_loss_fn=batch_loss_fn,
+        loss_consts=({"neighbor_table": neighbor_table}
+                     if neighbor_table is not None else None),
         kg=kg, warmup=args.warmup, prefetch=args.prefetch,
         steps_per_call=args.steps_per_call,
         train_stores=train_stores,
