@@ -138,8 +138,16 @@ def _encode_dense_tgt_pruned(
     # slot -> [B, d]: the slots are never consumed as one [B, n, d]
     # tensor on this path (tgt readout reads a single slot), so keep
     # them as separate arrays — the round-2 trace attribution showed
-    # the stack/slice round-trips cost real layout copies on TPU
+    # the stack/slice round-trips cost real layout copies on TPU.
+    # Variable slots stay FACTORED as [B] mode indices into the tiny
+    # [n_modes, d] table through layer 0: matmul-then-gather is exactly
+    # gather-then-matmul, so their self/message transforms run as
+    # [n_modes, d] @ [d, d] GEMMs followed by a row gather — the round-3
+    # trace showed the eager [B, d] var materializations alone were ~59%
+    # of the flagship forward's device time.
     xs = {}
+    var_oh = {}  # layer-0 variable slots: slot -> [B, n_modes] one-hot
+    n_modes = params["emb"]["var"].shape[0]
     for s in in_slots0:
         if s in anchors:
             if anchor_rows is not None:
@@ -147,7 +155,15 @@ def _encode_dense_tgt_pruned(
             else:
                 xs[s] = params["emb"]["ent"][node_entity[:, s]]
         else:
-            xs[s] = params["emb"]["var"][node_mode[:, s]]
+            # the [B, n_modes] @ [n_modes, d] one-hot MXU matmul below
+            # streams at full HBM bandwidth where a row-gather of the
+            # same rows is transaction-bound (the round-3 trace measured
+            # the var gathers at ~55% of the flagship forward's device
+            # time); precision=HIGHEST keeps the selection exact (1.0
+            # and 0.0 are exact in every pass of the f32 emulation)
+            var_oh[s] = (node_mode[:, s, None] ==
+                         jnp.arange(n_modes)[None, :]).astype(jnp.float32)
+    var_table = params["emb"]["var"]  # [n_modes, d]
     cur_slots = in_slots0
 
     for li, (in_slots, out_slots, edges) in enumerate(plan):
@@ -155,23 +171,28 @@ def _encode_dense_tgt_pruned(
         lp = params["layers"][li]
         w_e = rgcn_ops._edge_weights(lp, edge_rel) if edges else None
         last = li == steps - 1
+
+        def term(s, w):
+            if s in xs:
+                return jnp.dot(xs[s], w, preferred_element_type=jnp.float32)
+            # matmul-then-combine == gather-then-matmul, exactly
+            mini = jnp.dot(var_table, w, preferred_element_type=jnp.float32)
+            return jax.lax.dot(var_oh[s], mini,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
         nxt = {}
         for s in out_slots:
-            acc = jnp.dot(
-                xs[s], lp["w_self"],
-                preferred_element_type=jnp.float32,
-            )
+            acc = term(s, lp["w_self"])
             for j in edges:
                 if spec.edge_dst[j] != s:
                     continue
-                msg = jnp.dot(
-                    xs[spec.edge_src[j]], w_e[j],
-                    preferred_element_type=jnp.float32,
-                )
+                msg = term(spec.edge_src[j], w_e[j])
                 acc = acc + msg * edge_norm[j].astype(msg.dtype)
             acc = (acc + lp["bias"]).astype(cfg.dtype)
             nxt[s] = acc if last else jax.nn.relu(acc)
         xs = nxt
+        var_oh = {}  # factored form exists only at layer 0
         cur_slots = out_slots
     return xs[spec.target_slot]
 
@@ -263,11 +284,21 @@ def encode_dense_multi(
     # slot -> [B, d] (no [B, n, d] stack/slice round-trips; see
     # _encode_dense_tgt_pruned) — non-tgt readouts stack ONCE at the end
     xs = {}
+    var_table = params["emb"]["var"]
+    n_modes = var_table.shape[0]
     for s in in_slots0:
         if s in anchors:
             xs[s] = params["emb"]["ent"][node_entity[:, s]]
         else:
-            xs[s] = params["emb"]["var"][node_mode[:, s]]
+            # one-hot MXU row selection instead of a transaction-bound
+            # row gather (see _encode_dense_tgt_pruned); HIGHEST keeps
+            # it exact
+            oh = (node_mode[:, s, None] ==
+                  jnp.arange(n_modes)[None, :]).astype(jnp.float32)
+            xs[s] = jax.lax.dot(oh, var_table.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32,
+                                ).astype(var_table.dtype)
     cur_slots = in_slots0
 
     for li, (in_slots, out_slots, edges) in enumerate(plan):

@@ -110,13 +110,28 @@ def mpqe_fwd_roofline(
     batch: int,
     cfg,
     structure: str,
-    flops_peak: float = TPU_V5E_FP32_FLOPS,
+    flops_peak: float = TPU_V5E_BF16_FLOPS,
     hbm_peak: float = TPU_V5E_HBM_GBS,
 ) -> RGCNRoofline:
-    """Speed-of-light for the PRODUCTION MPQE dense forward — accounts for
-    the dead-slot-pruned TGT plan (only executed slot-matmuls/messages
-    count) so the roofline fraction reported by bench.py reflects the
-    program that actually runs."""
+    """Speed-of-light for the PRODUCTION MPQE dense forward — accounts
+    for the dead-slot-pruned TGT plan and the one-hot variable-slot
+    formulation (models/mpqe.py _encode_dense_tgt_pruned) so the
+    roofline fraction reported by bench.py reflects the program that
+    actually runs.
+
+    FLOPs: layer-0 terms whose source is a variable slot run as a tiny
+    [n_modes, d] @ [d, d] transform plus a [B, n_modes] one-hot MXU
+    matmul; everything else is a full [B, d] @ [d, d].  The default
+    TPU matmul precision truncates f32 inputs to bf16, so the compute
+    peak is the bf16 rate.
+
+    Bytes: COMPULSORY traffic only — anchor entity-row gather reads,
+    one-hot operands, int32 id reads, and the final query-vector write.
+    Inter-layer activations may or may not round-trip HBM depending on
+    XLA's fusion choices, so this bound is optimistic (a true speed of
+    light): fractions near 1 mean the program is as good as if every
+    intermediate stayed on-chip.
+    """
     from mpqe_tpu.models import mpqe as mpqe_mod
     from mpqe_tpu.queries import STRUCTURES
 
@@ -130,14 +145,19 @@ def mpqe_fwd_roofline(
         plan = [(all_slots, all_slots, tuple(range(spec.n_edges)))] * steps
     n_self = sum(len(out) for _, out, _ in plan)
     n_msgs = sum(len(edges) for _, _, edges in plan)
-    n_anchor_gathers = len(
-        [s for s in plan[0][0] if s in set(spec.anchor_slots)])
-    flops = 2.0 * batch * d * d * (n_self + n_msgs)
-    # bytes: anchor entity-row gathers + per-layer activation traffic
-    # (reads+writes of live slots; XLA fuses elementwise, matmul outputs
-    # still round-trip) + final query vector write
-    act_rows = sum(len(out) for _, out, _ in plan)
-    hbm = batch * d * 4 * (n_anchor_gathers + 2 * act_rows + 1)
+    anchors = set(spec.anchor_slots)
+    n_anchor_gathers = len([s for s in plan[0][0] if s in anchors])
+    var0 = set(plan[0][0]) - anchors
+    l0_in, l0_out, l0_edges = plan[0]
+    n_var_terms = (sum(1 for s in l0_out if s in var0)
+                   + sum(1 for j in l0_edges if spec.edge_src[j] in var0))
+    flops = 2.0 * batch * d * d * (n_self + n_msgs - n_var_terms)
+    flops += 2.0 * batch * cfg.n_modes * d * n_var_terms  # one-hot matmuls
+    row = batch * d * 4
+    hbm = n_anchor_gathers * row  # compulsory entity-row reads
+    hbm += batch * len(var0) * cfg.n_modes * 4  # one-hot operands
+    hbm += batch * spec.n_nodes * 2 * 4  # int32 id/mode reads
+    hbm += row  # final query vector write
     return RGCNRoofline(
         flops=flops,
         hbm_bytes=hbm,
