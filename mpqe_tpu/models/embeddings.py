@@ -66,6 +66,8 @@ def embed_nodes_template(
     accesses into one gather."""
     anchors = set(anchor_slots)
     a_col = {s: k for k, s in enumerate(sorted(anchors))}
+    var_table = emb["var"]
+    n_modes = var_table.shape[0]
     cols = []
     for s in range(n_nodes):
         if s in anchors:
@@ -74,7 +76,17 @@ def embed_nodes_template(
             else:
                 cols.append(emb["ent"][node_entity[:, s]])
         else:
-            cols.append(emb["var"][node_mode[:, s]])
+            # one-hot MXU row selection: a row gather is transaction-
+            # bound even from the tiny mode table (models/mpqe.py
+            # _encode_dense_tgt_pruned measured it at ~55% of the
+            # flagship forward); HIGHEST keeps the selection exact
+            oh = (node_mode[:, s, None] ==
+                  jnp.arange(n_modes)[None, :]).astype(jnp.float32)
+            cols.append(jax.lax.dot(
+                oh, var_table.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).astype(var_table.dtype))
     return jnp.stack(cols, axis=1)  # [B, n, d]
 
 
