@@ -15,6 +15,7 @@ and the TGT readout's depth coupling (steps = diameter(structure)) is a
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -22,6 +23,7 @@ import jax.numpy as jnp
 
 from mpqe_tpu.queries import STRUCTURES
 from mpqe_tpu.ops import embed as embed_ops
+from mpqe_tpu.ops import pallas_fused_fwd as fused_fwd_ops
 from mpqe_tpu.ops import rgcn as rgcn_ops
 from mpqe_tpu.models import embeddings as emb_mod
 from mpqe_tpu.models import readout as readout_mod
@@ -241,6 +243,68 @@ def encode_dense(
     return readout_mod.readout_dense(
         cfg.readout, params["readout"], x, spec.target_slot
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 8, 9))
+def encode_dense_fused(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,  # static
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    edge_rel: jax.Array,  # [n_edges] int32
+    edge_norm: jax.Array,  # [n_edges] float32
+    anchor_rows: Optional[jax.Array] = None,
+    block: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`encode_dense` with the forward pass run as ONE Pallas
+    kernel (ops/pallas_fused_fwd): the whole multi-layer pruned TGT plan
+    executes per B-block in VMEM, so only the compulsory inputs/outputs
+    touch HBM.  Backward recomputes through the XLA path, making
+    gradients bit-identical to ``encode_dense``'s; the forward matches to
+    bf16-matmul tolerance (both paths use bf16 MXU operands).
+
+    Requires ``readout='tgt'`` and f32 activations (``cfg.dtype``).
+    """
+    return fused_fwd_ops.fused_tgt_forward(
+        params, cfg, structure, node_entity, node_mode, edge_rel,
+        edge_norm, anchor_rows, block=block, interpret=interpret,
+    )
+
+
+def _encode_dense_fused_fwd(params, cfg, structure, node_entity, node_mode,
+                            edge_rel, edge_norm, anchor_rows, block,
+                            interpret):
+    out = fused_fwd_ops.fused_tgt_forward(
+        params, cfg, structure, node_entity, node_mode, edge_rel,
+        edge_norm, anchor_rows, block=block, interpret=interpret,
+    )
+    return out, (params, node_entity, node_mode, edge_rel, edge_norm,
+                 anchor_rows)
+
+
+def _encode_dense_fused_bwd(cfg, structure, block, interpret, res, g):
+    params, node_entity, node_mode, edge_rel, edge_norm, anchor_rows = res
+    if anchor_rows is None:
+        _, vjp = jax.vjp(
+            lambda p, en: encode_dense(
+                p, cfg, structure, node_entity, node_mode, edge_rel, en),
+            params, edge_norm,
+        )
+        dp, den = vjp(g)
+        return dp, None, None, None, den, None
+    _, vjp = jax.vjp(
+        lambda p, en, ar: encode_dense(
+            p, cfg, structure, node_entity, node_mode, edge_rel, en,
+            anchor_rows=ar),
+        params, edge_norm, anchor_rows,
+    )
+    dp, den, dar = vjp(g)
+    return dp, None, None, None, den, dar
+
+
+encode_dense_fused.defvjp(_encode_dense_fused_fwd, _encode_dense_fused_bwd)
 
 
 def _perq_edge_coeff(params, edge_rel_q: jax.Array, j: int):

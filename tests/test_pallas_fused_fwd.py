@@ -1,0 +1,120 @@
+"""Fused whole-forward kernel (ops/pallas_fused_fwd) vs encode_dense —
+interpreter mode; compiled-mode parity/perf via tools/fused_fwd_bench.py
+on the chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.queries import STRUCTURES
+
+D = 16
+N_ENT = 50
+N_MODES = 3
+N_RELS = 9
+
+
+def _inputs(rng, structure, B=20):
+    spec = STRUCTURES[structure]
+    ne = jnp.asarray(rng.integers(0, N_ENT, (B, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    er = jnp.asarray(rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    en = jnp.asarray(rng.uniform(0.5, 1.5, (spec.n_edges,)).astype(np.float32))
+    return ne, nm, er, en
+
+
+def _cfg(**kw):
+    base = dict(n_entities=N_ENT, n_modes=N_MODES, n_rels=N_RELS,
+                embed_dim=D, n_layers=3, num_bases=4, readout="tgt")
+    base.update(kw)
+    return mpqe_mod.MPQEConfig(**base)
+
+
+@pytest.mark.parametrize("structure", list(STRUCTURES))
+def test_fused_fwd_matches_encode_dense(rng, structure):
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(1), cfg)
+    ne, nm, er, en = _inputs(rng, structure)
+    with jax.default_matmul_precision("highest"):
+        want = mpqe_mod.encode_dense(params, cfg, structure, ne, nm, er, en)
+        got = mpqe_mod.encode_dense_fused(
+            params, cfg, structure, ne, nm, er, en, block=8, interpret=True)
+    # block=8 with B=20 exercises the row-padding path; bf16-operand
+    # matmuls in the kernel vs HIGHEST on the oracle side
+    err = float(jnp.max(jnp.abs(got - want))
+                / (jnp.max(jnp.abs(want)) + 1e-9))
+    assert err < 3e-2, (structure, err)
+
+
+def test_fused_fwd_full_weight_model(rng):
+    # num_bases=0 -> per-relation full weights (w_rel path in _edge_weights)
+    cfg = _cfg(num_bases=0)
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(2), cfg)
+    ne, nm, er, en = _inputs(rng, "3-chain_inter")
+    with jax.default_matmul_precision("highest"):
+        want = mpqe_mod.encode_dense(params, cfg, "3-chain_inter",
+                                     ne, nm, er, en)
+        got = mpqe_mod.encode_dense_fused(
+            params, cfg, "3-chain_inter", ne, nm, er, en,
+            block=8, interpret=True)
+    err = float(jnp.max(jnp.abs(got - want))
+                / (jnp.max(jnp.abs(want)) + 1e-9))
+    assert err < 3e-2, err
+
+
+def test_fused_fwd_anchor_rows_path(rng):
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(3), cfg)
+    structure = "3-chain_inter"
+    ne, nm, er, en = _inputs(rng, structure)
+    slots = mpqe_mod.anchor_gather_slots(cfg, structure)
+    rows = jnp.stack([params["emb"]["ent"][ne[:, s]] for s in slots], axis=1)
+    got = mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, anchor_rows=rows,
+        block=8, interpret=True)
+    ref = mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=0)
+
+
+def test_fused_fwd_grads_match_xla_path_exactly(rng):
+    # the custom-VJP backward recomputes through encode_dense, so grads
+    # must be bit-identical to differentiating the XLA path directly
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(4), cfg)
+    ne, nm, er, en = _inputs(rng, "2-inter")
+
+    def loss_fused(p, en_):
+        q = mpqe_mod.encode_dense_fused(
+            p, cfg, "2-inter", ne, nm, er, en_, None, 8, True)
+        return jnp.sum(jnp.sin(q))
+
+    def loss_xla(p, en_):
+        q = mpqe_mod.encode_dense(p, cfg, "2-inter", ne, nm, er, en_)
+        return jnp.sum(jnp.sin(q))
+
+    # primal values differ (bf16 kernel vs XLA) -> cotangents seeded by
+    # sin'(q) differ too; compare against the XLA-loss grads seeded from
+    # the SAME primal by checking the VJP itself instead
+    _, vjp_f = jax.vjp(lambda p, e: mpqe_mod.encode_dense_fused(
+        p, cfg, "2-inter", ne, nm, er, e, None, 8, True), params, en)
+    _, vjp_x = jax.vjp(lambda p, e: mpqe_mod.encode_dense(
+        p, cfg, "2-inter", ne, nm, er, e), params, en)
+    g = jnp.asarray(rng.normal(size=(ne.shape[0], D)).astype(np.float32))
+    df, dx = vjp_f(g), vjp_x(g)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        df, dx)
+
+
+def test_fused_fwd_rejects_non_tgt_readout(rng):
+    cfg = _cfg(readout="sum")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(5), cfg)
+    ne, nm, er, en = _inputs(rng, "2-chain")
+    with pytest.raises(ValueError):
+        mpqe_mod.encode_dense_fused(
+            params, cfg, "2-chain", ne, nm, er, en, block=8, interpret=True)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Fused whole-forward Pallas kernel vs the XLA pruned forward on the
+real chip, flagship shape (bench.py's workload + timing methodology:
+jitted fori_loop with threaded data dependency, overhead-cancelled).
+
+Usage: python tools/fused_fwd_bench.py [--blocks 1024,2048,4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+D = 128
+N_ENTITIES = 1_000_000
+N_MODES = 4
+N_RELS = 266
+NUM_BASES = 16
+N_LAYERS = 3
+STRUCTURE = "3-chain_inter"
+BATCH = 131_072
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def _timed_loop(loop_fn, *args, n_small=5, n_large=55):
+    float(loop_fn(*args, 2))
+    t0 = time.perf_counter()
+    float(loop_fn(*args, n_small))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop_fn(*args, n_large))
+    t_large = time.perf_counter() - t0
+    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", default="1024,2048,4096")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
+        embed_dim=D, n_layers=N_LAYERS, num_bases=NUM_BASES, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = args.batch
+    node_entity = jnp.asarray(
+        rng.integers(0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+    node_mode = jnp.asarray(
+        rng.integers(0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    edge_rel = jnp.asarray(
+        rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    edge_norm = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+    msgs = B * mpqe_mod.executed_edge_messages(cfg, STRUCTURE)
+
+    def make_loop(encode):
+        @jax.jit
+        def loop(params, en0, n):
+            def body(i, carry):
+                en, acc = carry
+                q = encode(params, en)
+                return en + q[0, :spec.n_edges] * 1e-20, acc + q[0, 0]
+            _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
+            return acc
+        return loop
+
+    log(f"backend={jax.default_backend()} B={B}")
+    xla_loop = make_loop(lambda p, en: mpqe_mod.encode_dense(
+        p, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en))
+    log("compiling XLA forward...")
+    dt = _timed_loop(xla_loop, params, edge_norm)
+    log(f"xla   : {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+
+    for blk in [int(b) for b in args.blocks.split(",")]:
+        fl = make_loop(lambda p, en, blk=blk: mpqe_mod.encode_dense_fused(
+            p, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en,
+            None, blk, False))
+        log(f"compiling fused block={blk}...")
+        dt = _timed_loop(fl, params, edge_norm)
+        log(f"fused {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+
+    # compiled-mode parity at a small batch (same programs, tiny shapes)
+    Bs = 1024
+    ne_s, nm_s = node_entity[:Bs], node_mode[:Bs]
+    f = jax.jit(lambda p, en: mpqe_mod.encode_dense_fused(
+        p, cfg, STRUCTURE, ne_s, nm_s, edge_rel, en, None, 512, False))
+    x = jax.jit(lambda p, en: mpqe_mod.encode_dense(
+        p, cfg, STRUCTURE, ne_s, nm_s, edge_rel, en))
+    got, want = np.asarray(f(params, edge_norm)), np.asarray(x(params, edge_norm))
+    rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    log(f"compiled parity (B={Bs}): max rel err {rel:.2e}")
+
+
+if __name__ == "__main__":
+    main()
