@@ -800,6 +800,33 @@ def dense_batch_loss_kernel_fused(
         params, cfg, q, target, negatives, neg_mask, query_mask)
 
 
+def dense_batch_loss_kernel_fused_fwd(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel: jax.Array,
+    edge_norm: jax.Array,
+    target: jax.Array,
+    negatives: jax.Array,
+    neg_mask: jax.Array,
+    query_mask: jax.Array,
+    block: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``dense_batch_loss`` with the forward routed through the fused
+    whole-forward Pallas kernel (ops/pallas_fused_fwd; ``--kernel
+    fused_fwd``).  The custom-VJP backward recomputes through the XLA
+    path, so training gradients match ``dense_batch_loss`` exactly;
+    requires ``readout='tgt'``."""
+    q = encode_dense_fused(
+        params, cfg, structure, node_entity, node_mode, edge_rel,
+        edge_norm, None, block, interpret)
+    return margin_loss_from_queries(
+        params, cfg, q, target, negatives, neg_mask, query_mask)
+
+
 def dense_batch_loss_kernel_blocked(
     params: Dict[str, Any],
     cfg: MPQEConfig,

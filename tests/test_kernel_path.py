@@ -72,6 +72,37 @@ def test_blocked_kernel_loss_matches_dense(setup, structure):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("structure", ["1-chain", "2-inter", "3-chain_inter"])
+def test_fused_fwd_kernel_loss_matches_dense(setup, structure):
+    _, sampler, cfg, params = setup
+    rng = np.random.default_rng(7)
+    b = _batch(sampler, structure, rng)
+    want = float(mpqe_mod.dense_batch_loss(params, cfg, structure, *_args(b)))
+    got = float(mpqe_mod.dense_batch_loss_kernel_fused_fwd(
+        params, cfg, structure, *_args(b), block=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_fwd_kernel_grads_match_dense(setup):
+    # backward recomputes through the XLA path: primal-dependent factors
+    # (margin hinge actives) may differ at the bf16 edge, but with the
+    # same actives the gradients agree to the dense path's own precision
+    _, sampler, cfg, params = setup
+    rng = np.random.default_rng(8)
+    b = _batch(sampler, "3-chain_inter", rng)
+    args = _args(b)
+    g_dense = jax.grad(mpqe_mod.dense_batch_loss)(
+        params, cfg, "3-chain_inter", *args)
+    g_ff = jax.grad(functools.partial(
+        mpqe_mod.dense_batch_loss_kernel_fused_fwd,
+        block=8, interpret=True))(params, cfg, "3-chain_inter", *args)
+    flat_d, _ = jax.flatten_util.ravel_pytree(g_dense)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_ff)
+    s = float(jnp.abs(flat_d).max()) + 1e-12
+    np.testing.assert_allclose(np.asarray(flat_f) / s, np.asarray(flat_d) / s,
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_fused_kernel_grads_match_dense(setup):
     _, sampler, cfg, params = setup
     rng = np.random.default_rng(3)

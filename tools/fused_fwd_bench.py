@@ -30,15 +30,23 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _timed_loop(loop_fn, *args, n_small=5, n_large=55):
+def _timed_loop(loop_fn, *args, n_small=5, n_large=255, samples=3):
+    """Median of `samples` overhead-cancelled deltas; the large iteration
+    count dilutes relay dispatch jitter (±10-50 ms under host load) that
+    a 55-iteration loop cannot separate from a sub-ms per-step signal."""
     float(loop_fn(*args, 2))
-    t0 = time.perf_counter()
-    float(loop_fn(*args, n_small))
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop_fn(*args, n_large))
-    t_large = time.perf_counter() - t0
-    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+    dts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        float(loop_fn(*args, n_small))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop_fn(*args, n_large))
+        t_large = time.perf_counter() - t0
+        dts.append((t_large - t_small) / (n_large - n_small))
+    dts.sort()
+    log(f"  samples(ms): {['%.3f' % (d*1e3) for d in dts]}")
+    return dts[len(dts) // 2]
 
 
 def main(argv=None):

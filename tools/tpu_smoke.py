@@ -123,6 +123,32 @@ def main():
                      y.astype(np.float64)[e_dst])
     ok &= check("sddmm_pallas", got, want)
 
+    # fused whole-forward kernel vs the XLA dense path (bf16 tolerance)
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+    spec = STRUCTURES["3-chain_inter"]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=2000, n_modes=4, n_rels=12, embed_dim=128,
+        n_layers=3, num_bases=8, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(7), cfg)
+    Bq = 1024
+    ne = jnp.asarray(rng.integers(0, 2000, (Bq, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(0, 4, (Bq, spec.n_nodes)).astype(np.int32))
+    er = jnp.asarray(rng.integers(0, 12, (spec.n_edges,)).astype(np.int32))
+    en = jnp.asarray(rng.uniform(0.5, 1.5, (spec.n_edges,)).astype(np.float32))
+    stage("compiling fused whole-forward kernel...")
+    got = np.asarray(jax.jit(
+        lambda p, e: mpqe_mod.encode_dense_fused(
+            p, cfg, "3-chain_inter", ne, nm, er, e, None, 512, False)
+    )(params, en))
+    want = np.asarray(jax.jit(
+        lambda p, e: mpqe_mod.encode_dense(
+            p, cfg, "3-chain_inter", ne, nm, er, e)
+    )(params, en))
+    s = np.max(np.abs(want)) + 1e-9
+    ok &= check("fused_whole_forward", got / s, want / s,
+                rtol=5e-3, atol=5e-3)
+
     sys.exit(0 if ok else 1)
 
 

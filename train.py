@@ -72,13 +72,15 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_call", type=int, default=1,
                    help=">1: scan K train steps per device dispatch")
     p.add_argument("--kernel", default="dense",
-                   choices=["dense", "fused", "blocked"],
+                   choices=["dense", "fused", "blocked", "fused_fwd"],
                    help="R-GCN compute path: dense = structure-batched "
                         "template einsums (default); fused = relation-"
                         "chunked Pallas kernel; blocked = bf16 blocked "
-                        "Pallas kernel (needs --num_bases). Sparse "
-                        "layouts are synthesized on-device per step "
-                        "(ops/template_layout.py)")
+                        "Pallas kernel (needs --num_bases); fused_fwd = "
+                        "dense math with the forward run as ONE Pallas "
+                        "kernel per block (ops/pallas_fused_fwd, needs "
+                        "--readout tgt). Sparse layouts are synthesized "
+                        "on-device per step (ops/template_layout.py)")
     p.add_argument("--shared_negatives", type=int, default=0,
                    metavar="K",
                    help="train with K batch-shared negative candidates "
@@ -192,11 +194,16 @@ def main(argv=None):
 
             if args.kernel == "blocked" and not args.num_bases:
                 raise SystemExit("--kernel blocked requires --num_bases")
+            if args.kernel == "fused_fwd" and args.readout != "tgt":
+                raise SystemExit("--kernel fused_fwd requires --readout tgt")
             on_cpu = jax.default_backend() == "cpu"
+            kernel_losses = {
+                "fused": mpqe_mod.dense_batch_loss_kernel_fused,
+                "blocked": mpqe_mod.dense_batch_loss_kernel_blocked,
+                "fused_fwd": mpqe_mod.dense_batch_loss_kernel_fused_fwd,
+            }
             batch_loss_fn = functools.partial(
-                mpqe_mod.dense_batch_loss_kernel_fused
-                if args.kernel == "fused"
-                else mpqe_mod.dense_batch_loss_kernel_blocked,
+                kernel_losses[args.kernel],
                 interpret=on_cpu,  # Pallas kernels compile on TPU only
             )
         if args.shared_negatives:
