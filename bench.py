@@ -119,14 +119,14 @@ def bench_jax():
         return acc
 
     log(f"compiling forward (B={B}) on {jax.default_backend()}...")
-    fwd_dt_xla = _timed_loop(fwd_loop, params, edge_norm)
+    fwd_dt_xla = _timed_loop(fwd_loop, params, edge_norm, n_large=255)
     log(f"fwd (XLA): {fwd_dt_xla*1e3:.3f} ms")
 
     # fused whole-forward Pallas kernel — the `--kernel fused_fwd`
     # product path (ops/pallas_fused_fwd): the full pruned TGT plan runs
-    # per 512-row block in VMEM, so only compulsory traffic touches HBM.
-    # Compiled mode is TPU-only; on a CPU backend the XLA path is the
-    # headline.
+    # per 2048-row block in VMEM (one GEMM per layer), so only the
+    # compulsory inputs/outputs touch HBM.  Compiled mode is TPU-only;
+    # on a CPU backend the XLA path is the headline.
     fwd_dt_fused = None
     if jax.default_backend() != "cpu":
         @jax.jit
@@ -135,14 +135,14 @@ def bench_jax():
                 en, acc = carry
                 q = mpqe_mod.encode_dense_fused(
                     params, cfg, STRUCTURE, node_entity, node_mode,
-                    edge_rel, en, None, 512, False,
+                    edge_rel, en, None, 2048, False,
                 )
                 return en + q[0, :spec.n_edges] * 1e-20, acc + q[0, 0]
             _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
             return acc
 
         log("compiling fused forward...")
-        fwd_dt_fused = _timed_loop(fwd_loop_fused, params, edge_norm)
+        fwd_dt_fused = _timed_loop(fwd_loop_fused, params, edge_norm, n_large=255)
         log(f"fwd (fused kernel): {fwd_dt_fused*1e3:.3f} ms")
 
     fwd_dt = fwd_dt_fused if fwd_dt_fused is not None else fwd_dt_xla

@@ -255,7 +255,7 @@ def encode_dense_fused(
     edge_rel: jax.Array,  # [n_edges] int32
     edge_norm: jax.Array,  # [n_edges] float32
     anchor_rows: Optional[jax.Array] = None,
-    block: int = 1024,
+    block: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """:func:`encode_dense` with the forward pass run as ONE Pallas

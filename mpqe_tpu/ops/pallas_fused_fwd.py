@@ -1,31 +1,36 @@
 """Fused whole-forward Pallas kernel for the dense TGT template path.
 
 The XLA pruned forward (models/mpqe.py ``_encode_dense_tgt_pruned``) is
-memory-bound at the flagship shape, and the round-3 trace attribution
-showed the remaining gap to the compulsory-traffic roofline is a couple
-of ``[B, d]`` activation round-trips XLA materializes between layers.
-This kernel runs the ENTIRE multi-layer pruned forward for a block of
-queries without leaving VMEM: per grid step it loads the block's anchor
-entity rows (the only large inputs), builds variable-slot operands from
-per-row mode ids as one-hot MXU matrices, runs every layer's slot GEMMs
-against VMEM-resident weights, and writes only the final ``[block, d]``
-target vectors back to HBM — compulsory traffic only.
+memory-bound at the flagship shape; the remaining gap to the
+compulsory-traffic roofline is inter-layer [B, d] activations XLA
+materializes plus per-term GEMM issue overhead.  This kernel runs the
+ENTIRE multi-layer pruned forward for a block of queries without
+leaving VMEM — and it collapses each layer to ONE MXU GEMM:
 
-Numerics: matmuls run with bf16 operands / f32 accumulation, exactly the
-XLA path's default TPU matmul precision, so parity with
-``encode_dense(readout='tgt')`` holds to bf16 tolerance (and the one-hot
-selections are exact — 0.0/1.0 are exact in bf16).  ``edge_norm`` is
-folded into the per-edge weights before the kernel
-(``(x @ W) * c == x @ (W * c)`` up to f32 rounding).
+* every live slot of a layer is a ``[bb, d_pad]`` operand — anchor
+  entity rows (f32 inputs) or, at layer 0, a one-hot matrix built
+  in-kernel from the slot's mode id;
+* the layer's whole slot-to-slot linear map (self transforms, per-edge
+  relation transforms with ``edge_norm`` folded in, and the tiny
+  variable-mode table pre-multiplied into the one-hot columns) is
+  assembled OUTSIDE the kernel into one block-structured
+  ``[|in|*d_pad, |out|*d_pad]`` bf16 matrix;
+* the kernel is then just: concat slot operands → per layer one
+  ``X @ W_l`` (+ bias, ReLU between layers) → write the target block.
 
-Reference behavior: mpqe/model.py ``RGCNEncoderDecoder.forward`` with the
-TM/TGT readout (SURVEY.md §3.2; the reference mount was empty — built
-from the behavioral spec, not copied).
+The layer output ``[bb, |out|*d_pad]`` IS the next layer's concatenated
+input (the pruned plan chains ``out_slots == next.in_slots``), so no
+shuffling happens between layers.  Numerics: bf16 MXU operands / f32
+accumulation — the XLA path's own default matmul precision; one-hot
+values are exact in bf16.
+
+Reference behavior: mpqe/model.py ``RGCNEncoderDecoder.forward`` with
+the TM/TGT readout (SURVEY.md §3.2; the reference mount was empty —
+built from the behavioral spec, not copied).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -53,53 +58,86 @@ def _plan(cfg, structure: str):
     return spec, steps, plan, a_slots, v_slots
 
 
-def _make_kernel(spec, steps, plan, a_slots, v_slots, m_pad, n_edges):
-    """Kernel closure; the whole layer plan is unrolled at trace time."""
-    n_a, n_v = len(a_slots), len(v_slots)
+def _layer_matrices(params, cfg, spec, steps, plan, v_slots, edge_rel,
+                    edge_norm, d_pad):
+    """Per-layer block weight matrix [k_l, n_l] (bf16) + bias row [8, n_l]
+    (f32), with edge_norm folded in and the variable-mode table
+    pre-multiplied into layer-0 one-hot columns.  Tiny XLA work."""
+    from ..ops import rgcn as rgcn_ops
+
+    d = cfg.embed_dim
+    var_ext = jnp.zeros((d_pad, d), jnp.float32
+                        ).at[:cfg.n_modes].set(
+                            params["emb"]["var"].astype(jnp.float32))
+    v0 = set(v_slots)
+    Ws, biases = [], []
+    for li, (in_slots, out_slots, edges) in enumerate(plan):
+        lp = params["layers"][li]
+        w_e = rgcn_ops._edge_weights(lp, edge_rel).astype(jnp.float32)
+        w_e = w_e * edge_norm[:, None, None].astype(jnp.float32)
+        w_self = lp["w_self"].astype(jnp.float32)
+        icol = {s: k for k, s in enumerate(in_slots)}
+        ocol = {s: k for k, s in enumerate(out_slots)}
+
+        def put(W, s_in, s_out, w):
+            # layer-0 variable inputs are one-hot columns: their block
+            # is the transformed mode table (select-then-matmul ==
+            # matmul-then-select)
+            if li == 0 and s_in in v0:
+                w = jnp.dot(var_ext, w, preferred_element_type=jnp.float32)
+            else:
+                w = jnp.zeros((d_pad, w.shape[1]), w.dtype
+                              ).at[:d].set(w) if d != d_pad else w
+            r, c = icol[s_in] * d_pad, ocol[s_out] * d_pad
+            return W.at[r:r + w.shape[0], c:c + d].add(w)
+
+        W = jnp.zeros((len(in_slots) * d_pad, len(out_slots) * d_pad),
+                      jnp.float32)
+        for s in out_slots:
+            W = put(W, s, s, w_self)
+        for j in edges:
+            W = put(W, spec.edge_src[j], spec.edge_dst[j], w_e[j])
+        Ws.append(W.astype(jnp.bfloat16))
+
+        bias = jnp.zeros((8, len(out_slots) * d_pad), jnp.float32)
+        for s in out_slots:
+            bias = bias.at[0, ocol[s] * d_pad:ocol[s] * d_pad + d].set(
+                lp["bias"].astype(jnp.float32))
+        biases.append(bias)
+    return Ws, biases
+
+
+def _make_kernel(steps, in0, a_set, n_a, n_v, d_pad):
+    """Kernel closure; slot order and the layer loop unroll at trace
+    time.  refs: a_refs..., m_refs..., W_0..W_{L-1}, b_0..b_{L-1}, out."""
     f32, bf16 = jnp.float32, jnp.bfloat16
 
     def kernel(*refs):
         a_refs = refs[:n_a]
         m_refs = refs[n_a:n_a + n_v]
-        var_ref, wself_ref, bias_ref, we_ref, out_ref = refs[n_a + n_v:]
+        w_refs = refs[n_a + n_v:n_a + n_v + steps]
+        b_refs = refs[n_a + n_v + steps:n_a + n_v + 2 * steps]
+        out_ref = refs[-1]
         bb = out_ref.shape[0]
 
-        xs = {s: a_refs[k][...] for k, s in enumerate(a_slots)}
-        oh: Dict[int, jax.Array] = {}
-        if n_v:
-            iota = jax.lax.broadcasted_iota(jnp.int32, (bb, m_pad), 1)
-            for k, s in enumerate(v_slots):
-                oh[s] = (m_refs[k][:] == iota).astype(bf16)
-        vt = var_ref[...].astype(bf16)  # [m_pad, d_pad]
-
-        for li, (in_slots, out_slots, edges) in enumerate(plan):
-            last = li == steps - 1
-            wself = wself_ref[li].astype(bf16)
-
-            def term(s, w):
-                if s in xs:
-                    return jnp.dot(xs[s].astype(bf16), w,
-                                   preferred_element_type=f32)
-                # layer-0 variable slot: factored one-hot selection of the
-                # transformed (tiny) mode table — matmul-then-select ==
-                # select-then-matmul
-                mini = jnp.dot(vt, w, preferred_element_type=f32)
-                return jnp.dot(oh[s], mini.astype(bf16),
-                               preferred_element_type=f32)
-
-            nxt = {}
-            for s in out_slots:
-                acc = term(s, wself)
-                for j in edges:
-                    if spec.edge_dst[j] != s:
-                        continue
-                    acc = acc + term(spec.edge_src[j],
-                                     we_ref[li * n_edges + j].astype(bf16))
-                acc = acc + bias_ref[li:li + 1, :]
-                nxt[s] = acc if last else jnp.maximum(acc, 0.0)
-            xs = nxt
-            oh = {}
-        out_ref[...] = xs[spec.target_slot]
+        pieces, ia, iv = [], 0, 0
+        for s in in0:
+            if s in a_set:
+                pieces.append(a_refs[ia][...])  # already bf16
+                ia += 1
+            else:
+                iota = jax.lax.broadcasted_iota(jnp.int32, (bb, d_pad), 1)
+                pieces.append((m_refs[iv][:] == iota).astype(bf16))
+                iv += 1
+        x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        for li in range(steps):
+            y = jnp.dot(x, w_refs[li][...], preferred_element_type=f32)
+            y = y + b_refs[li][0:1, :]
+            if li < steps - 1:
+                x = jnp.maximum(y, 0.0).astype(bf16)
+        # the final layer's out_slots is exactly (target,) by plan
+        # construction, so y is already the [bb, d_pad] target block
+        out_ref[...] = y
 
     return kernel
 
@@ -114,7 +152,7 @@ def fused_tgt_forward(
     edge_norm: jax.Array,  # [n_edges] float32
     anchor_rows: Optional[jax.Array] = None,  # [B, A, d] pre-gathered
     *,
-    block: int = 1024,
+    block: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole pruned TGT forward as one Pallas kernel → ``[B, d]`` f32.
@@ -123,18 +161,18 @@ def fused_tgt_forward(
     differentiable version (its backward recomputes through the XLA
     path, so gradients are bit-identical to ``encode_dense``'s).
     """
-    from ..ops import rgcn as rgcn_ops  # lazy (module cycle hygiene)
-
     if cfg.readout != "tgt":
         raise ValueError("fused_tgt_forward requires readout='tgt'")
     spec, steps, plan, a_slots, v_slots = _plan(cfg, structure)
     d = cfg.embed_dim
     d_pad = _round_up(d, 128)
-    m_pad = max(8, _round_up(cfg.n_modes, 8))
+    if cfg.n_modes > d_pad:
+        raise ValueError("n_modes must fit the one-hot width (<= d_pad)")
     B = node_mode.shape[0]
     bb = min(block, _round_up(B, 8))
     B_pad = _round_up(B, bb)
-    n_edges = spec.n_edges
+    in0 = plan[0][0]
+    a_set = set(a_slots)
 
     def pad_rows(x, rows):
         if x.shape[0] == rows:
@@ -150,49 +188,30 @@ def fused_tgt_forward(
     for k, s in enumerate(a_slots):
         col = (anchor_rows[:, k, :] if anchor_rows is not None
                else params["emb"]["ent"][node_entity[:, s]])
-        inputs.append(pad2(pad_rows(col.astype(jnp.float32), B_pad),
+        # bf16 on the wire: the MXU reads bf16 operands anyway (cast
+        # before the DMA instead of after), and anchor reads are the
+        # kernel's dominant HBM traffic
+        inputs.append(pad2(pad_rows(col.astype(jnp.bfloat16), B_pad),
                            B_pad, d_pad))
     for s in v_slots:
         inputs.append(pad_rows(node_mode[:, s:s + 1].astype(jnp.int32),
                                B_pad))
-    inputs.append(pad2(params["emb"]["var"].astype(jnp.float32),
-                       m_pad, d_pad))
-
-    wself = jnp.stack([params["layers"][li]["w_self"]
-                       for li in range(steps)]).astype(jnp.float32)
-    wself_p = jnp.zeros((steps, d_pad, d_pad), jnp.float32
-                        ).at[:, :d, :d].set(wself)
-    bias = jnp.stack([params["layers"][li]["bias"]
-                      for li in range(steps)]).astype(jnp.float32)
-    bias_p = pad2(bias, max(8, steps), d_pad)
-    # per-layer per-edge weights with edge_norm folded in (tiny einsums)
-    we = jnp.concatenate([
-        rgcn_ops._edge_weights(params["layers"][li], edge_rel)
-        * edge_norm[:, None, None].astype(jnp.float32)
-        for li in range(steps)
-    ]).astype(jnp.float32)  # [steps * n_edges, d, d]
-    we_p = jnp.zeros((steps * n_edges, d_pad, d_pad), jnp.float32
-                     ).at[:, :d, :d].set(we)
-    inputs += [wself_p, bias_p, we_p]
+    Ws, biases = _layer_matrices(
+        params, cfg, spec, steps, plan, v_slots, edge_rel, edge_norm, d_pad)
+    inputs += Ws + biases
 
     in_specs = (
         [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
                       memory_space=pltpu.VMEM) for _ in a_slots]
         + [pl.BlockSpec((bb, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM) for _ in v_slots]
-        + [
-            pl.BlockSpec((m_pad, d_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, d_pad, d_pad), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(8, steps), d_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps * n_edges, d_pad, d_pad),
-                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ]
+        + [pl.BlockSpec(W.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for W in Ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for b in biases]
     )
     out = pl.pallas_call(
-        _make_kernel(spec, steps, plan, a_slots, v_slots, m_pad, n_edges),
+        _make_kernel(steps, in0, a_set, len(a_slots), len(v_slots), d_pad),
         grid=(B_pad // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, d_pad), lambda i: (i, 0),

@@ -118,3 +118,32 @@ def test_fused_fwd_rejects_non_tgt_readout(rng):
     with pytest.raises(ValueError):
         mpqe_mod.encode_dense_fused(
             params, cfg, "2-chain", ne, nm, er, en, block=8, interpret=True)
+
+
+def test_fused_fwd_composes_with_shard_map_dp(rng):
+    # the fused kernel runs per-device under a DP shard_map (each device
+    # sees its local batch block) — interpret mode on the 8-device CPU mesh
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mpqe_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(9), cfg)
+    structure = "3-chain_inter"
+    ne, nm, er, en = _inputs(rng, structure, B=32)
+
+    def enc(p, ne_, nm_):
+        return mpqe_mod.encode_dense_fused(
+            p, cfg, structure, ne_, nm_, er, en, None, 4, True)
+
+    sharded = shard_map(
+        enc, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )
+    got = sharded(params, ne, nm)
+    want = enc(params, ne, nm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
