@@ -50,26 +50,16 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _timed_loop(loop_fn, *args, n_small=N_SMALL, n_large=N_LARGE):
-    """Overhead-cancelled per-iteration seconds for loop_fn(*args, n).
-
-    The relay occasionally charges a one-off stall to a single call,
-    which can make t(n_small) exceed t(n_large) and turn the cancelled
-    difference into nonsense — retry until the delta is positive instead
-    of flooring it (a floored value once reported a 0.000 ms forward)."""
-    float(loop_fn(*args, 2))  # compile + sync
-    for _ in range(4):
-        t0 = time.perf_counter()
-        float(loop_fn(*args, n_small))
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop_fn(*args, n_large))
-        t_large = time.perf_counter() - t0
-        if t_large > t_small:
-            return (t_large - t_small) / (n_large - n_small)
-        log(f"  timing retry: t({n_small})={t_small:.4f}s >= "
-            f"t({n_large})={t_large:.4f}s")
-    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+def _timed_loop(loop_fn, *args, n_small=N_SMALL, n_large=N_LARGE,
+                samples=3):
+    """Overhead-cancelled per-iteration seconds for loop_fn(*args, n) —
+    median of positive deltas via utils/profiling.loop_time, which
+    raises (instead of flooring) if the relay makes every delta
+    non-positive, so a broken measurement can't become the headline."""
+    from mpqe_tpu.utils import profiling
+    return profiling.loop_time(
+        lambda n: loop_fn(*args, n),
+        n_small=n_small, n_large=n_large, samples=samples, log=log)
 
 
 def bench_jax():
@@ -107,19 +97,23 @@ def bench_jax():
     edge_msgs_per_fwd = B * mpqe_mod.executed_edge_messages(cfg, STRUCTURE)
     logical_msgs_per_fwd = steps * B * spec.n_edges
 
+    # node id arrays ride as ARGUMENTS, not closure constants
+    # (CLAUDE.md: closure-captured arrays become HLO constants and can
+    # overflow the relay's compile-request size limit)
     @jax.jit
-    def fwd_loop(params, en0, n):
+    def fwd_loop(params, ne, nm, en0, n):
         def body(i, carry):
             en, acc = carry
             q = mpqe_mod.encode_dense(
-                params, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en
+                params, cfg, STRUCTURE, ne, nm, edge_rel, en
             )
             return en + q[0, :spec.n_edges] * 1e-20, acc + q[0, 0]
         _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
         return acc
 
     log(f"compiling forward (B={B}) on {jax.default_backend()}...")
-    fwd_dt_xla = _timed_loop(fwd_loop, params, edge_norm, n_large=255)
+    fwd_dt_xla = _timed_loop(fwd_loop, params, node_entity, node_mode,
+                             edge_norm, n_large=255)
     log(f"fwd (XLA): {fwd_dt_xla*1e3:.3f} ms")
 
     # fused whole-forward Pallas kernel — the `--kernel fused_fwd`
@@ -129,6 +123,15 @@ def bench_jax():
     # on a CPU backend the XLA path is the headline.
     fwd_dt_fused = None
     if jax.default_backend() != "cpu":
+        # the id arrays are CLOSURE CONSTANTS here, deliberately:
+        # measured A/B (same kernel, same shapes) shows 0.32 ms with
+        # constants vs 0.60 ms with jit arguments — XLA protects
+        # loop-invariant *argument* buffers feeding a custom call with
+        # per-iteration copies (it cannot prove the pallas call doesn't
+        # alias them), while immutable constants need none; the pure-XLA
+        # loop shows no such gap.  The 413-overflow hazard (CLAUDE.md)
+        # is about ~100s-of-MB activation constants; these ids are
+        # ~3.7 MB total.
         @jax.jit
         def fwd_loop_fused(params, en0, n):
             def body(i, carry):
@@ -142,17 +145,22 @@ def bench_jax():
             return acc
 
         log("compiling fused forward...")
-        fwd_dt_fused = _timed_loop(fwd_loop_fused, params, edge_norm, n_large=255)
+        fwd_dt_fused = _timed_loop(fwd_loop_fused, params, edge_norm,
+                                   n_large=255)
         log(f"fwd (fused kernel): {fwd_dt_fused*1e3:.3f} ms")
 
     fwd_dt = fwd_dt_fused if fwd_dt_fused is not None else fwd_dt_xla
     fwd_edges_s = edge_msgs_per_fwd / fwd_dt
     from mpqe_tpu.utils import profiling
-    rl = profiling.mpqe_fwd_roofline(B, cfg, STRUCTURE)
+    # roofline bound for the program actually benched (the fused kernel
+    # reads bf16 anchors + int32 mode ids and pays padded-block GEMM
+    # FLOPs; the XLA path reads f32 rows + one-hot operands)
+    impl = "fused_fwd" if fwd_dt_fused is not None else "xla"
+    rl = profiling.mpqe_fwd_roofline(B, cfg, STRUCTURE, impl=impl)
     roofline_fraction = rl.min_seconds / fwd_dt
     log(f"fwd: {fwd_dt*1e3:.3f} ms -> {fwd_edges_s:.3e} edge-msgs/s "
         f"({100*roofline_fraction:.0f}% of {rl.bound}-bound "
-        f"speed-of-light {rl.min_seconds*1e3:.3f} ms)")
+        f"speed-of-light {rl.min_seconds*1e3:.3f} ms, impl={impl})")
 
     # full train step: fwd + bwd + adam, params/opt carried on device
     tc = loop_mod.TrainConfig(lr=0.01, batch_size=B, n_neg=N_NEG)
@@ -198,10 +206,12 @@ def bench_jax():
         "roofline_fraction": roofline_fraction,
         "roofline_bound": rl.bound,
         "roofline_min_ms": rl.min_seconds * 1e3,
+        "roofline_impl": impl,
         # relay timing moves run-to-run by ~10-15% (BASELINE.md); a
-        # fraction near/above 1 means the kernel is at the memory bound
-        # within that measurement precision, not faster than physics
-        "roofline_note": ("at memory bound within relay timing variance"
+        # fraction near/above 1 means the program is at the bound within
+        # that measurement precision, not faster than physics
+        "roofline_note": (f"at {rl.bound} bound within relay timing "
+                          "variance"
                           if roofline_fraction > 0.9 else None),
     }
 
@@ -425,6 +435,8 @@ def bench_kernel_paths():
         "blocked": functools.partial(
             mpqe_mod.dense_batch_loss_kernel_blocked,
             queries_per_block=qpb, chunk=512),
+        "fused_fwd": functools.partial(
+            mpqe_mod.dense_batch_loss_kernel_fused_fwd, block=2048),
     }
     rows = []
     for name, loss_fn in loss_fns.items():

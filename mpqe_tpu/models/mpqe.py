@@ -294,13 +294,21 @@ def _encode_dense_fused_bwd(cfg, structure, block, interpret, res, g):
         )
         dp, den = vjp(g)
         return dp, None, None, None, den, None
+    # anchor_rows may be the stacked [B, A, d] array or a tuple of
+    # per-slot [B, d] arrays (the kernel's zero-copy form); encode_dense
+    # takes the stacked form, so adapt both ways
+    is_seq = isinstance(anchor_rows, (tuple, list))
+    ar_in = jnp.stack(anchor_rows, axis=1) if is_seq else anchor_rows
     _, vjp = jax.vjp(
         lambda p, en, ar: encode_dense(
             p, cfg, structure, node_entity, node_mode, edge_rel, en,
             anchor_rows=ar),
-        params, edge_norm, anchor_rows,
+        params, edge_norm, ar_in,
     )
     dp, den, dar = vjp(g)
+    if is_seq:
+        dar = type(anchor_rows)(
+            dar[:, k, :] for k in range(dar.shape[1]))
     return dp, None, None, None, den, dar
 
 
@@ -812,7 +820,7 @@ def dense_batch_loss_kernel_fused_fwd(
     negatives: jax.Array,
     neg_mask: jax.Array,
     query_mask: jax.Array,
-    block: int = 512,
+    block: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """``dense_batch_loss`` with the forward routed through the fused

@@ -7,14 +7,20 @@ materializes plus per-term GEMM issue overhead.  This kernel runs the
 ENTIRE multi-layer pruned forward for a block of queries without
 leaving VMEM — and it collapses each layer to ONE MXU GEMM:
 
-* every live slot of a layer is a ``[bb, d_pad]`` operand — anchor
-  entity rows (f32 inputs) or, at layer 0, a one-hot matrix built
-  in-kernel from the slot's mode id;
+* every live anchor slot of layer 0 is a ``[bb, d_pad]`` bf16 operand
+  (anchor entity rows, cast before the DMA — the MXU reads bf16
+  operands anyway and anchor reads are the dominant HBM traffic);
+* ALL layer-0 variable slots share ONE ``[bb, d_pad]`` one-hot block,
+  built in-kernel from each slot's mode id at disjoint column offsets
+  (packing them keeps the layer-0 GEMM's contraction dim — and the
+  kernel is compute-bound at the flagship shape, so the padded-block
+  FLOPs are the cost that matters — one 128-lane block instead of one
+  per slot); if ``n_var * round_up(n_modes, 8) > d_pad`` the layout
+  falls back to one block per variable slot;
 * the layer's whole slot-to-slot linear map (self transforms, per-edge
   relation transforms with ``edge_norm`` folded in, and the tiny
   variable-mode table pre-multiplied into the one-hot columns) is
-  assembled OUTSIDE the kernel into one block-structured
-  ``[|in|*d_pad, |out|*d_pad]`` bf16 matrix;
+  assembled OUTSIDE the kernel into one block-structured bf16 matrix;
 * the kernel is then just: concat slot operands → per layer one
   ``X @ W_l`` (+ bias, ReLU between layers) → write the target block.
 
@@ -58,18 +64,43 @@ def _plan(cfg, structure: str):
     return spec, steps, plan, a_slots, v_slots
 
 
-def _layer_matrices(params, cfg, spec, steps, plan, v_slots, edge_rel,
-                    edge_norm, d_pad):
+def _var_layout(cfg, n_var: int, d_pad: int):
+    """(packed, m8): packed=True when every variable slot's one-hot fits
+    a disjoint ``m8``-wide column range of ONE d_pad-wide block."""
+    m8 = _round_up(max(cfg.n_modes, 1), 8)
+    return n_var * m8 <= d_pad, m8
+
+
+def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
+                    edge_rel, edge_norm, d_pad):
     """Per-layer block weight matrix [k_l, n_l] (bf16) + bias row [8, n_l]
     (f32), with edge_norm folded in and the variable-mode table
-    pre-multiplied into layer-0 one-hot columns.  Tiny XLA work."""
+    pre-multiplied into layer-0 one-hot columns.  Tiny XLA work.
+
+    Layer-0 row layout: one d_pad block per anchor slot (in ``a_slots``
+    order), then the packed variable block (or one block per variable
+    slot when packing does not fit).  Later layers follow the previous
+    layer's out_slots order — which is exactly that layer's GEMM output.
+    """
     from ..ops import rgcn as rgcn_ops
 
     d = cfg.embed_dim
-    var_ext = jnp.zeros((d_pad, d), jnp.float32
-                        ).at[:cfg.n_modes].set(
-                            params["emb"]["var"].astype(jnp.float32))
+    var_f32 = params["emb"]["var"].astype(jnp.float32)  # [n_modes, d]
+    packed, m8 = _var_layout(cfg, len(v_slots), d_pad)
+    n_a = len(a_slots)
+    a_idx = {s: k for k, s in enumerate(a_slots)}
+    v_idx = {s: k for k, s in enumerate(v_slots)}
     v0 = set(v_slots)
+
+    def row0(s_in):
+        """Layer-0 W row offset for slot s_in's operand block."""
+        if s_in in v0:
+            if packed:
+                return n_a * d_pad + v_idx[s_in] * m8
+            return (n_a + v_idx[s_in]) * d_pad
+        return a_idx[s_in] * d_pad
+
+    k0 = (n_a + 1 if packed else n_a + len(v_slots)) * d_pad
     Ws, biases = [], []
     for li, (in_slots, out_slots, edges) in enumerate(plan):
         lp = params["layers"][li]
@@ -78,21 +109,20 @@ def _layer_matrices(params, cfg, spec, steps, plan, v_slots, edge_rel,
         w_self = lp["w_self"].astype(jnp.float32)
         icol = {s: k for k, s in enumerate(in_slots)}
         ocol = {s: k for k, s in enumerate(out_slots)}
+        k_l = k0 if li == 0 else len(in_slots) * d_pad
 
         def put(W, s_in, s_out, w):
-            # layer-0 variable inputs are one-hot columns: their block
-            # is the transformed mode table (select-then-matmul ==
+            # layer-0 variable inputs are one-hot columns: their rows
+            # are the transformed mode table (select-then-matmul ==
             # matmul-then-select)
             if li == 0 and s_in in v0:
-                w = jnp.dot(var_ext, w, preferred_element_type=jnp.float32)
-            else:
-                w = jnp.zeros((d_pad, w.shape[1]), w.dtype
-                              ).at[:d].set(w) if d != d_pad else w
-            r, c = icol[s_in] * d_pad, ocol[s_out] * d_pad
+                w = jnp.dot(var_f32, w,
+                            preferred_element_type=jnp.float32)  # [n_modes, d]
+            r = row0(s_in) if li == 0 else icol[s_in] * d_pad
+            c = ocol[s_out] * d_pad
             return W.at[r:r + w.shape[0], c:c + d].add(w)
 
-        W = jnp.zeros((len(in_slots) * d_pad, len(out_slots) * d_pad),
-                      jnp.float32)
+        W = jnp.zeros((k_l, len(out_slots) * d_pad), jnp.float32)
         for s in out_slots:
             W = put(W, s, s, w_self)
         for j in edges:
@@ -107,8 +137,8 @@ def _layer_matrices(params, cfg, spec, steps, plan, v_slots, edge_rel,
     return Ws, biases
 
 
-def _make_kernel(steps, in0, a_set, n_a, n_v, d_pad):
-    """Kernel closure; slot order and the layer loop unroll at trace
+def _make_kernel(steps, n_a, n_v, d_pad, packed, m8):
+    """Kernel closure; slot layout and the layer loop unroll at trace
     time.  refs: a_refs..., m_refs..., W_0..W_{L-1}, b_0..b_{L-1}, out."""
     f32, bf16 = jnp.float32, jnp.bfloat16
 
@@ -120,15 +150,19 @@ def _make_kernel(steps, in0, a_set, n_a, n_v, d_pad):
         out_ref = refs[-1]
         bb = out_ref.shape[0]
 
-        pieces, ia, iv = [], 0, 0
-        for s in in0:
-            if s in a_set:
-                pieces.append(a_refs[ia][...])  # already bf16
-                ia += 1
+        pieces = [a_refs[k][...] for k in range(n_a)]  # bf16 on the wire
+        if n_v:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (bb, d_pad), 1)
+            if packed:
+                # all variable one-hots live in ONE block at disjoint
+                # column offsets k*m8 (mode ids < n_modes <= m8)
+                oh = (m_refs[0][:] == iota)
+                for k in range(1, n_v):
+                    oh = jnp.logical_or(oh, m_refs[k][:] + k * m8 == iota)
+                pieces.append(oh.astype(bf16))
             else:
-                iota = jax.lax.broadcasted_iota(jnp.int32, (bb, d_pad), 1)
-                pieces.append((m_refs[iv][:] == iota).astype(bf16))
-                iv += 1
+                for k in range(n_v):
+                    pieces.append((m_refs[k][:] == iota).astype(bf16))
         x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
         for li in range(steps):
             y = jnp.dot(x, w_refs[li][...], preferred_element_type=f32)
@@ -163,16 +197,19 @@ def fused_tgt_forward(
     """
     if cfg.readout != "tgt":
         raise ValueError("fused_tgt_forward requires readout='tgt'")
+    if cfg.dtype != jnp.float32:
+        # the XLA path casts activations to cfg.dtype between layers;
+        # the kernel keeps f32 accumulators, so only f32 configs match
+        raise ValueError("fused_tgt_forward requires cfg.dtype=float32")
     spec, steps, plan, a_slots, v_slots = _plan(cfg, structure)
     d = cfg.embed_dim
     d_pad = _round_up(d, 128)
     if cfg.n_modes > d_pad:
         raise ValueError("n_modes must fit the one-hot width (<= d_pad)")
     B = node_mode.shape[0]
-    bb = min(block, _round_up(B, 8))
+    bb = _round_up(min(block, B), 8)  # VMEM tiles are 8-row aligned
     B_pad = _round_up(B, bb)
-    in0 = plan[0][0]
-    a_set = set(a_slots)
+    packed, m8 = _var_layout(cfg, len(v_slots), d_pad)
 
     def pad_rows(x, rows):
         if x.shape[0] == rows:
@@ -186,10 +223,16 @@ def fused_tgt_forward(
 
     inputs = []
     for k, s in enumerate(a_slots):
-        col = (anchor_rows[:, k, :] if anchor_rows is not None
-               else params["emb"]["ent"][node_entity[:, s]])
+        if anchor_rows is None:
+            col = params["emb"]["ent"][node_entity[:, s]]
+        elif isinstance(anchor_rows, (tuple, list)):
+            # per-slot [B, d] arrays (zero-copy: no [B, A, d] re-slice)
+            col = anchor_rows[k]
+        else:
+            col = anchor_rows[:, k, :]
         # bf16 on the wire: the MXU reads bf16 operands anyway (cast
-        # before the DMA instead of after), and anchor reads are the
+        # before the DMA instead of after — in a single-shot encode XLA
+        # fuses the cast into the gather), and anchor reads are the
         # kernel's dominant HBM traffic
         inputs.append(pad2(pad_rows(col.astype(jnp.bfloat16), B_pad),
                            B_pad, d_pad))
@@ -197,7 +240,8 @@ def fused_tgt_forward(
         inputs.append(pad_rows(node_mode[:, s:s + 1].astype(jnp.int32),
                                B_pad))
     Ws, biases = _layer_matrices(
-        params, cfg, spec, steps, plan, v_slots, edge_rel, edge_norm, d_pad)
+        params, cfg, spec, steps, plan, a_slots, v_slots, edge_rel,
+        edge_norm, d_pad)
     inputs += Ws + biases
 
     in_specs = (
@@ -211,7 +255,7 @@ def fused_tgt_forward(
                         memory_space=pltpu.VMEM) for b in biases]
     )
     out = pl.pallas_call(
-        _make_kernel(steps, in0, a_set, len(a_slots), len(v_slots), d_pad),
+        _make_kernel(steps, len(a_slots), len(v_slots), d_pad, packed, m8),
         grid=(B_pad // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, d_pad), lambda i: (i, 0),

@@ -29,6 +29,8 @@ def loop_time(
     step_fn: Callable,
     n_small: int = 5,
     n_large: int = 55,
+    samples: int = 3,
+    log: Callable[[str], None] = lambda m: None,
 ) -> float:
     """Overhead-cancelled seconds/iteration for ``step_fn(n) -> scalar``.
 
@@ -36,15 +38,38 @@ def loop_time(
     (lax.fori_loop with a threaded data dependency) and return a scalar;
     the float() conversion here is the only reliable sync on relay
     backends.
+
+    The relay occasionally charges a one-off stall to a single call,
+    which can make t(n_small) exceed t(n_large); a floored delta once
+    reported a physically impossible 0.000 ms forward.  This takes up to
+    ``samples + 2`` paired measurements, keeps the positive deltas, and
+    returns their median — raising if every delta is non-positive so a
+    broken measurement fails loudly instead of recording garbage.
     """
     float(step_fn(2))  # compile + sync
-    t0 = time.perf_counter()
-    float(step_fn(n_small))
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(step_fn(n_large))
-    t_large = time.perf_counter() - t0
-    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+    deltas = []
+    for _ in range(samples + 2):
+        t0 = time.perf_counter()
+        float(step_fn(n_small))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(step_fn(n_large))
+        t_large = time.perf_counter() - t0
+        dt = (t_large - t_small) / (n_large - n_small)
+        if dt > 0:
+            deltas.append(dt)
+        else:
+            log(f"  timing retry: t({n_small})={t_small:.4f}s >= "
+                f"t({n_large})={t_large:.4f}s")
+        if len(deltas) >= samples:
+            break
+    if not deltas:
+        raise RuntimeError(
+            "loop_time: every overhead-cancelled delta was non-positive "
+            "(relay stalls?); refusing to report a garbage time")
+    deltas.sort()
+    log(f"  samples(ms): {['%.3f' % (d*1e3) for d in deltas]}")
+    return deltas[len(deltas) // 2]
 
 
 @contextlib.contextmanager
@@ -112,6 +137,7 @@ def mpqe_fwd_roofline(
     structure: str,
     flops_peak: float = TPU_V5E_BF16_FLOPS,
     hbm_peak: float = TPU_V5E_HBM_GBS,
+    impl: str = "xla",
 ) -> RGCNRoofline:
     """Speed-of-light for the PRODUCTION MPQE dense forward — accounts
     for the dead-slot-pruned TGT plan and the one-hot variable-slot
@@ -148,16 +174,37 @@ def mpqe_fwd_roofline(
     anchors = set(spec.anchor_slots)
     n_anchor_gathers = len([s for s in plan[0][0] if s in anchors])
     var0 = set(plan[0][0]) - anchors
-    l0_in, l0_out, l0_edges = plan[0]
-    n_var_terms = (sum(1 for s in l0_out if s in var0)
-                   + sum(1 for j in l0_edges if spec.edge_src[j] in var0))
-    flops = 2.0 * batch * d * d * (n_self + n_msgs - n_var_terms)
-    flops += 2.0 * batch * cfg.n_modes * d * n_var_terms  # one-hot matmuls
     row = batch * d * 4
-    hbm = n_anchor_gathers * row  # compulsory entity-row reads
-    hbm += batch * len(var0) * cfg.n_modes * 4  # one-hot operands
-    hbm += batch * spec.n_nodes * 2 * 4  # int32 id/mode reads
-    hbm += row  # final query vector write
+
+    if impl == "fused_fwd":
+        # ops/pallas_fused_fwd: bf16 anchor rows + int32 mode ids in,
+        # f32 target block out; FLOPs are the padded-block layer GEMMs
+        # the kernel actually issues (one per layer, zero blocks
+        # included) — at the flagship shape this bound is COMPUTE, so
+        # its fraction is not comparable to the xla model's
+        from ..ops import pallas_fused_fwd as pff
+
+        d_pad = pff._round_up(d, 128)
+        packed, _ = pff._var_layout(cfg, len(var0), d_pad)
+        k0 = (n_anchor_gathers + (1 if packed else len(var0))) * d_pad
+        flops = 0.0
+        for li, (in_slots, out_slots, _) in enumerate(plan):
+            k_l = k0 if li == 0 else len(in_slots) * d_pad
+            flops += 2.0 * batch * k_l * len(out_slots) * d_pad
+        hbm = n_anchor_gathers * batch * d_pad * 2  # bf16 anchor reads
+        hbm += batch * len(var0) * 4  # int32 mode-id reads
+        hbm += batch * d_pad * 4  # f32 target-block write
+    else:
+        l0_in, l0_out, l0_edges = plan[0]
+        n_var_terms = (sum(1 for s in l0_out if s in var0)
+                       + sum(1 for j in l0_edges
+                             if spec.edge_src[j] in var0))
+        flops = 2.0 * batch * d * d * (n_self + n_msgs - n_var_terms)
+        flops += 2.0 * batch * cfg.n_modes * d * n_var_terms  # one-hots
+        hbm = n_anchor_gathers * row  # compulsory entity-row reads
+        hbm += batch * len(var0) * cfg.n_modes * 4  # one-hot operands
+        hbm += batch * spec.n_nodes * 2 * 4  # int32 id/mode reads
+        hbm += row  # final query vector write
     return RGCNRoofline(
         flops=flops,
         hbm_bytes=hbm,

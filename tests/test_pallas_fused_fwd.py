@@ -147,3 +147,33 @@ def test_fused_fwd_composes_with_shard_map_dp(rng):
     want = enc(params, ne, nm)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fused_fwd_tuple_anchor_rows_fwd_and_grad(rng):
+    # anchor_rows may be a tuple of per-slot [B, d] arrays (zero-copy
+    # kernel feed); parity + VJP must match the stacked [B, A, d] form
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(11), cfg)
+    structure = "3-chain_inter"
+    ne, nm, er, en = _inputs(rng, structure)
+    slots = mpqe_mod.anchor_gather_slots(cfg, structure)
+    cols = tuple(params["emb"]["ent"][ne[:, s]] for s in slots)
+    stacked = jnp.stack(cols, axis=1)
+
+    got = mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, cols, 8, True)
+    want = mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, stacked, 8, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
+
+    g = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+    _, vjp_t = jax.vjp(lambda ar: mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, ar, 8, True), cols)
+    _, vjp_s = jax.vjp(lambda ar: mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, ar, 8, True), stacked)
+    (d_t,), (d_s,) = vjp_t(g), vjp_s(g)
+    for k in range(len(slots)):
+        np.testing.assert_allclose(np.asarray(d_t[k]),
+                                   np.asarray(d_s[:, k, :]),
+                                   rtol=0, atol=0)

@@ -31,22 +31,13 @@ def log(m):
 
 
 def _timed_loop(loop_fn, *args, n_small=5, n_large=255, samples=3):
-    """Median of `samples` overhead-cancelled deltas; the large iteration
-    count dilutes relay dispatch jitter (±10-50 ms under host load) that
-    a 55-iteration loop cannot separate from a sub-ms per-step signal."""
-    float(loop_fn(*args, 2))
-    dts = []
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        float(loop_fn(*args, n_small))
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop_fn(*args, n_large))
-        t_large = time.perf_counter() - t0
-        dts.append((t_large - t_small) / (n_large - n_small))
-    dts.sort()
-    log(f"  samples(ms): {['%.3f' % (d*1e3) for d in dts]}")
-    return dts[len(dts) // 2]
+    """Shared relay-safe protocol: median of positive overhead-cancelled
+    deltas (utils/profiling.loop_time) — one implementation for every
+    bench so numbers stay comparable."""
+    from mpqe_tpu.utils import profiling
+    return profiling.loop_time(
+        lambda n: loop_fn(*args, n),
+        n_small=n_small, n_large=n_large, samples=samples, log=log)
 
 
 def main(argv=None):
