@@ -248,3 +248,32 @@ def test_train_shared_negatives_cli(tmp_path):
                 "--syn_train_queries", "40", "--syn_val_queries", "10",
                 "--run_dir", str(tmp_path / "guard"),
             ] + extra)
+
+
+def test_train_bfloat16_cli(tmp_path):
+    """--dtype bfloat16 trains end-to-end with bf16 params (the 12%-
+    faster flagship-step configuration, BASELINE.md) and logs finite
+    validation metrics."""
+    import math
+
+    import jax.numpy as jnp
+
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    state = train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "200", "--val_every", "150",
+        "--batch_size", "64", "--n_neg", "4",
+        "--structures", "1-chain",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "300", "--syn_val_queries", "60",
+        "--dtype", "bfloat16",
+        "--run_dir", run_dir,
+    ])
+    assert state.step == 200
+    assert state.params["emb"]["ent"].dtype == jnp.bfloat16
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
+    vals = [json.loads(ln) for ln in lines if '"val"' in ln]
+    assert vals and all(
+        math.isfinite(v["val"]["auc_macro"]) for v in vals)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""On-chip full-ranking eval throughput: the evaluate/full_ranking
+device sweep (per-query-relation encode + [B, n_entities] score matmul)
+at the flagship shape, relay-safe timing (utils/profiling.loop_time).
+
+The host-side rank/percentile arithmetic is numpy on [B] vectors and
+overlaps the next dispatch in practice; this measures the device bound
+the eval pipeline runs against.  Each sweep materializes a
+[B, n_entities] f32 score matrix on device (4 GB at B=1024 / 1M
+entities; B=4096 does NOT fit HBM — production eval chunks at
+_effective_max_batch, 256 for this entity count).
+
+Usage: python tools/eval_bench.py [--batches 1024,4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+D = 128
+N_ENTITIES = 1_000_000
+N_MODES = 4
+N_RELS = 266
+NUM_BASES = 16
+N_LAYERS = 3
+STRUCTURE = "3-chain_inter"
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="256,1024")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+    from mpqe_tpu.utils import profiling
+
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
+        embed_dim=D, n_layers=N_LAYERS, num_bases=NUM_BASES, readout="tgt",
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    log(f"backend={jax.default_backend()}")
+
+    for B in [int(b) for b in args.batches.split(",")]:
+        ne = jnp.asarray(
+            rng.integers(0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+        nm = jnp.asarray(
+            rng.integers(0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+        er = jnp.asarray(
+            rng.integers(0, N_RELS, (B, spec.n_edges)).astype(np.int32))
+        en = jnp.asarray(np.ones((B, spec.n_edges), np.float32))
+
+        @jax.jit
+        def rank_loop(params, en0, n):
+            def body(i, carry):
+                e, acc = carry
+                q = mpqe_mod.encode_dense_multi(
+                    params, cfg, STRUCTURE, ne, nm, er, e)
+                s = mpqe_mod.score_all_entities(params, cfg, q)
+                return (e + s[0, :spec.n_edges] * 1e-20,
+                        acc + s[0, 0])
+            _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
+            return acc
+
+        log(f"compiling rank sweep (B={B}, {N_ENTITIES} entities)...")
+        dt = profiling.loop_time(lambda n: rank_loop(params, en, n),
+                                 n_large=55, log=log)
+        log(f"B={B}: {dt*1e3:.2f} ms/sweep -> "
+            f"{B/dt:.3e} ranked queries/s "
+            f"({B*N_ENTITIES/dt:.3e} scored candidates/s)")
+
+
+if __name__ == "__main__":
+    main()
