@@ -1,0 +1,141 @@
+"""Distributed full-candidate ranking over a TP-sharded entity table.
+
+The single-chip eval sweep materializes a ``[B, n_entities]`` score
+matrix (``models/mpqe.score_all_entities``) — 4 GB at B=1024 / 1M
+entities, and simply impossible once the table itself is row-sharded
+across a mesh (the config-5 / 10M-entity regime, where table + Adam
+state already exceed one chip's HBM).  This module runs the same
+ranking math under ``shard_map`` over the ``model`` axis:
+
+* each device scores the batch against ITS table rows only
+  (``[B, N/k]`` local matmul — cosine normalization is per-row, so
+  shard-local normalization is exact);
+* the true answer's score and mode are recovered from whichever shard
+  owns the target row (owned-mask + ``psum``);
+* **rank** = 1 + global count of same-mode candidates scoring strictly
+  above the true answer (``psum`` of local counts) — identical
+  semantics to ``train/evaluation.full_ranking``;
+* **top-k** = local ``lax.top_k`` per shard, ``all_gather`` of the
+  ``k`` best per shard, then a final merge top-k — the serving answer
+  path for sharded tables.
+
+The reference has no distributed anything (SURVEY.md §2.3); this is the
+TPU-native completion of its evaluation layer (mpqe/utils.py
+``eval_perc_queries`` lineage) at multi-chip scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import mesh as mesh_lib
+
+
+def _local_scores(table_l: jax.Array, q: jax.Array, scale: bool):
+    """[B, N_local] affinities against this shard's rows."""
+    if scale:
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        table_l = table_l / (
+            jnp.linalg.norm(table_l, axis=-1, keepdims=True) + 1e-12)
+    return jnp.dot(q, table_l.T, preferred_element_type=jnp.float32)
+
+
+def make_sharded_rank_fn(mesh, cfg):
+    """fn(ent_sharded, entity_mode_sharded, q, target) -> ranks [B].
+
+    ``ent`` must be row-sharded ``P(model, None)`` and ``entity_mode``
+    ``P(model)`` (pad the table to a multiple of the model-axis size
+    before sharding); ``q`` [B, d] and ``target`` [B] are replicated.
+    Candidates are restricted to the target's mode, exactly like
+    ``full_ranking`` (other true answers still count as competitors —
+    unfiltered ranking).
+    """
+    model = mesh_lib.model_axis(mesh)
+    scale = bool(cfg.scale_scores)
+
+    def body(table_l, mode_l, q, target):
+        n_l = table_l.shape[0]
+        lo = jax.lax.axis_index(model) * n_l
+        scores_l = _local_scores(table_l, q, scale)  # [B, N_l]
+
+        il = jnp.clip(target - lo, 0, n_l - 1)
+        owned = ((target >= lo) & (target < lo + n_l))
+        picked = jnp.take_along_axis(scores_l, il[:, None], axis=1)[:, 0]
+        true_s = jax.lax.psum(
+            jnp.where(owned, picked, 0.0), model)  # [B]
+        t_mode = jax.lax.psum(
+            jnp.where(owned, mode_l[il], 0), model)  # [B]
+
+        mode_ok = mode_l[None, :] == t_mode[:, None]
+        cnt_l = jnp.sum(
+            (scores_l > true_s[:, None]) & mode_ok, axis=1)
+        return 1 + jax.lax.psum(cnt_l, model)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(model, None), P(model), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_topk_fn(mesh, cfg, k: int):
+    """fn(ent_sharded, entity_mode_sharded, q, answer_mode) ->
+    (scores [B, k], entity_ids [B, k]) — the serving answer path for a
+    row-sharded table.  Candidates outside ``answer_mode`` score -inf
+    (mirrors serve.py's mode mask)."""
+    model = mesh_lib.model_axis(mesh)
+    scale = bool(cfg.scale_scores)
+
+    def body(table_l, mode_l, q, answer_mode):
+        n_l = table_l.shape[0]
+        lo = jax.lax.axis_index(model) * n_l
+        scores_l = _local_scores(table_l, q, scale)
+        mode_ok = mode_l[None, :] == answer_mode[:, None]
+        masked = jnp.where(mode_ok, scores_l, -jnp.inf)
+        kk = min(k, n_l)
+        v_l, i_l = jax.lax.top_k(masked, kk)  # [B, kk] local best
+        ids_l = i_l + lo
+        # [S, B, kk] -> per-query merge of every shard's candidates
+        v_g = jax.lax.all_gather(v_l, model)
+        i_g = jax.lax.all_gather(ids_l, model)
+        s = v_g.shape[0]
+        v_c = jnp.moveaxis(v_g, 0, 1).reshape(v_l.shape[0], s * kk)
+        i_c = jnp.moveaxis(i_g, 0, 1).reshape(v_l.shape[0], s * kk)
+        v_top, sel = jax.lax.top_k(v_c, k)
+        return v_top, jnp.take_along_axis(i_c, sel, axis=1)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(model, None), P(model), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_table(mesh, ent: jax.Array, entity_mode: jax.Array,
+                pad_mode: int = -1) -> Tuple[jax.Array, jax.Array, int]:
+    """Row-shard (padded) copies of the table + mode vector onto the
+    model axis; returns (ent_sharded, mode_sharded, n_padded).  Pad rows
+    get mode ``pad_mode`` (matching no real mode) so they can never
+    enter a rank count or a top-k."""
+    model = mesh_lib.model_axis(mesh)
+    s = mesh.shape[model]
+    n = ent.shape[0]
+    n_pad = -(-n // s) * s
+    if n_pad != n:
+        ent = jnp.concatenate(
+            [ent, jnp.zeros((n_pad - n, ent.shape[1]), ent.dtype)])
+        entity_mode = jnp.concatenate(
+            [entity_mode,
+             jnp.full((n_pad - n,), pad_mode, entity_mode.dtype)])
+    ent_s = jax.device_put(ent, NamedSharding(mesh, P(model, None)))
+    mode_s = jax.device_put(entity_mode, NamedSharding(mesh, P(model)))
+    return ent_s, mode_s, n_pad
