@@ -77,6 +77,40 @@ def bench_mesh(n_dev, n_nodes, n_e, n_rels, d, num_bases, layer="allgather"):
     return {"devices": n_dev, "seconds_per_layer": dt, "edges_per_s": n_e / dt}
 
 
+def bench_rank_mesh(n_dev, n_entities, batch, d):
+    """Sharded full-ranking sweep (parallel/rank_shard) across a
+    model-axis mesh: ranked queries/s.  The per-device score matrix is
+    [B, N/n_dev], so the sweep SCALES table capacity with the mesh —
+    the pod-slice eval configuration for tables that exceed one chip."""
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.parallel import rank_shard
+
+    rng = np.random.default_rng(0)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=n_entities, n_modes=4, n_rels=8, embed_dim=d,
+        n_layers=1, readout="tgt")
+    mesh = mesh_lib.make_mesh((1, n_dev), devices=jax.devices()[:n_dev])
+    ent = jnp.asarray(rng.normal(size=(n_entities, d)).astype(np.float32))
+    mode = jnp.asarray(rng.integers(0, 4, n_entities).astype(np.int32))
+    ent_s, mode_s, _ = rank_shard.shard_table(mesh, ent, mode)
+    q = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, n_entities, batch).astype(np.int32))
+    fn = rank_shard.make_sharded_rank_fn(mesh, cfg)
+
+    @jax.jit
+    def loop(q0, n):
+        def body(i, carry):
+            qq, acc = carry
+            r = fn(ent_s, mode_s, qq, tgt)
+            return qq + r[:1].astype(qq.dtype) * 1e-20, acc + r[0]
+        _, acc = jax.lax.fori_loop(0, n, body, (q0, jnp.int32(0)))
+        return acc
+
+    dt = profiling.loop_time(lambda n: loop(q, n))
+    return {"devices": n_dev, "seconds_per_sweep": dt,
+            "ranked_queries_per_s": batch / dt}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=None)
@@ -86,6 +120,11 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--num_bases", type=int, default=16)
     ap.add_argument("--layer", default="allgather", choices=["allgather", "ring"])
+    ap.add_argument("--phase", default="layer", choices=["layer", "rank"],
+                    help="layer = halo R-GCN scaling; rank = sharded "
+                         "full-ranking eval scaling (rank_shard)")
+    ap.add_argument("--rank_entities", type=int, default=100_000)
+    ap.add_argument("--rank_batch", type=int, default=256)
     args = ap.parse_args()
 
     n_avail = len(jax.devices())
@@ -94,23 +133,37 @@ def main():
     )
     results = []
     for n_dev in sizes:
-        r = bench_mesh(
-            n_dev, args.nodes, args.edges, args.n_rels, args.d,
-            args.num_bases, layer=args.layer,
-        )
+        if args.phase == "rank":
+            r = bench_rank_mesh(
+                n_dev, args.rank_entities, args.rank_batch, args.d)
+        else:
+            r = bench_mesh(
+                n_dev, args.nodes, args.edges, args.n_rels, args.d,
+                args.num_bases, layer=args.layer,
+            )
         results.append(r)
         print(json.dumps(r), flush=True)
     base = results[0]
-    summary = {
-        "metric": "halo_rgcn_scaling_efficiency",
-        "sizes": [r["devices"] for r in results],
-        "edges_per_s": [r["edges_per_s"] for r in results],
-        "efficiency": [
-            r["edges_per_s"] / (base["edges_per_s"] * r["devices"] / base["devices"])
-            for r in results
-        ],
-        "backend": jax.default_backend(),
-    }
+    if args.phase == "rank":
+        summary = {
+            "metric": "sharded_rank_scaling",
+            "sizes": [r["devices"] for r in results],
+            "ranked_queries_per_s": [
+                r["ranked_queries_per_s"] for r in results],
+            "backend": jax.default_backend(),
+        }
+    else:
+        summary = {
+            "metric": "halo_rgcn_scaling_efficiency",
+            "sizes": [r["devices"] for r in results],
+            "edges_per_s": [r["edges_per_s"] for r in results],
+            "efficiency": [
+                r["edges_per_s"]
+                / (base["edges_per_s"] * r["devices"] / base["devices"])
+                for r in results
+            ],
+            "backend": jax.default_backend(),
+        }
     print(json.dumps(summary))
 
 
