@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--edge_bank", type=int, default=4_000_000,
                     help="directed edges device-resident for 1-chain")
     ap.add_argument("--structure", default="3-chain_inter")
+    ap.add_argument("--model", default="rgcn", choices=["rgcn", "gqe"],
+                    help="rgcn = MPQE; gqe = the bilinear+deepsets "
+                         "baseline under the identical protocol/banks")
     ap.add_argument("--batch_size", type=int, default=65_536)
     ap.add_argument("--n_neg", type=int, default=4)
     ap.add_argument("--n_neg_eval", type=int, default=64)
@@ -122,12 +125,22 @@ def main():
     from mpqe_tpu.train.evaluation import _apr_percentiles
 
     spec = STRUCTURES[args.structure]
-    cfg = mpqe_mod.MPQEConfig(
-        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
-        embed_dim=args.dim, n_layers=args.layers, num_bases=args.bases,
-        readout="tgt",
-    )
-    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(args.seed), cfg)
+    if args.model == "gqe":
+        from mpqe_tpu.models import gqe as gqe_mod
+
+        cfg = gqe_mod.GQEConfig(
+            n_entities=kg.n_entities, n_modes=kg.n_modes,
+            n_rels=kg.n_rels, embed_dim=args.dim,
+            decoder="bilinear", intersection="deepsets",
+        )
+        params = gqe_mod.init_gqe(jax.random.PRNGKey(args.seed), cfg)
+    else:
+        cfg = mpqe_mod.MPQEConfig(
+            n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+            embed_dim=args.dim, n_layers=args.layers, num_bases=args.bases,
+            readout="tgt",
+        )
+        params = mpqe_mod.init_mpqe(jax.random.PRNGKey(args.seed), cfg)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
@@ -150,25 +163,32 @@ def main():
     N_q = int(bank["ents"].shape[0])
     N_e = int(ebank["src"].shape[0])
 
-    def _margin(p, q, tgt, neg):  # all-real masks, built in-graph
-        return mpqe_mod.margin_loss_from_queries(
-            p, cfg, q, tgt, neg,
-            jnp.ones(neg.shape, jnp.float32),
-            jnp.ones(tgt.shape, jnp.float32))
+    # model-agnostic (pos [B], neg [B, K]) scores — both models train
+    # and evaluate through the identical protocol/banks
+    if args.model == "gqe":
+        def pos_neg(p, structure, ne, nm, er, tgt, neg):
+            return gqe_mod.score_pos_neg(p, cfg, structure, ne, er,
+                                         tgt, neg)
+    else:
+        def pos_neg(p, structure, ne, nm, er, tgt, neg):
+            en = jnp.ones(er.shape, jnp.float32)
+            q = mpqe_mod.encode_dense_multi(p, cfg, structure,
+                                            ne, nm, er, en)
+            ent = p["emb"]["ent"]
+            return (mpqe_mod.score(cfg, q, ent[tgt]),
+                    mpqe_mod.score(cfg, q[:, None, :], ent[neg]))
+
+    def _margin_pn(pos, neg):  # all-real masks
+        return jnp.mean(jax.nn.relu(cfg.margin - pos[:, None] + neg))
 
     def multi_loss(p, ne, nm, er, tgt, neg):
-        en = jnp.ones(er.shape, jnp.float32)
-        q = mpqe_mod.encode_dense_multi(p, cfg, args.structure,
-                                        ne, nm, er, en)
-        return _margin(p, q, tgt, neg)
+        return _margin_pn(*pos_neg(p, args.structure, ne, nm, er,
+                                   tgt, neg))
 
     def chain_loss(p, emode, anchor, r, tgt, neg):
         ne = jnp.stack([anchor, tgt], axis=1)
-        nm = emode[ne]
-        er = r[:, None]
-        en = jnp.ones((anchor.shape[0], 1), jnp.float32)
-        q = mpqe_mod.encode_dense_multi(p, cfg, "1-chain", ne, nm, er, en)
-        return _margin(p, q, tgt, neg)
+        return _margin_pn(*pos_neg(p, "1-chain", ne, emode[ne],
+                                   r[:, None], tgt, neg))
 
     # the banks are ARGUMENTS of the jitted phase functions, never
     # closures — closure-captured jnp arrays become HLO constants, which
@@ -233,13 +253,7 @@ def main():
     # ---- held-out eval ---------------------------------------------
     @jax.jit
     def eval_chunk(p, ne, nm, er, tgt, neg):
-        en = jnp.ones(er.shape, jnp.float32)
-        q = mpqe_mod.encode_dense_multi(p, cfg, args.structure,
-                                        ne, nm, er, en)
-        ent = p["emb"]["ent"]
-        pos_s = mpqe_mod.score(cfg, q, ent[tgt])
-        neg_s = mpqe_mod.score(cfg, q[:, None, :], ent[neg])
-        return pos_s, neg_s
+        return pos_neg(p, args.structure, ne, nm, er, tgt, neg)
 
     n_v = va["entities"].shape[0]
     pos_all = np.zeros(n_v, np.float32)
@@ -267,7 +281,8 @@ def main():
     from mpqe_tpu.train.evaluation import roc_auc
     auc = float(roc_auc(pos_all, neg_all))
     print(json.dumps({
-        "phase": "result", "structure": args.structure,
+        "phase": "result", "model": args.model,
+        "structure": args.structure,
         "entities": kg.n_entities, "directed_edges": int(2 * kg.n_triples),
         "train_queries": N_q, "val_heldout": n_v,
         "steps": args.steps, "burn_in_steps": args.burn_in_steps,
