@@ -50,16 +50,25 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+BROKEN_TIMINGS: list = []
+
+
 def _timed_loop(loop_fn, *args, n_small=N_SMALL, n_large=N_LARGE,
                 samples=3):
     """Overhead-cancelled per-iteration seconds for loop_fn(*args, n) —
-    median of positive deltas via utils/profiling.loop_time, which
-    raises (instead of flooring) if the relay makes every delta
-    non-positive, so a broken measurement can't become the headline."""
+    median of positive deltas via utils/profiling.loop_time.  If the
+    relay makes EVERY delta non-positive, return NaN and record the
+    failure (bench.py must still print its one JSON line for the driver;
+    a NaN value is an honest 'unmeasurable', a floored value is not)."""
     from mpqe_tpu.utils import profiling
-    return profiling.loop_time(
-        lambda n: loop_fn(*args, n),
-        n_small=n_small, n_large=n_large, samples=samples, log=log)
+    try:
+        return profiling.loop_time(
+            lambda n: loop_fn(*args, n),
+            n_small=n_small, n_large=n_large, samples=samples, log=log)
+    except RuntimeError as e:
+        log(f"  timing BROKEN: {e}")
+        BROKEN_TIMINGS.append(str(e))
+        return float("nan")
 
 
 def bench_jax():
@@ -149,13 +158,15 @@ def bench_jax():
                                    n_large=255)
         log(f"fwd (fused kernel): {fwd_dt_fused*1e3:.3f} ms")
 
-    fwd_dt = fwd_dt_fused if fwd_dt_fused is not None else fwd_dt_xla
+    import math
+    fused_ok = fwd_dt_fused is not None and not math.isnan(fwd_dt_fused)
+    fwd_dt = fwd_dt_fused if fused_ok else fwd_dt_xla
     fwd_edges_s = edge_msgs_per_fwd / fwd_dt
     from mpqe_tpu.utils import profiling
     # roofline bound for the program actually benched (the fused kernel
     # reads bf16 anchors + int32 mode ids and pays padded-block GEMM
     # FLOPs; the XLA path reads f32 rows + one-hot operands)
-    impl = "fused_fwd" if fwd_dt_fused is not None else "xla"
+    impl = "fused_fwd" if fused_ok else "xla"
     rl = profiling.mpqe_fwd_roofline(B, cfg, STRUCTURE, impl=impl)
     roofline_fraction = rl.min_seconds / fwd_dt
     log(f"fwd: {fwd_dt*1e3:.3f} ms -> {fwd_edges_s:.3e} edge-msgs/s "
@@ -195,8 +206,7 @@ def bench_jax():
         "backend": jax.default_backend(),
         "fwd_seconds": fwd_dt,
         "fwd_seconds_xla": fwd_dt_xla,
-        "fwd_impl": "pallas_fused_fwd" if fwd_dt_fused is not None
-                    else "xla_dense",
+        "fwd_impl": "pallas_fused_fwd" if fused_ok else "xla_dense",
         "fwd_edges_per_s": fwd_edges_s,
         "train_step_seconds": step_dt,
         "train_queries_per_s": queries_s,
@@ -597,6 +607,8 @@ def main():
         extra["shared_neg_variant"] = bench_shared_negatives()
     if os.environ.get("MPQE_BENCH_KERNELS"):
         extra["kernel_paths"] = bench_kernel_paths()
+    if BROKEN_TIMINGS:
+        extra["broken_timings"] = BROKEN_TIMINGS
     record = {
         "metric": "rgcn_fwd_edges_per_s_chip",
         "value": jx["fwd_edges_per_s"],

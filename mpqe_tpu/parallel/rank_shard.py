@@ -17,7 +17,9 @@ ranking math under ``shard_map`` over the ``model`` axis:
   semantics to ``train/evaluation.full_ranking``;
 * **top-k** = local ``lax.top_k`` per shard, ``all_gather`` of the
   ``k`` best per shard, then a final merge top-k — the serving answer
-  path for sharded tables.
+  path for sharded tables.  When a mode has fewer than ``k`` candidates
+  the tail entries come back as ``(-inf, id=-1)`` — never a real-looking
+  wrong-mode or pad row.
 
 The reference has no distributed anything (SURVEY.md §2.3); this is the
 TPU-native completion of its evaluation layer (mpqe/utils.py
@@ -109,7 +111,11 @@ def make_sharded_topk_fn(mesh, cfg, k: int):
         v_c = jnp.moveaxis(v_g, 0, 1).reshape(v_l.shape[0], s * kk)
         i_c = jnp.moveaxis(i_g, 0, 1).reshape(v_l.shape[0], s * kk)
         v_top, sel = jax.lax.top_k(v_c, k)
-        return v_top, jnp.take_along_axis(i_c, sel, axis=1)
+        ids_top = jnp.take_along_axis(i_c, sel, axis=1)
+        # fewer than k candidates of the requested mode -> the tail is
+        # -inf-scored filler; return id -1 there so callers can't
+        # mistake a filler (or pad) row for an answer
+        return v_top, jnp.where(jnp.isfinite(v_top), ids_top, -1)
 
     fn = shard_map(
         body, mesh=mesh,
@@ -125,7 +131,8 @@ def shard_table(mesh, ent: jax.Array, entity_mode: jax.Array,
     """Row-shard (padded) copies of the table + mode vector onto the
     model axis; returns (ent_sharded, mode_sharded, n_padded).  Pad rows
     get mode ``pad_mode`` (matching no real mode) so they can never
-    enter a rank count or a top-k."""
+    enter a rank count, and can only appear in a top-k as the
+    explicitly-marked ``(-inf, -1)`` filler tail."""
     model = mesh_lib.model_axis(mesh)
     s = mesh.shape[model]
     n = ent.shape[0]

@@ -112,3 +112,22 @@ def test_sharded_rank_batch_with_model_encoder(mesh18, setup):
     got = np.asarray(fn(ent_s, mode_s, q, target))
     want = _dense_rank(cfg, params, entity_mode, q, target)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_topk_scarce_mode_returns_sentinel_ids(mesh18, setup):
+    # a mode with fewer than k candidates must yield (-inf, -1) filler,
+    # never a real-looking wrong-mode or pad-row id
+    cfg, params, entity_mode, q, _ = setup
+    em = np.asarray(entity_mode).copy()
+    em[:] = 0
+    em[:2] = 1  # exactly two entities of mode 1
+    ent_s, mode_s, _ = rank_shard.shard_table(
+        mesh18, params["emb"]["ent"], jnp.asarray(em))
+    k = 5
+    fn = rank_shard.make_sharded_topk_fn(mesh18, cfg, k)
+    answer_mode = jnp.ones((q.shape[0],), jnp.int32)
+    v, ids = fn(ent_s, mode_s, q, answer_mode)
+    v, ids = np.asarray(v), np.asarray(ids)
+    assert np.isfinite(v[:, :2]).all() and set(ids[:, :2].flat) <= {0, 1}
+    assert (~np.isfinite(v[:, 2:])).all()
+    assert (ids[:, 2:] == -1).all()

@@ -97,8 +97,13 @@ def bench_rank_mesh(n_dev, n_entities, batch, d):
     tgt = jnp.asarray(rng.integers(0, n_entities, batch).astype(np.int32))
     fn = rank_shard.make_sharded_rank_fn(mesh, cfg)
 
+    # the sharded table rides as an ARGUMENT: a closure capture would
+    # bake it into the executable as a replicated HLO constant —
+    # overflowing the relay compile request at the >1-chip table sizes
+    # this benchmark exists for, and defeating the row-sharding it
+    # measures (CLAUDE.md closure-capture rule)
     @jax.jit
-    def loop(q0, n):
+    def loop(ent_s, mode_s, tgt, q0, n):
         def body(i, carry):
             qq, acc = carry
             r = fn(ent_s, mode_s, qq, tgt)
@@ -106,7 +111,7 @@ def bench_rank_mesh(n_dev, n_entities, batch, d):
         _, acc = jax.lax.fori_loop(0, n, body, (q0, jnp.int32(0)))
         return acc
 
-    dt = profiling.loop_time(lambda n: loop(q, n))
+    dt = profiling.loop_time(lambda n: loop(ent_s, mode_s, tgt, q, n))
     return {"devices": n_dev, "seconds_per_sweep": dt,
             "ranked_queries_per_s": batch / dt}
 

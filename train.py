@@ -204,6 +204,11 @@ def main(argv=None):
                 raise SystemExit("--kernel blocked requires --num_bases")
             if args.kernel == "fused_fwd" and args.readout != "tgt":
                 raise SystemExit("--kernel fused_fwd requires --readout tgt")
+            if args.kernel == "fused_fwd" and args.dtype != "float32":
+                raise SystemExit(
+                    "--kernel fused_fwd requires --dtype float32 (the "
+                    "kernel keeps f32 accumulators; the XLA path casts "
+                    "activations to cfg.dtype between layers)")
             on_cpu = jax.default_backend() == "cpu"
             kernel_losses = {
                 "fused": mpqe_mod.dense_batch_loss_kernel_fused,
