@@ -439,28 +439,52 @@ def evaluate(
     return EvalResult(auc_s, apr_s, hard_s)
 
 
+def _rank_all_impl(params, cfg, structure, ne, nm, er, en, nbr=None):
+    """[B, n_entities] scoring sweep; dispatches per config type like
+    _score_batch_fn (SoftAnd GQE ranks by conjunct-min scores)."""
+    if isinstance(cfg, mpqe_mod.MPQEConfig):
+        q = mpqe_mod.encode_dense_multi(
+            params, cfg, structure, ne, nm, er, en)
+        return mpqe_mod.score_all_entities(params, cfg, q)
+    from mpqe_tpu.models import gqe as gqe_mod
+
+    m_cfg = gqe_mod._score_cfg(cfg)
+    if cfg.soft_and:
+        branches = gqe_mod.branch_vectors(
+            params, cfg, structure, ne, er, nbr)
+        return jnp.min(jnp.stack(
+            [mpqe_mod.score_all_entities(params, m_cfg, b)
+             for b in branches], 0), axis=0)
+    q = gqe_mod.encode_dense_multi(
+        params, cfg, structure, ne, nm, er, en, nbr)
+    return mpqe_mod.score_all_entities(params, m_cfg, q)
+
+
 @functools.lru_cache(maxsize=None)
 def _rank_all_fn():
-    """Jitted [B, n_entities] scoring sweep; dispatches per config type
-    like _score_batch_fn (SoftAnd GQE ranks by conjunct-min scores)."""
+    """Jitted [B, n_entities] scoring sweep (see _rank_all_impl)."""
+    return jax.jit(_rank_all_impl, static_argnums=(1, 2))
 
-    def f(params, cfg, structure, ne, nm, er, en, nbr=None):
-        if isinstance(cfg, mpqe_mod.MPQEConfig):
-            q = mpqe_mod.encode_dense_multi(
-                params, cfg, structure, ne, nm, er, en)
-            return mpqe_mod.score_all_entities(params, cfg, q)
-        from mpqe_tpu.models import gqe as gqe_mod
 
-        m_cfg = gqe_mod._score_cfg(cfg)
-        if cfg.soft_and:
-            branches = gqe_mod.branch_vectors(
-                params, cfg, structure, ne, er, nbr)
-            return jnp.min(jnp.stack(
-                [mpqe_mod.score_all_entities(params, m_cfg, b)
-                 for b in branches], 0), axis=0)
-        q = gqe_mod.encode_dense_multi(
-            params, cfg, structure, ne, nm, er, en, nbr)
-        return mpqe_mod.score_all_entities(params, m_cfg, q)
+@functools.lru_cache(maxsize=None)
+def _rank_counts_fn():
+    """Jitted device-side rank: encode + score sweep + same-mode count
+    above the true answer — only a ``[B]`` int vector leaves the device
+    (the score matrix itself is 4 GB at B=1024 / 1M entities; shipping
+    it to the host dominated eval wall time on the relay backend).
+    Semantics identical to the numpy formulation it replaced:
+    rank = 1 + #(same-mode candidates scoring strictly above)."""
+
+    def f(params, cfg, structure, ne, nm, er, en, target, emode,
+          nbr=None):
+        scores = _rank_all_impl(params, cfg, structure, ne, nm, er, en,
+                                nbr)
+        t_mode = emode[target]
+        mode_ok = emode[None, :] == t_mode[:, None]
+        true_s = jnp.take_along_axis(
+            scores, target[:, None], axis=1)[:, 0]
+        above = (scores > true_s[:, None]) & mode_ok
+        return 1 + jnp.sum(above, axis=1)
 
     return jax.jit(f, static_argnums=(1, 2))
 
@@ -486,8 +510,12 @@ def full_ranking(
     entity_mode = np.asarray(entity_mode)
     es = make_eval_set(queries_by_structure, max_queries_per_formula,
                        require_negatives=False)
-    fn = _rank_all_fn()
-    # each chunk materializes a [B, n_entities] score matrix on device
+    fn = _rank_counts_fn()
+    emode_dev = jnp.asarray(entity_mode.astype(np.int32))
+    # each chunk materializes a [B, n_entities] score matrix on device;
+    # only the [B] rank vector comes back (the matrix itself is 4 GB at
+    # B=1024 / 1M entities — shipping it to the host dominated eval wall
+    # time, especially over the relay)
     max_batch = _effective_max_batch(cfg, max_batch, cfg.n_entities)
     out: Dict[str, Dict[str, float]] = {}
     for structure, data in es.by_structure.items():
@@ -496,19 +524,17 @@ def full_ranking(
         for lo in range(0, n_q, max_batch):
             hi = min(lo + max_batch, n_q)
             B = bucket_size(hi - lo)
-            scores = np.asarray(fn(
+            r = np.asarray(fn(
                 params, cfg, structure,
                 _pad_chunk(data["node_entity"], lo, hi, B),
                 _pad_chunk(data["node_mode"], lo, hi, B),
                 _pad_chunk(data["edge_rel"], lo, hi, B),
                 _pad_chunk(data["edge_norm"], lo, hi, B, 1),
+                _pad_chunk(data["target"][:, None], lo, hi, B)[:, 0],
+                emode_dev,
                 neighbor_table,
-            ))[: hi - lo]
-            tgt = data["target"][lo:hi]
-            mode_ok = entity_mode[None, :] == entity_mode[tgt][:, None]
-            scores = np.where(mode_ok, scores, -np.inf)
-            true_s = scores[np.arange(hi - lo), tgt]
-            ranks[lo:hi] = 1 + (scores > true_s[:, None]).sum(axis=1)
+            ))
+            ranks[lo:hi] = r[: hi - lo]
         if n_q:
             m: Dict[str, float] = {
                 "mrr": float(np.mean(1.0 / ranks)),
