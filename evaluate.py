@@ -25,6 +25,9 @@ from train import load_data, parse_args as train_parse_args
 
 
 def main(argv=None):
+    from mpqe_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()  # see mpqe_tpu/utils/platform.py
     p = argparse.ArgumentParser()
     p.add_argument("--run_dir", required=True)
     p.add_argument("--ckpt", default=None, help="defaults to latest in run_dir/ckpt")

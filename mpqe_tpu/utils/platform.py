@@ -1,0 +1,33 @@
+"""In-process platform pinning for CLI entrypoints.
+
+The image's sitecustomize registers the axon TPU PJRT plugin and
+monkeypatches ``jax.get_backend`` so the axon backend is initialized
+even when ``JAX_PLATFORMS`` selects another platform — and that init
+BLOCKS indefinitely when the TPU relay is unreachable (observed during
+a round-3 relay outage: ``JAX_PLATFORMS=cpu train.py`` subprocesses
+hung inside ``_axon_get_backend_uncached``).  The documented escape
+hatch (CLAUDE.md) is ``jax.config.update("jax_platforms", ...)``, which
+the monkeypatch honors; this helper applies it in-process whenever the
+env var asks for a non-axon platform, so subprocess-launched CLIs
+(tests, tools/resilient_train.py supervision) behave the same as
+in-process callers that already pin via jax.config.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def pin_platform_from_env() -> None:
+    """Honor a non-axon ``JAX_PLATFORMS`` env var in-process.
+
+    No-op when the var is unset/empty or includes axon (the normal TPU
+    path).  Call at the top of ``main()`` in every CLI entrypoint,
+    before the first jax dispatch.
+    """
+    plats = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not plats or "axon" in plats:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", plats)

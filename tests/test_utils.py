@@ -24,14 +24,19 @@ def test_roofline_sanity():
 
 
 def test_loop_time_monotonic_workload():
-    # a trivially cheap device loop: timing must come out positive & small
+    # per-iteration work must dominate host dispatch noise on a loaded
+    # CPU (an 8x8 loop body was below noise and flaked); a 256x256
+    # matmul chain over a wide n gap gives a robustly positive delta
     @jax.jit
     def step(n):
-        def body(i, acc):
-            return acc + jnp.sum(jnp.ones((8, 8)) * i)
-        return jax.lax.fori_loop(0, n, body, 0.0)
+        x = jnp.ones((256, 256))
 
-    dt = profiling.loop_time(step, n_small=3, n_large=23)
+        def body(i, acc):
+            return acc @ x + 1.0
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    dt = profiling.loop_time(step, n_small=2, n_large=202)
     assert 0 < dt < 1.0
 
 
@@ -73,3 +78,29 @@ def test_step_timer():
             pass
     s = t.summary()
     assert s["steps"] == 5 and s["p95_s"] >= 0
+
+
+def test_pin_platform_from_env(monkeypatch):
+    # cpu (or any non-axon list) is pinned in-process; axon/empty are
+    # no-ops — sitecustomize's axon monkeypatch otherwise initializes
+    # the TPU backend even under JAX_PLATFORMS=cpu, and that init hangs
+    # when the relay is down (mpqe_tpu/utils/platform.py)
+    import jax
+
+    from mpqe_tpu.utils.platform import pin_platform_from_env
+
+    calls = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: calls.append((k, v)))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    pin_platform_from_env()
+    assert calls == [("jax_platforms", "cpu")]
+
+    calls.clear()
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    pin_platform_from_env()
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    pin_platform_from_env()
+    monkeypatch.delenv("JAX_PLATFORMS")
+    pin_platform_from_env()
+    assert calls == []

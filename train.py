@@ -175,6 +175,12 @@ def load_data(args):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS=cpu in-process: sitecustomize's axon patch
+    # otherwise initializes the TPU backend anyway (and blocks if the
+    # relay is down) — see mpqe_tpu/utils/platform.py
+    from mpqe_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     args = parse_args(argv)
     run_dir = args.run_dir or os.path.join(
         "runs", time.strftime("%Y%m%d-%H%M%S")
