@@ -466,27 +466,27 @@ def _rank_all_fn():
     return jax.jit(_rank_all_impl, static_argnums=(1, 2))
 
 
+def _rank_counts_impl(params, cfg, structure, ne, nm, er, en, target,
+                      emode, nbr=None):
+    """Device-side rank: encode + score sweep + same-mode count above
+    the true answer — only a ``[B]`` int vector leaves the device (the
+    score matrix itself is 4 GB at B=1024 / 1M entities; shipping it to
+    the host dominated eval wall time on the relay backend).  Semantics
+    identical to the numpy formulation it replaced:
+    rank = 1 + #(same-mode candidates scoring strictly above)."""
+    scores = _rank_all_impl(params, cfg, structure, ne, nm, er, en, nbr)
+    t_mode = emode[target]
+    mode_ok = emode[None, :] == t_mode[:, None]
+    true_s = jnp.take_along_axis(scores, target[:, None], axis=1)[:, 0]
+    above = (scores > true_s[:, None]) & mode_ok
+    return 1 + jnp.sum(above, axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _rank_counts_fn():
-    """Jitted device-side rank: encode + score sweep + same-mode count
-    above the true answer — only a ``[B]`` int vector leaves the device
-    (the score matrix itself is 4 GB at B=1024 / 1M entities; shipping
-    it to the host dominated eval wall time on the relay backend).
-    Semantics identical to the numpy formulation it replaced:
-    rank = 1 + #(same-mode candidates scoring strictly above)."""
-
-    def f(params, cfg, structure, ne, nm, er, en, target, emode,
-          nbr=None):
-        scores = _rank_all_impl(params, cfg, structure, ne, nm, er, en,
-                                nbr)
-        t_mode = emode[target]
-        mode_ok = emode[None, :] == t_mode[:, None]
-        true_s = jnp.take_along_axis(
-            scores, target[:, None], axis=1)[:, 0]
-        above = (scores > true_s[:, None]) & mode_ok
-        return 1 + jnp.sum(above, axis=1)
-
-    return jax.jit(f, static_argnums=(1, 2))
+    """Jitted :func:`_rank_counts_impl` (tools/eval_bench.py times the
+    same impl inside its fori_loop sweep)."""
+    return jax.jit(_rank_counts_impl, static_argnums=(1, 2))
 
 
 def full_ranking(

@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""On-chip full-ranking eval throughput: the evaluate/full_ranking
-device sweep (per-query-relation encode + [B, n_entities] score matmul)
-at the flagship shape, relay-safe timing (utils/profiling.loop_time).
+"""On-chip full-ranking eval throughput: the PRODUCTION full_ranking
+device program (`evaluation._rank_counts_impl`: per-query-relation
+encode + [B, n_entities] score matmul + same-mode rank count) at the
+flagship shape, relay-safe timing (utils/profiling.loop_time).
 
-The host-side rank/percentile arithmetic is numpy on [B] vectors and
-overlaps the next dispatch in practice; this measures the device bound
-the eval pipeline runs against.  Each sweep materializes a
-[B, n_entities] f32 score matrix on device (4 GB at B=1024 / 1M
-entities; B=4096 does NOT fit HBM — production eval chunks at
-_effective_max_batch, 256 for this entity count).
+Only the [B] rank vector leaves the device; the remaining host-side
+MRR/Hits arithmetic is numpy on [B] ints and overlaps the next dispatch
+in practice, so this is the device bound the eval pipeline runs
+against.  Each sweep materializes a [B, n_entities] f32 score matrix on
+device (4 GB at B=1024 / 1M entities; B=4096 does NOT fit HBM — which
+is why production eval chunks at _effective_max_batch, 256 for this
+entity count).
 
 Usage: python tools/eval_bench.py [--batches 1024,4096]
 """
@@ -64,15 +66,25 @@ def main(argv=None):
             rng.integers(0, N_RELS, (B, spec.n_edges)).astype(np.int32))
         en = jnp.asarray(np.ones((B, spec.n_edges), np.float32))
 
+        tgt = jnp.asarray(
+            rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+        emode = jnp.asarray(
+            rng.integers(0, N_MODES, (N_ENTITIES,)).astype(np.int32))
+
+        # the PRODUCTION device program (evaluation._rank_counts_impl,
+        # exactly what full_ranking dispatches): encode + score sweep +
+        # same-mode count above the true answer — only [B] ranks leave
+        # the device
+        from mpqe_tpu.train import evaluation as ev
+
         @jax.jit
         def rank_loop(params, en0, n):
             def body(i, carry):
                 e, acc = carry
-                q = mpqe_mod.encode_dense_multi(
-                    params, cfg, STRUCTURE, ne, nm, er, e)
-                s = mpqe_mod.score_all_entities(params, cfg, q)
-                return (e + s[0, :spec.n_edges] * 1e-20,
-                        acc + s[0, 0])
+                r = ev._rank_counts_impl(
+                    params, cfg, STRUCTURE, ne, nm, er, e, tgt, emode)
+                return (e + r[:1].astype(e.dtype) * 1e-20,
+                        acc + r[0].astype(jnp.float32))
             _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
             return acc
 
