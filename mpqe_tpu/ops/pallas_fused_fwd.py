@@ -137,21 +137,29 @@ def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
     return Ws, biases
 
 
-def _make_kernel(steps, n_a, n_v, d_pad, packed, m8):
+def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False):
     """Kernel closure; slot layout and the layer loop unroll at trace
-    time.  refs: a_refs..., m_refs..., W_0..W_{L-1}, b_0..b_{L-1}, out."""
+    time.  refs: a_refs..., m_refs..., W_0..W_{L-1}, b_0..b_{L-1}, out.
+    With ``oh_operand`` the packed variable one-hot block arrives as ONE
+    prebuilt [bb, d_pad] bf16 ref (built by XLA outside) instead of n_v
+    id columns expanded in-kernel — trades ~n_v VPU passes over
+    [bb, d_pad] on the kernel's critical path for one extra bf16 operand
+    DMA that the grid pipeline overlaps with compute."""
     f32, bf16 = jnp.float32, jnp.bfloat16
+    n_m = 1 if (oh_operand and n_v) else n_v
 
     def kernel(*refs):
         a_refs = refs[:n_a]
-        m_refs = refs[n_a:n_a + n_v]
-        w_refs = refs[n_a + n_v:n_a + n_v + steps]
-        b_refs = refs[n_a + n_v + steps:n_a + n_v + 2 * steps]
+        m_refs = refs[n_a:n_a + n_m]
+        w_refs = refs[n_a + n_m:n_a + n_m + steps]
+        b_refs = refs[n_a + n_m + steps:n_a + n_m + 2 * steps]
         out_ref = refs[-1]
         bb = out_ref.shape[0]
 
         pieces = [a_refs[k][...] for k in range(n_a)]  # bf16 on the wire
-        if n_v:
+        if n_v and oh_operand:
+            pieces.append(m_refs[0][...])  # prebuilt packed one-hot
+        elif n_v:
             iota = jax.lax.broadcasted_iota(jnp.int32, (bb, d_pad), 1)
             if packed:
                 # all variable one-hots live in ONE block at disjoint
@@ -188,6 +196,7 @@ def fused_tgt_forward(
     *,
     block: int = 2048,
     interpret: bool = False,
+    onehot_operand: bool = False,
 ) -> jax.Array:
     """Whole pruned TGT forward as one Pallas kernel → ``[B, d]`` f32.
 
@@ -236,9 +245,25 @@ def fused_tgt_forward(
         # kernel's dominant HBM traffic
         inputs.append(pad2(pad_rows(col.astype(jnp.bfloat16), B_pad),
                            B_pad, d_pad))
-    for s in v_slots:
-        inputs.append(pad_rows(node_mode[:, s:s + 1].astype(jnp.int32),
-                               B_pad))
+    oh_operand = bool(onehot_operand and packed and v_slots)
+    if oh_operand:
+        # build the packed one-hot block OUTSIDE (XLA): column
+        # v_idx*m8 + mode per variable slot — the kernel then reads it
+        # as one bf16 operand the grid pipeline overlaps, instead of
+        # expanding n_v id columns on its critical path
+        ids = node_mode[:, list(v_slots)].astype(jnp.int32)  # [B, n_v]
+        pos = ids + jnp.arange(len(v_slots), dtype=jnp.int32)[None, :] * m8
+        iota = jnp.arange(d_pad, dtype=jnp.int32)
+        oh = (pos[:, :, None] == iota[None, None, :]).any(axis=1)
+        inputs.append(pad_rows(oh.astype(jnp.bfloat16), B_pad))
+        var_specs = [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        for s in v_slots:
+            inputs.append(pad_rows(node_mode[:, s:s + 1].astype(jnp.int32),
+                                   B_pad))
+        var_specs = [pl.BlockSpec((bb, 1), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM) for _ in v_slots]
     Ws, biases = _layer_matrices(
         params, cfg, spec, steps, plan, a_slots, v_slots, edge_rel,
         edge_norm, d_pad)
@@ -247,15 +272,15 @@ def fused_tgt_forward(
     in_specs = (
         [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
                       memory_space=pltpu.VMEM) for _ in a_slots]
-        + [pl.BlockSpec((bb, 1), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM) for _ in v_slots]
+        + var_specs
         + [pl.BlockSpec(W.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM) for W in Ws]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM) for b in biases]
     )
     out = pl.pallas_call(
-        _make_kernel(steps, len(a_slots), len(v_slots), d_pad, packed, m8),
+        _make_kernel(steps, len(a_slots), len(v_slots), d_pad, packed, m8,
+                     oh_operand=oh_operand),
         grid=(B_pad // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, d_pad), lambda i: (i, 0),

@@ -177,3 +177,22 @@ def test_fused_fwd_tuple_anchor_rows_fwd_and_grad(rng):
         np.testing.assert_allclose(np.asarray(d_t[k]),
                                    np.asarray(d_s[:, k, :]),
                                    rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("structure", ["3-chain_inter", "2-inter", "3-chain"])
+def test_fused_fwd_onehot_operand_bit_exact(rng, structure):
+    # onehot_operand=True ships the packed variable one-hot as a prebuilt
+    # bf16 operand instead of expanding ids in-kernel; the operand holds
+    # exactly the values the kernel builds, so outputs are BIT-identical
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(3), cfg)
+    ne, nm, er, en = _inputs(rng, structure)
+    base = ff.fused_tgt_forward(
+        params, cfg, structure, ne, nm, er, en, block=8, interpret=True)
+    oh = ff.fused_tgt_forward(
+        params, cfg, structure, ne, nm, er, en, block=8, interpret=True,
+        onehot_operand=True)
+    np.testing.assert_allclose(np.asarray(oh), np.asarray(base),
+                               rtol=0, atol=0)

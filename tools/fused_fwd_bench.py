@@ -44,6 +44,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", default="1024,2048,4096")
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--oh_operand", action="store_true",
+                    help="also time the onehot_operand=True variant "
+                         "(prebuilt packed one-hot as a bf16 operand)")
     args = ap.parse_args(argv)
 
     import jax
@@ -93,6 +96,20 @@ def main(argv=None):
         log(f"compiling fused block={blk}...")
         dt = _timed_loop(fl, params, edge_norm)
         log(f"fused {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+
+    if args.oh_operand:
+        # onehot_operand=True: the packed variable one-hot block is
+        # built OUTSIDE by XLA and shipped as one bf16 operand the grid
+        # pipeline overlaps, instead of iota+compare VPU passes on the
+        # kernel's critical path (ops/pallas_fused_fwd.py)
+        from mpqe_tpu.ops import pallas_fused_fwd as ff
+        for blk in [int(b) for b in args.blocks.split(",")]:
+            fl = make_loop(lambda p, en, blk=blk: ff.fused_tgt_forward(
+                p, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en,
+                block=blk, onehot_operand=True))
+            log(f"compiling fused+oh_operand block={blk}...")
+            dt = _timed_loop(fl, params, edge_norm)
+            log(f"fused+oh {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
 
     # compiled-mode parity at a small batch (same programs, tiny shapes)
     Bs = 1024
