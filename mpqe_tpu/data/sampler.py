@@ -130,8 +130,23 @@ class QuerySampler:
         ``train_edges.pkl`` protocol (SURVEY.md §A.3): 1-chain training
         covers every edge, so multi-hop held-out queries test the
         composition of seen edges rather than unseen-edge prediction."""
-        out: List[Query] = []
         src, rel, dst = self.kg.directed_edges()
+        return self.edge_queries(src, rel, dst, n_neg=n_neg)
+
+    def edge_queries(
+        self,
+        src: Sequence[int],
+        rel: Sequence[int],
+        dst: Sequence[int],
+        n_neg: int = 32,
+    ) -> List[Query]:
+        """1-chain queries for EXPLICIT directed edges.
+
+        Negatives exclude the full ``(head, rel)`` answer set of THIS
+        sampler's KG — pass the full graph's sampler when building
+        ``{val,test}_edges.pkl`` for held-out edges so true answers never
+        appear as negatives (reference protocol, SURVEY.md §A.4)."""
+        out: List[Query] = []
         answers_cache: dict = {}
         for h, r, t in zip(src, rel, dst):
             h, r, t = int(h), int(r), int(t)
@@ -142,7 +157,7 @@ class QuerySampler:
             formula = Formula(
                 "1-chain", (r,), (int(self.kg.entity_mode[h]), t_mode))
             negs = self._sample_negatives(
-                t_mode, answers_cache[(r, h)], n_neg)
+                t_mode, answers_cache[(r, h)] | {t}, n_neg)
             out.append(Query(formula, (h,), t, negs, ()))
         return out
 
