@@ -40,6 +40,13 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1,
                    help="queries per request")
     p.add_argument("--structures", default="1-chain,2-chain,2-inter")
+    p.add_argument("--http", default=None, metavar="HOST:PORT",
+                   help="serve an HTTP JSON API (POST /v1/answer, GET "
+                        "/healthz) with cross-request micro-batching "
+                        "instead of running the sampled-stream benchmark")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="HTTP mode: how long a request waits to coalesce "
+                        "with concurrent traffic into one dispatch")
     args, _ = p.parse_known_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -91,6 +98,25 @@ def main(argv=None):
                          neighbor_table=neighbor_table)
     structures = args.structures.split(",")
     server.warmup(structures, batch=args.batch, k=args.k)
+
+    if args.http:
+        from mpqe_tpu.netserve import make_http_server
+
+        host, _, port = args.http.rpartition(":")
+        httpd = make_http_server(
+            server, kg, host or "127.0.0.1", int(port),
+            default_k=args.k, max_wait_ms=args.max_wait_ms)
+        print(json.dumps({
+            "listening": f"{httpd.server_address[0]}:{httpd.server_address[1]}",
+            "endpoints": ["GET /healthz", "POST /v1/answer"],
+            "warmed_structures": structures,
+            "max_wait_ms": args.max_wait_ms,
+        }), flush=True)
+        try:
+            httpd.serve_forever()
+        finally:
+            httpd.batcher.stop()
+        return
 
     sampler = QuerySampler(kg, seed=123)
     pools = {s: sampler.sample_queries(
