@@ -19,7 +19,7 @@ import collections
 import dataclasses
 import functools
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -285,6 +285,9 @@ def run_train(
     steps_per_call: int = 1,
     train_stores=None,  # pre-built {structure: [FormulaStore]} overrides
     neighbor_table=None,  # GQE neighborhood-encoder table (eval side)
+    trace: Optional[Tuple[int, int, str]] = None,
+    # (skip_steps, n_steps, log_dir): capture a jax.profiler trace of
+    # n_steps once skip_steps have run this call (past compiles/warmup)
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience.
 
@@ -370,8 +373,21 @@ def run_train(
     if prefetch > 0:
         pipeline = make_pipeline(phase)
 
+    trace_start = trace_stop = -1
+    tracing = False
+    if trace is not None:
+        skip, n_trace, trace_dir = trace
+        trace_start = state.step + skip
+        trace_stop = trace_start + max(n_trace, 1)
+
     target_step = state.step + tc.max_steps
     while state.step < target_step:
+        if trace_start >= 0 and not tracing and state.step >= trace_start:
+            jax.profiler.start_trace(trace_dir)
+            tracing = True
+            if log_fn:
+                log_fn({"step": state.step, "event": "trace_start",
+                        "trace_dir": trace_dir})
         if pipeline is not None:
             batch = next(pipeline)
             structure = batch.structure
@@ -437,6 +453,14 @@ def run_train(
                     "phase": phase, "seconds": dt,
                 })
 
+        if tracing and state.step >= trace_stop:
+            jax.profiler.stop_trace()
+            tracing = False
+            trace_start = -1
+            if log_fn:
+                log_fn({"step": state.step, "event": "trace_done",
+                        "trace_dir": trace_dir})
+
         if phase == "burn_in" and check_conv(losses, tc.conv_tol):
             phase = "full"
             losses.clear()
@@ -472,6 +496,8 @@ def run_train(
                     break
         elif phase == "full" and not val_queries and check_conv(losses, tc.conv_tol):
             break
+    if tracing:  # early stop / convergence inside the traced window
+        jax.profiler.stop_trace()
     if pipeline is not None:
         pipeline.stop()
     return state

@@ -277,3 +277,34 @@ def test_train_bfloat16_cli(tmp_path):
     vals = [json.loads(ln) for ln in lines if '"val"' in ln]
     assert vals and all(
         math.isfinite(v["val"]["auc_macro"]) for v in vals)
+
+
+def test_train_trace_cli(tmp_path):
+    """--trace N captures a jax.profiler trace window into RUN_DIR/trace
+    and logs trace_start/trace_done events around it."""
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "40", "--val_every", "100",
+        "--batch_size", "32", "--n_neg", "2",
+        "--structures", "1-chain",
+        "--syn_entities", "120", "--syn_triples", "300",
+        "--syn_train_queries", "100", "--syn_val_queries", "20",
+        "--trace", "5", "--trace_skip", "10",
+        "--run_dir", run_dir,
+    ])
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
+    events = [json.loads(ln).get("event") for ln in lines]
+    assert "trace_start" in events and "trace_done" in events
+    start = next(json.loads(ln) for ln in lines
+                 if json.loads(ln).get("event") == "trace_start")
+    done = next(json.loads(ln) for ln in lines
+                if json.loads(ln).get("event") == "trace_done")
+    assert done["step"] - start["step"] >= 5
+    trace_dir = os.path.join(run_dir, "trace")
+    # the profiler wrote something under RUN_DIR/trace
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(trace_dir)
+             for f in fs]
+    assert found, "no trace files written"

@@ -108,6 +108,12 @@ def parse_args(argv=None):
                    help="AOT-compile all (structure, bucket) programs before training")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --run_dir")
+    p.add_argument("--trace", type=int, default=0,
+                   help=">0: capture a jax.profiler trace of this many "
+                        "train steps into RUN_DIR/trace (TensorBoard)")
+    p.add_argument("--trace_skip", type=int, default=20,
+                   help="steps to run before the trace starts (lets "
+                        "compiles and warmup fall outside the window)")
     p.add_argument("--keep_best", type=int, default=3,
                    help="retain only the best-k validation checkpoints")
     p.add_argument("--structures", default="all",
@@ -357,6 +363,9 @@ def main(argv=None):
         steps_per_call=args.steps_per_call,
         train_stores=train_stores,
         neighbor_table=neighbor_table,
+        trace=((args.trace_skip, args.trace,
+                os.path.join(run_dir, "trace"))
+               if args.trace > 0 else None),
     )
     # always save a final checkpoint (best-val checkpoints only exist when
     # validation ran during training); metric-less saves are never pruned
