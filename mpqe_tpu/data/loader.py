@@ -153,6 +153,46 @@ def query_to_tuple(q: Query) -> Tuple:
     )
 
 
+def derive_node_modes(
+    kg: KnowledgeGraph,
+    spec,
+    anchors: Sequence[int],
+    rels: Sequence[int],
+    strict: bool = False,
+) -> Tuple[int, ...]:
+    """Node-slot modes from the relation schema: anchor slots take their
+    entity's mode; each template edge assigns its relation's range mode
+    to its destination slot (edges are anchor-to-target topological).
+
+    ``strict=True`` additionally enforces schema consistency — every
+    edge's domain mode must match its (already determined) source slot,
+    and edges meeting at one destination (intersections) must agree on
+    its mode — raising ``ValueError`` otherwise.  The single derivation
+    point for both the pickle loader and the serving wire boundary."""
+    node_modes = [0] * spec.n_nodes
+    for a_i, s in enumerate(spec.anchor_slots):
+        node_modes[s] = int(kg.entity_mode[anchors[a_i]])
+    assigned = set(spec.anchor_slots)
+    for j in range(spec.n_edges):
+        from_mode, to_mode = kg.rel_id_modes(rels[j])
+        s_slot, d_slot = spec.edge_src[j], spec.edge_dst[j]
+        if strict:
+            if s_slot in assigned and node_modes[s_slot] != from_mode:
+                what = ("anchor" if s_slot in spec.anchor_slots
+                        else "variable slot")
+                raise ValueError(
+                    f"{what} {s_slot} has mode {node_modes[s_slot]} but "
+                    f"relation {rels[j]} expects domain mode {from_mode}")
+            if d_slot in assigned and node_modes[d_slot] != to_mode:
+                raise ValueError(
+                    f"relations meeting at slot {d_slot} disagree on its "
+                    f"mode ({node_modes[d_slot]} vs relation {rels[j]}'s "
+                    f"range {to_mode})")
+        node_modes[d_slot] = to_mode
+        assigned.add(d_slot)
+    return tuple(node_modes)
+
+
 def tuple_to_query_with_schema(t: Tuple, kg: KnowledgeGraph) -> Query:
     """Deserialize a query tuple, recovering variable-slot modes exactly
     from the KG's relation schema (mode = range of the incoming relation).
@@ -164,13 +204,8 @@ def tuple_to_query_with_schema(t: Tuple, kg: KnowledgeGraph) -> Query:
     structure, rels_tf, anchors, target, negs, hard = t
     spec = STRUCTURES[structure]
     rels = tuple(reversed(tuple(int(r) for r in rels_tf)))
-    node_modes = [0] * spec.n_nodes
-    for a_i, s in enumerate(spec.anchor_slots):
-        node_modes[s] = int(kg.entity_mode[anchors[a_i]])
-    for j in range(spec.n_edges):
-        _, to_mode = kg.rel_id_modes(rels[j])
-        node_modes[spec.edge_dst[j]] = to_mode
-    formula = Formula(structure, rels, tuple(node_modes))
+    node_modes = derive_node_modes(kg, spec, anchors, rels)
+    formula = Formula(structure, rels, node_modes)
     return Query(
         formula,
         tuple(int(a) for a in anchors),

@@ -65,7 +65,13 @@ def _scan_term(line: str, pos: int) -> Tuple[str, bool, int]:
         end = pos
         while end < n and not line[end].isspace():
             end += 1
-        return line[pos:end], False, end
+        term = line[pos:end]
+        # a blank-node label cannot END with '.' (PN_CHARS grammar), so a
+        # trailing dot is the statement terminator written without the
+        # optional whitespace ("... _:b0.")
+        if term.endswith("."):
+            term, end = term[:-1], end - 1
+        return term, False, end
     if c == '"':
         i = pos + 1
         while i < n:
@@ -81,7 +87,9 @@ def _scan_term(line: str, pos: int) -> Tuple[str, bool, int]:
         i += 1
         # optional @lang or ^^<dtype>
         if i < n and line[i] == "@":
-            while i < n and not line[i].isspace():
+            # language tags are [a-zA-Z-0-9] only — '.' never belongs to
+            # one, so stop there too ("...\"x\"@en.")
+            while i < n and not line[i].isspace() and line[i] != ".":
                 i += 1
         elif line.startswith("^^<", i):
             end = line.find(">", i + 3)

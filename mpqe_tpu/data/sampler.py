@@ -156,8 +156,10 @@ class QuerySampler:
             t_mode = int(self.kg.rel_id_modes(r)[1])
             formula = Formula(
                 "1-chain", (r,), (int(self.kg.entity_mode[h]), t_mode))
-            negs = self._sample_negatives(
-                t_mode, answers_cache[(r, h)] | {t}, n_neg)
+            answers = answers_cache[(r, h)]
+            if t not in answers:  # held-out edge: exclude t too, without
+                answers = answers | {t}  # copying per own-KG edge (hubs!)
+            negs = self._sample_negatives(t_mode, answers, n_neg)
             out.append(Query(formula, (h,), t, negs, ()))
         return out
 

@@ -30,6 +30,7 @@ Endpoints:
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
@@ -72,19 +73,15 @@ def build_query(kg, structure: str, anchors: Sequence[int],
     for r in rels:
         if not 0 <= r < kg.n_rels:
             raise QueryValidationError(f"relation {r} out of range")
-    node_modes = [0] * spec.n_nodes
-    for a_i, s in enumerate(spec.anchor_slots):
-        node_modes[s] = int(kg.entity_mode[anchors[a_i]])
-    for j in range(spec.n_edges):
-        from_mode, to_mode = kg.rel_id_modes(rels[j])
-        s_slot = spec.edge_src[j]
-        if s_slot in spec.anchor_slots and node_modes[s_slot] != from_mode:
-            a_i = spec.anchor_slots.index(s_slot)
-            raise QueryValidationError(
-                f"anchor {anchors[a_i]} has mode {node_modes[s_slot]} but "
-                f"relation {rels[j]} expects domain mode {from_mode}")
-        node_modes[spec.edge_dst[j]] = to_mode
-    formula = Formula(structure, tuple(rels), tuple(node_modes))
+    from mpqe_tpu.data.loader import derive_node_modes
+
+    try:
+        # strict: domain-vs-source consistency along the whole relation
+        # chain AND agreement of edges meeting at an intersection slot
+        node_modes = derive_node_modes(kg, spec, anchors, rels, strict=True)
+    except ValueError as e:
+        raise QueryValidationError(str(e)) from None
+    formula = Formula(structure, tuple(rels), node_modes)
     return Query(formula, tuple(anchors), 0, (), ())
 
 
@@ -95,8 +92,9 @@ class MicroBatcher:
     ``submit`` enqueues and returns a Future; the single worker thread
     drains the queue (up to ``max_batch`` queries or ``max_wait_ms``
     after the first item), groups by ``k``, and runs one
-    ``QueryServer.answer`` per group.  ``batch_sizes`` records each
-    dispatch's query count (observability + tests)."""
+    ``QueryServer.answer`` per group.  ``batch_sizes`` keeps the most
+    recent dispatch sizes (bounded); ``total_dispatches`` /
+    ``total_queries`` are lifetime counters (observability + tests)."""
 
     _STOP = object()
 
@@ -105,25 +103,46 @@ class MicroBatcher:
         self.server = server
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        self.batch_sizes: List[int] = []
+        # bounded: a long-lived server must not grow per-dispatch state
+        self.batch_sizes: "collections.deque[int]" = collections.deque(
+            maxlen=1024)
+        self.total_dispatches = 0
+        self.total_queries = 0
         self._q: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
+        self._stopped = False
 
     def start(self) -> "MicroBatcher":
-        if self._thread is None:
+        if self._thread is None and not self._stopped:
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
         return self
 
     def stop(self) -> None:
+        self._stopped = True
         if self._thread is not None:
             self._q.put(self._STOP)
             self._thread.join(timeout=10)
             self._thread = None
+        # fail any requests that raced past the sentinel instead of
+        # leaving their handlers blocked until the request timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                continue
+            _, _, fut = item
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher stopped"))
 
     def submit(self, queries: Sequence[Query], k: int) -> Future:
         """One request (any number of queries) -> Future[List[Answer]]."""
         fut: Future = Future()
+        if self._stopped:
+            fut.set_exception(RuntimeError("batcher stopped"))
+            return fut
         self._q.put((list(queries), int(k), fut))
         return fut
 
@@ -152,7 +171,10 @@ class MicroBatcher:
             self._drain(batch)
 
     def _drain(self, batch) -> None:
-        self.batch_sizes.append(sum(len(qs) for qs, _, _ in batch))
+        n = sum(len(qs) for qs, _, _ in batch)
+        self.batch_sizes.append(n)
+        self.total_dispatches += 1
+        self.total_queries += n
         by_k: Dict[int, List[Tuple[List[Query], Future]]] = {}
         for qs, k, fut in batch:
             by_k.setdefault(k, []).append((qs, fut))
@@ -216,17 +238,23 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise QueryValidationError("request body must be an object")
             raw = req.get("queries")
             if not isinstance(raw, list) or not raw:
                 raise QueryValidationError("'queries' must be a non-empty list")
             k = int(req.get("k", self.server.default_k))
             if not 1 <= k <= self.server.kg.n_entities:
                 raise QueryValidationError(f"k={k} out of range")
-            queries = [
-                build_query(self.server.kg, q.get("structure", ""),
-                            q.get("anchors", ()), q.get("rels", ()))
-                for q in raw
-            ]
+            queries = []
+            for q in raw:
+                if not isinstance(q, dict):
+                    raise QueryValidationError(
+                        "each query must be an object with "
+                        "structure/anchors/rels")
+                queries.append(
+                    build_query(self.server.kg, q.get("structure", ""),
+                                q.get("anchors", ()), q.get("rels", ())))
         except (QueryValidationError, ValueError, TypeError, KeyError) as e:
             self._send(400, {"error": str(e)})
             return

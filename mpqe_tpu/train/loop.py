@@ -381,125 +381,130 @@ def run_train(
         trace_stop = trace_start + max(n_trace, 1)
 
     target_step = state.step + tc.max_steps
-    while state.step < target_step:
-        if trace_start >= 0 and not tracing and state.step >= trace_start:
-            jax.profiler.start_trace(trace_dir)
-            tracing = True
-            if log_fn:
-                log_fn({"step": state.step, "event": "trace_start",
-                        "trace_dir": trace_dir})
-        if pipeline is not None:
-            batch = next(pipeline)
-            structure = batch.structure
-        else:
-            if phase == "burn_in":
-                structure = tc.burn_in_structure
-            else:
-                structure = structures[rng.integers(len(structures))]
-            f_stores = stores[structure]
-            fstore = f_stores[rng.integers(len(f_stores))]
-            pick = rng.integers(
-                0, fstore.n_queries, size=min(tc.batch_size, fstore.n_queries)
-            ).astype(np.int64)
-            use_hard = (
-                structure in INTERSECTION_STRUCTURES
-                and rng.random() < tc.hard_neg_prob
-            )
-            seed = int(rng.integers(2**62))
-            if use_native:
-                batch = native_mod.pack_dense_batch_native(
-                    fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
-                )
-            else:
-                batch = pack_dense_batch_np(
-                    fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
-                )
-        t0 = time.perf_counter()
-        if multi_step is not None:
-            if pipeline is not None:
-                # the producer thread already packed + stacked K batches
-                k_losses = run_multistep_stacked(multi_step, state, batch)
-            else:
-                # pack K-1 more same-formula batches and scan them on-device
-                extra = []
-                for _ in range(steps_per_call - 1):
-                    pk = rng.integers(
-                        0, fstore.n_queries,
-                        size=min(tc.batch_size, fstore.n_queries),
-                    ).astype(np.int64)
-                    sd = int(rng.integers(2**62))
-                    pack = (native_mod.pack_dense_batch_native if use_native
-                            else pack_dense_batch_np)
-                    extra.append(pack(fstore, pk, tc.batch_size, tc.n_neg,
-                                      sd, use_hard))
-                k_losses = run_multistep(multi_step, state, [batch] + extra)
-            dt = time.perf_counter() - t0
-            losses.extend(k_losses)
-            loss = k_losses[-1]
-            if log_fn:
-                log_fn({
-                    "step": state.step, "loss": loss,
-                    "loss_mean_k": float(np.mean(k_losses)),
-                    "structure": structure, "phase": phase, "seconds": dt,
-                    "k": len(k_losses),
-                })
-        else:
-            loss = run_step(train_step, state, batch)
-            dt = time.perf_counter() - t0
-            losses.append(loss)
-            if log_fn:
-                log_fn({
-                    "step": state.step, "loss": loss, "structure": structure,
-                    "phase": phase, "seconds": dt,
-                })
-
-        if tracing and state.step >= trace_stop:
-            jax.profiler.stop_trace()
-            tracing = False
-            trace_start = -1
-            if log_fn:
-                log_fn({"step": state.step, "event": "trace_done",
-                        "trace_dir": trace_dir})
-
-        if phase == "burn_in" and check_conv(losses, tc.conv_tol):
-            phase = "full"
-            losses.clear()
-            if pipeline is not None:
-                pipeline.stop()
-                pipeline = make_pipeline(phase)
-            if log_fn:
-                log_fn({"step": state.step, "event": "burn_in_done"})
-
-        if val_queries and state.step // tc.val_every > last_val_bucket:
-            last_val_bucket = state.step // tc.val_every
-            res = run_validation()
-            metric = res.macro_auc
-            if log_fn:
-                log_fn({"step": state.step, "val": res.flat()})
-            if not np.isfinite(metric):
-                # no scoreable validation queries (e.g. raw val edges
-                # without sampled negatives): don't let NaN count as "no
-                # improvement" and silently early-stop / skip best-ckpt
+    try:
+        while state.step < target_step:
+            if trace_start >= 0 and not tracing and state.step >= trace_start:
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
                 if log_fn:
-                    log_fn({"step": state.step,
-                            "event": "val_unscoreable_skipped"})
-            elif metric > best_val:
-                best_val = metric
-                bad_evals = 0
-                if checkpoint_fn:
-                    checkpoint_fn(state, metric)
+                    log_fn({"step": state.step, "event": "trace_start",
+                            "trace_dir": trace_dir})
+            if pipeline is not None:
+                batch = next(pipeline)
+                structure = batch.structure
             else:
-                bad_evals += 1
-                if bad_evals >= tc.patience and phase == "full":
+                if phase == "burn_in":
+                    structure = tc.burn_in_structure
+                else:
+                    structure = structures[rng.integers(len(structures))]
+                f_stores = stores[structure]
+                fstore = f_stores[rng.integers(len(f_stores))]
+                pick = rng.integers(
+                    0, fstore.n_queries, size=min(tc.batch_size, fstore.n_queries)
+                ).astype(np.int64)
+                use_hard = (
+                    structure in INTERSECTION_STRUCTURES
+                    and rng.random() < tc.hard_neg_prob
+                )
+                seed = int(rng.integers(2**62))
+                if use_native:
+                    batch = native_mod.pack_dense_batch_native(
+                        fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+                    )
+                else:
+                    batch = pack_dense_batch_np(
+                        fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
+                    )
+            t0 = time.perf_counter()
+            if multi_step is not None:
+                if pipeline is not None:
+                    # the producer thread already packed + stacked K batches
+                    k_losses = run_multistep_stacked(multi_step, state, batch)
+                else:
+                    # pack K-1 more same-formula batches and scan them on-device
+                    extra = []
+                    for _ in range(steps_per_call - 1):
+                        pk = rng.integers(
+                            0, fstore.n_queries,
+                            size=min(tc.batch_size, fstore.n_queries),
+                        ).astype(np.int64)
+                        sd = int(rng.integers(2**62))
+                        pack = (native_mod.pack_dense_batch_native if use_native
+                                else pack_dense_batch_np)
+                        extra.append(pack(fstore, pk, tc.batch_size, tc.n_neg,
+                                          sd, use_hard))
+                    k_losses = run_multistep(multi_step, state, [batch] + extra)
+                dt = time.perf_counter() - t0
+                losses.extend(k_losses)
+                loss = k_losses[-1]
+                if log_fn:
+                    log_fn({
+                        "step": state.step, "loss": loss,
+                        "loss_mean_k": float(np.mean(k_losses)),
+                        "structure": structure, "phase": phase, "seconds": dt,
+                        "k": len(k_losses),
+                    })
+            else:
+                loss = run_step(train_step, state, batch)
+                dt = time.perf_counter() - t0
+                losses.append(loss)
+                if log_fn:
+                    log_fn({
+                        "step": state.step, "loss": loss, "structure": structure,
+                        "phase": phase, "seconds": dt,
+                    })
+
+            if tracing and state.step >= trace_stop:
+                jax.profiler.stop_trace()
+                tracing = False
+                trace_start = -1
+                if log_fn:
+                    log_fn({"step": state.step, "event": "trace_done",
+                            "trace_dir": trace_dir})
+
+            if phase == "burn_in" and check_conv(losses, tc.conv_tol):
+                phase = "full"
+                losses.clear()
+                if pipeline is not None:
+                    pipeline.stop()
+                    pipeline = make_pipeline(phase)
+                if log_fn:
+                    log_fn({"step": state.step, "event": "burn_in_done"})
+
+            if val_queries and state.step // tc.val_every > last_val_bucket:
+                last_val_bucket = state.step // tc.val_every
+                res = run_validation()
+                metric = res.macro_auc
+                if log_fn:
+                    log_fn({"step": state.step, "val": res.flat()})
+                if not np.isfinite(metric):
+                    # no scoreable validation queries (e.g. raw val edges
+                    # without sampled negatives): don't let NaN count as "no
+                    # improvement" and silently early-stop / skip best-ckpt
                     if log_fn:
-                        log_fn({"step": state.step, "event": "early_stop"})
-                    break
-        elif phase == "full" and not val_queries and check_conv(losses, tc.conv_tol):
-            break
-    if tracing:  # early stop / convergence inside the traced window
-        jax.profiler.stop_trace()
-    if pipeline is not None:
-        pipeline.stop()
+                        log_fn({"step": state.step,
+                                "event": "val_unscoreable_skipped"})
+                elif metric > best_val:
+                    best_val = metric
+                    bad_evals = 0
+                    if checkpoint_fn:
+                        checkpoint_fn(state, metric)
+                else:
+                    bad_evals += 1
+                    if bad_evals >= tc.patience and phase == "full":
+                        if log_fn:
+                            log_fn({"step": state.step, "event": "early_stop"})
+                        break
+            elif phase == "full" and not val_queries and check_conv(losses, tc.conv_tol):
+                break
+    finally:
+        # the profiler session must close even when the step raises
+        # (device OOM, pipeline error, Ctrl-C): stop_trace is what
+        # flushes the trace, and a leaked session breaks any retry
+        if tracing:
+            jax.profiler.stop_trace()
+        if pipeline is not None:
+            pipeline.stop()
     return state
 
 

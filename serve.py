@@ -49,6 +49,17 @@ def main(argv=None):
                         "with concurrent traffic into one dispatch")
     args, _ = p.parse_known_args(argv)
 
+    http_host = http_port = None
+    if args.http:
+        # fail fast: checkpoint load + warmup can take minutes, so a
+        # malformed flag must not surface only afterwards
+        http_host, _, port_s = args.http.rpartition(":")
+        try:
+            http_port = int(port_s)
+        except ValueError:
+            raise SystemExit(
+                f"--http expects HOST:PORT, got {args.http!r}") from None
+
     with open(os.path.join(args.run_dir, "config.json")) as f:
         run_cfg = json.load(f)
     with open(os.path.join(args.run_dir, "model_config.json")) as f:
@@ -102,9 +113,8 @@ def main(argv=None):
     if args.http:
         from mpqe_tpu.netserve import make_http_server
 
-        host, _, port = args.http.rpartition(":")
         httpd = make_http_server(
-            server, kg, host or "127.0.0.1", int(port),
+            server, kg, http_host or "127.0.0.1", http_port,
             default_k=args.k, max_wait_ms=args.max_wait_ms)
         print(json.dumps({
             "listening": f"{httpd.server_address[0]}:{httpd.server_address[1]}",

@@ -190,7 +190,7 @@ def test_http_concurrent_requests_coalesce(httpd):
     for t in threads:
         t.join(timeout=120)
     assert all(r is not None and r[0] == 200 for r in results)
-    sizes = srv.batcher.batch_sizes[n_before:]
+    sizes = list(srv.batcher.batch_sizes)[n_before:]
     assert sum(sizes) == len(qs)
     # 8 concurrent single-query requests used fewer than 8 dispatches
     # (max_wait 2 ms is enough on localhost; allow equality headroom of 1)
@@ -211,3 +211,58 @@ def test_http_rejects_bad_requests(httpd):
             _post(url, payload)
         assert e.value.code == 400
         assert frag in json.loads(e.value.read())["error"]
+
+
+def test_microbatcher_stop_fails_orphans(setup):
+    kg, server = setup
+    q = QuerySampler(kg, seed=9).sample_query("1-chain")
+    b = MicroBatcher(server, max_wait_ms=1)
+    # never started: stop() must fail queued futures instead of leaving
+    # their handlers blocked until the request timeout
+    fut = b.submit([q], k=2)
+    b.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=5)
+    # submit after stop fails fast
+    with pytest.raises(RuntimeError, match="stopped"):
+        b.submit([q], k=2).result(timeout=5)
+
+
+def test_build_query_rejects_chain_mode_mismatch(setup):
+    kg, _ = setup
+    # find (r0, r1) where r0's range != r1's domain: the variable slot in
+    # the middle of a 2-chain makes the inconsistency invisible to
+    # anchor-only checks
+    rels = range(kg.n_rels)
+    bad = next(((a, b) for a in rels for b in rels
+                if kg.rel_id_modes(a)[1] != kg.rel_id_modes(b)[0]), None)
+    assert bad is not None
+    import numpy as np
+    anchor = int(np.flatnonzero(
+        kg.entity_mode == kg.rel_id_modes(bad[0])[0])[0])
+    with pytest.raises(QueryValidationError, match="domain"):
+        build_query(kg, "2-chain", (anchor,), bad)
+
+
+def test_build_query_rejects_intersection_range_disagreement(setup):
+    kg, _ = setup
+    rels = range(kg.n_rels)
+    pair = next(((a, b) for a in rels for b in rels
+                 if kg.rel_id_modes(a)[1] != kg.rel_id_modes(b)[1]), None)
+    assert pair is not None
+    import numpy as np
+    a0 = int(np.flatnonzero(
+        kg.entity_mode == kg.rel_id_modes(pair[0])[0])[0])
+    a1 = int(np.flatnonzero(
+        kg.entity_mode == kg.rel_id_modes(pair[1])[0])[0])
+    with pytest.raises(QueryValidationError, match="disagree"):
+        build_query(kg, "2-inter", (a0, a1), pair)
+
+
+def test_http_rejects_non_object_bodies(httpd):
+    """Malformed JSON shapes get a 400, not a dropped connection."""
+    _, _, url = httpd
+    for payload in ([], "x", {"queries": [5]}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, payload)
+        assert e.value.code == 400

@@ -199,3 +199,16 @@ def test_prepare_dataset_trains(tmp_path):
         "--n_neg", "2", "--seed", "1",
     ])
     assert os.path.exists(os.path.join(run, "metrics.jsonl"))
+
+
+def test_parse_ntriples_dot_without_whitespace():
+    """N-Triples allows the terminating '.' to abut the object: blank
+    node labels can't end with '.', and language tags never contain one."""
+    rows = list(rdf_mod.parse_ntriples([
+        "<http://a> <http://p> _:b0.",
+        '<http://a> <http://p> "x"@en.',
+        "<http://a> <http://p> <http://b>.",
+        '<http://a> <http://p> "1"^^<http://t>.',
+    ]))
+    assert [r[2] for r in rows] == ["_:b0", "x", "http://b", "1"]
+    assert [r[3] for r in rows] == [False, True, False, True]
