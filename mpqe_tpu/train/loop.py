@@ -288,6 +288,9 @@ def run_train(
     trace: Optional[Tuple[int, int, str]] = None,
     # (skip_steps, n_steps, log_dir): capture a jax.profiler trace of
     # n_steps once skip_steps have run this call (past compiles/warmup)
+    should_stop: Optional[Callable[[], bool]] = None,
+    # polled each step: True -> stop cleanly (graceful preemption; the
+    # caller then saves its normal final checkpoint and exits 0)
 ) -> TrainState:
     """Curriculum training until convergence / max_steps / patience.
 
@@ -383,6 +386,10 @@ def run_train(
     target_step = state.step + tc.max_steps
     try:
         while state.step < target_step:
+            if should_stop is not None and should_stop():
+                if log_fn:
+                    log_fn({"step": state.step, "event": "preempt_stop"})
+                break
             if trace_start >= 0 and not tracing and state.step >= trace_start:
                 jax.profiler.start_trace(trace_dir)
                 tracing = True

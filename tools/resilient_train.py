@@ -24,6 +24,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import signal
 import subprocess
 import sys
 import time
@@ -52,6 +53,17 @@ def main(argv=None):
         raise SystemExit("--run_dir is required in the train args "
                          "(resume needs a stable checkpoint directory)")
 
+    # graceful preemption passes THROUGH the supervisor: forward SIGTERM
+    # to the child (train.py checkpoints and exits 0 -> we return 0, no
+    # relaunch) instead of dying and orphaning it
+    child = None
+
+    def _forward(sig, frame):
+        if child is not None and child.poll() is None:
+            child.send_signal(sig)
+
+    signal.signal(signal.SIGTERM, _forward)
+
     restarts, consecutive = 0, 0
     resume_args = list(train_args)
     while True:
@@ -59,7 +71,8 @@ def main(argv=None):
         cmd = [args.python, args.train_script] + resume_args
         print(f"[resilient] launching (restart {restarts}): "
               f"{' '.join(cmd)}", file=sys.stderr, flush=True)
-        rc = subprocess.call(cmd)
+        child = subprocess.Popen(cmd)
+        rc = child.wait()
         uptime = time.monotonic() - t0
         if rc == 0:
             print(f"[resilient] training completed (uptime {uptime:.0f}s)",

@@ -21,6 +21,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -351,8 +353,19 @@ def main(argv=None):
                      "edge_queries": sum(
                          s.n_queries for s in train_stores["1-chain"])})
 
+    # graceful preemption: SIGTERM (maintenance events, job schedulers)
+    # stops the loop at the next step boundary; the normal final
+    # checkpoint below then makes the run --resume-able, and the clean
+    # exit code 0 tells tools/resilient_train.py NOT to relaunch
+    stop_event = threading.Event()
+    prev_sigterm = None
+    if threading.current_thread() is threading.main_thread():
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda s, f: stop_event.set())
+
     state = loop_mod.run_train(
         state, cfg, tc, train_q, val_queries=val_q,
+        should_stop=stop_event.is_set,
         log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
         train_step=train_step,
         multi_step=multi_step,
@@ -367,6 +380,8 @@ def main(argv=None):
                 os.path.join(run_dir, "trace"))
                if args.trace > 0 else None),
     )
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     # always save a final checkpoint (best-val checkpoints only exist when
     # validation ran during training); metric-less saves are never pruned
     final_path = manager.save(state, wait=True)
