@@ -62,7 +62,19 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--structures",
                     default="1-chain,2-chain,2-inter,3-chain_inter")
+    ap.add_argument("--http_clients", type=int, default=0,
+                    help=">0: also run an HTTP phase — this many client "
+                         "threads fire --requests requests of "
+                         "--http_batch queries each at a local netserve "
+                         "instance (measures the network + dynamic-"
+                         "batching path over the same QueryServer)")
+    ap.add_argument("--http_batch", type=int, default=32)
+    ap.add_argument("--http_wait_ms", type=float, default=5.0)
     args = ap.parse_args()
+
+    from mpqe_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()  # honor JAX_PLATFORMS=cpu for offline runs
 
     import jax
 
@@ -109,6 +121,97 @@ def main():
         "latency_ms_p50": float(np.percentile(lat_ms, 50)),
         "latency_ms_p95": float(np.percentile(lat_ms, 95)),
         "queries_per_s": float(total_q / (lat_ms.sum() / 1e3)),
+    }), flush=True)
+
+    if args.http_clients > 0:
+        http_phase(args, server, entity_mode)
+
+
+def http_phase(args, server, entity_mode):
+    """Concurrent clients -> netserve HTTP -> micro-batched dispatches.
+
+    Schema validation is strict on the wire, so the shim KG makes every
+    relation mode-0 -> mode-0 and anchors come from mode-0 entities —
+    mode choice only gates the candidate mask, the ranking work is
+    unchanged."""
+    import threading
+    import urllib.request
+
+    from mpqe_tpu.graph import KnowledgeGraph
+    from mpqe_tpu.netserve import make_http_server
+
+    n_base = args.rels // 2
+    kg_shim = KnowledgeGraph(
+        n_entities=args.entities, n_base_rels=n_base,
+        entity_mode=entity_mode,
+        rel_domain=np.zeros(n_base, np.int32),
+        rel_range=np.zeros(n_base, np.int32),
+        heads=np.zeros(0, np.int32), rels=np.zeros(0, np.int32),
+        tails=np.zeros(0, np.int32),
+    )
+    httpd = make_http_server(server, kg_shim, "127.0.0.1", 0,
+                             default_k=args.k,
+                             max_wait_ms=args.http_wait_ms)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/v1/answer"
+
+    rng = np.random.default_rng(2)
+    structures = args.structures.split(",")
+    from mpqe_tpu.queries import STRUCTURES
+    n_mode0 = int(np.sum(entity_mode == 0))
+
+    def make_payload():
+        s = structures[int(rng.integers(len(structures)))]
+        spec = STRUCTURES[s]
+        # entity_mode is block-contiguous: mode-0 ids are [0, n_mode0);
+        # every directed rel id is 0->0 under the shim schema
+        qs = [{"structure": s,
+               "anchors": [int(a) for a in
+                           rng.integers(0, n_mode0, spec.n_anchors)],
+               "rels": [int(r) for r in
+                        rng.integers(0, 2 * n_base, spec.n_edges)]}
+              for _ in range(args.http_batch)]
+        return json.dumps({"queries": qs, "k": args.k}).encode()
+
+    lat = []
+    lat_lock = threading.Lock()
+
+    def client():
+        for _ in range(args.requests):
+            body = make_payload()
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            dt = time.perf_counter() - t0
+            assert len(out["answers"]) == args.http_batch
+            with lat_lock:
+                lat.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client)
+               for _ in range(args.http_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    httpd.shutdown()
+    httpd.batcher.stop()
+    lat_ms = np.asarray(lat) * 1e3
+    total_q = args.http_clients * args.requests * args.http_batch
+    sizes = list(httpd.batcher.batch_sizes)
+    print(json.dumps({
+        "phase": "http_stream", "clients": args.http_clients,
+        "http_batch": args.http_batch, "k": args.k,
+        "wall_s": wall,
+        "requests_per_s": float(len(lat) / wall),
+        "queries_per_s": float(total_q / wall),
+        "latency_ms_p50": float(np.percentile(lat_ms, 50)),
+        "latency_ms_p95": float(np.percentile(lat_ms, 95)),
+        "dispatches": httpd.batcher.total_dispatches,
+        "mean_dispatch_queries": float(np.mean(sizes)) if sizes else 0.0,
     }), flush=True)
 
 
