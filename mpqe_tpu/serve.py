@@ -191,3 +191,88 @@ class QueryServer:
                 )
                 self.answer([q] * b, k=k)
                 b *= 2
+
+
+class ShardedQueryServer(QueryServer):
+    """Serving over a row-sharded entity table (tables that exceed one
+    chip — the config-5 / 10M-entity regime where even the [N, d] table
+    can't live on one device, let alone a [B, N] score matrix).
+
+    Same request surface as :class:`QueryServer` (``answer``/``warmup``,
+    so ``netserve`` serves it unchanged), different device layout:
+
+    * encode-side params keep the entity table row-sharded over the
+      mesh's ``model`` axis (GSPMD inserts the anchor-row gather
+      collectives — the same layout the ``--parallel spmd`` train step
+      leaves the table in);
+    * ranking runs ``parallel/rank_shard.make_sharded_topk_fn``:
+      each shard scores the batch against ITS rows, takes a local
+      top-k, and an ``all_gather`` + merge produces the global top-k —
+      no [B, N] matrix ever exists, on any device.
+
+    MPQE checkpoints only (the GQE baselines' per-query relation
+    gathers are single-chip paths)."""
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg,
+        entity_mode: np.ndarray,
+        mesh,
+        max_batch: int = 8192,
+    ):
+        from mpqe_tpu.parallel import mesh as mesh_lib
+        from mpqe_tpu.parallel import rank_shard
+        from mpqe_tpu.parallel import sharding as sharding_lib
+        from mpqe_tpu.train.evaluation import _effective_max_batch
+
+        if not isinstance(cfg, mpqe_mod.MPQEConfig):
+            raise ValueError(
+                "sharded serving supports MPQE checkpoints only")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.entity_mode = np.asarray(entity_mode, dtype=np.int32)
+        # per-shard score rows are n_entities / n_shards wide
+        n_shards = mesh.shape[mesh_lib.model_axis(mesh)]
+        per_row = max(cfg.n_entities // n_shards, 1)
+        if cfg.num_bases is None:
+            per_row = max(per_row, cfg.embed_dim * cfg.embed_dim)
+        eff = _effective_max_batch(cfg, max_batch, per_row)
+        self.max_batch = 1 << (eff.bit_length() - 1)
+        self._rank_fns: Dict[Tuple[str, int], Any] = {}
+        self._nbr = None
+
+        # encode-side: pad the table to a shard multiple (padded rows are
+        # never gathered — entity ids are < n_entities) and row-shard it
+        ent = jnp.asarray(params["emb"]["ent"], jnp.float32)
+        n, s = ent.shape[0], n_shards
+        n_pad = -(-n // s) * s
+        ent_pad = (ent if n_pad == n else jnp.concatenate(
+            [ent, jnp.zeros((n_pad - n, ent.shape[1]), ent.dtype)]))
+        emb = dict(params["emb"])
+        emb["ent"] = ent_pad
+        p = dict(params)
+        p["emb"] = emb
+        self.params = sharding_lib.shard_params(
+            p, mesh, shard_entity_table=True, shard_relations=False)
+        # ranking-side: the same padded rows sharded for rank_shard
+        # (pad modes are -1: maskable, never a candidate)
+        self._ent_norm_t, self._mode_dev, _ = rank_shard.shard_table(
+            mesh, ent, jnp.asarray(self.entity_mode))
+        self._rank_shard = rank_shard
+
+    def _rank_fn(self, structure: str, k: int):
+        cached = self._rank_fns.get((structure, k))
+        if cached is not None:
+            return cached
+        cfg = self.cfg
+        topk = self._rank_shard.make_sharded_topk_fn(self.mesh, cfg, k)
+
+        def fn(params, ent_s, mode_s, ne, nm, er, en, tgt_mode, nbr=None):
+            q = mpqe_mod.encode_dense_multi(
+                params, cfg, structure, ne, nm, er, en)
+            return topk(ent_s, mode_s, q.astype(jnp.float32), tgt_mode)
+
+        jitted = jax.jit(fn)
+        self._rank_fns[(structure, k)] = jitted
+        return jitted

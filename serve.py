@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="HTTP mode: how long a request waits to coalesce "
                         "with concurrent traffic into one dispatch")
+    p.add_argument("--shards", type=int, default=0,
+                   help=">1: serve over a model-axis mesh of this many "
+                        "devices with the entity table row-sharded "
+                        "(ShardedQueryServer — tables that exceed one "
+                        "chip; MPQE checkpoints only)")
     args, _ = p.parse_known_args(argv)
 
     http_host = http_port = None
@@ -105,8 +110,24 @@ def main(argv=None):
 
         neighbor_table = agg_mod.build_neighbor_table_device(
             kg, fanout=run_cfg["gqe_fanout"], seed=run_cfg["seed"])
-    server = QueryServer(state.params, cfg, kg.entity_mode,
-                         neighbor_table=neighbor_table)
+    if args.shards > 1:
+        from mpqe_tpu.parallel import mesh as mesh_lib
+        from mpqe_tpu.serve import ShardedQueryServer
+
+        if len(jax.devices()) < args.shards:
+            raise SystemExit(
+                f"--shards {args.shards} needs that many devices, have "
+                f"{len(jax.devices())} (CPU: set XLA_FLAGS="
+                "--xla_force_host_platform_device_count)")
+        if neighbor_table is not None:
+            raise SystemExit(
+                "--shards does not support neighborhood-GQE checkpoints")
+        mesh = mesh_lib.make_mesh(
+            (1, args.shards), devices=jax.devices()[:args.shards])
+        server = ShardedQueryServer(state.params, cfg, kg.entity_mode, mesh)
+    else:
+        server = QueryServer(state.params, cfg, kg.entity_mode,
+                             neighbor_table=neighbor_table)
     structures = args.structures.split(",")
     server.warmup(structures, batch=args.batch, k=args.k)
 

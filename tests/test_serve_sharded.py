@@ -1,0 +1,123 @@
+"""ShardedQueryServer: answers over a row-sharded entity table match
+the single-device QueryServer element-exactly (8-virtual-device mesh).
+
+No [B, n_entities] score matrix exists on any device — the per-shard
+local top-k + merge path (parallel/rank_shard) serves the regime where
+the table itself exceeds one chip."""
+
+import jax
+import numpy as np
+import pytest
+
+from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+from mpqe_tpu.models import gqe as gqe_mod
+from mpqe_tpu.models import mpqe as mpqe_mod
+from mpqe_tpu.parallel import mesh as mesh_lib
+from mpqe_tpu.serve import QueryServer, ShardedQueryServer
+from mpqe_tpu.train import loop as loop_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # 151 entities: NOT divisible by 4 shards — exercises row padding
+    kg = make_random_kg(n_entities=151, n_modes=3, n_base_rels=4,
+                        n_triples=900, seed=6)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=2, readout="tgt",
+    )
+    state = loop_mod.init_train_state(
+        jax.random.PRNGKey(0), cfg, loop_mod.TrainConfig())
+    mesh = mesh_lib.make_mesh((2, 4), devices=jax.devices()[:8])
+    dense = QueryServer(state.params, cfg, kg.entity_mode)
+    sharded = ShardedQueryServer(state.params, cfg, kg.entity_mode, mesh)
+    return kg, dense, sharded
+
+
+def test_sharded_matches_dense_topk(setup):
+    kg, dense, sharded = setup
+    sampler = QuerySampler(kg, seed=2)
+    qs = []
+    for s in ("1-chain", "2-chain", "2-inter", "3-chain_inter"):
+        qs += sampler.sample_queries(s, 5, n_neg=1)
+    a_d = dense.answer(qs, k=7)
+    a_s = sharded.answer(qs, k=7)
+    for d, s_ in zip(a_d, a_s):
+        np.testing.assert_allclose(s_.scores, d.scores, rtol=0, atol=1e-6)
+        # ids may differ only where scores tie exactly; with random
+        # embeddings ties don't occur
+        np.testing.assert_array_equal(s_.entity_ids, d.entity_ids)
+
+
+def test_sharded_mode_masking_and_pad_rows(setup):
+    kg, _, sharded = setup
+    sampler = QuerySampler(kg, seed=3)
+    qs = sampler.sample_queries("2-inter", 8, n_neg=1)
+    answers = sharded.answer(qs, k=5)
+    for q, a in zip(qs, answers):
+        t_mode = q.formula.node_modes[q.formula.spec.target_slot]
+        for e in a.entity_ids:
+            assert e == -1 or kg.entity_mode[e] == t_mode
+        # pad rows (ids >= n_entities) can never appear
+        assert (a.entity_ids < kg.n_entities).all()
+
+
+def test_sharded_k_exceeding_mode_population(setup):
+    kg, _, sharded = setup
+    # ask for more answers than the rarest mode has entities: the tail
+    # must be (-inf, -1) filler, not wrong-mode or pad rows
+    counts = np.bincount(kg.entity_mode, minlength=kg.n_modes)
+    rare = int(np.argmin(counts))
+    sampler = QuerySampler(kg, seed=4)
+    q = next(qq for qq in (sampler.sample_query("1-chain", n_neg=1)
+                           for _ in range(200))
+             if qq.formula.node_modes[1] == rare)
+    k = int(counts[rare]) + 3
+    a = sharded.answer([q], k=k)[0]
+    finite = np.isfinite(a.scores)
+    assert finite.sum() == counts[rare]
+    assert (a.entity_ids[~finite] == -1).all()
+
+
+def test_sharded_rejects_gqe(setup):
+    kg, _, _ = setup
+    cfg = gqe_mod.GQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, decoder="bilinear", intersection="deepsets",
+    )
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh((2, 4), devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="MPQE"):
+        ShardedQueryServer(params, cfg, kg.entity_mode, mesh)
+
+
+def test_sharded_serves_over_http(setup):
+    """netserve needs only .answer()/.max_batch — the sharded server
+    plugs into the HTTP front end unchanged."""
+    import json
+    import threading
+    import urllib.request
+
+    from mpqe_tpu.netserve import make_http_server
+
+    kg, dense, sharded = setup
+    srv = make_http_server(sharded, kg, "127.0.0.1", 0, default_k=5,
+                           max_wait_ms=1.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        q = QuerySampler(kg, seed=5).sample_query("2-chain", n_neg=1)
+        req = urllib.request.Request(
+            url + "/v1/answer",
+            data=json.dumps({"queries": [{
+                "structure": "2-chain", "anchors": list(q.anchors),
+                "rels": list(q.formula.rels)}]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        wire = body["answers"][0]
+        direct = dense.answer([q], k=5)[0]
+        assert wire["entities"] == [int(e) for e in direct.entity_ids]
+    finally:
+        srv.shutdown()
+        srv.batcher.stop()
