@@ -40,6 +40,11 @@ def main(argv=None):
                         "[B, n_entities] matmul per chunk — beyond the "
                         "reference's sampled-negative protocol)")
     p.add_argument("--hits_at", default="1,3,10")
+    p.add_argument("--shards", type=int, default=0,
+                   help=">1: run --ranking over a model-axis mesh of this "
+                        "many devices with the entity table row-sharded "
+                        "(full_ranking_sharded — tables that exceed one "
+                        "chip; MPQE checkpoints only)")
     args, _ = p.parse_known_args(argv)
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
@@ -108,9 +113,22 @@ def main(argv=None):
 
     if args.ranking:
         hits = tuple(int(k) for k in args.hits_at.split(","))
-        rk = evaluation.full_ranking(
-            state.params, cfg, val_q, kg.entity_mode, hits_at=hits,
-            neighbor_table=neighbor_table)
+        if args.shards > 1:
+            from mpqe_tpu.parallel import mesh as mesh_lib
+
+            if len(jax.devices()) < args.shards:
+                raise SystemExit(
+                    f"--shards {args.shards} needs that many devices, "
+                    f"have {len(jax.devices())}")
+            mesh = mesh_lib.make_mesh(
+                (1, args.shards), devices=jax.devices()[:args.shards])
+            rk = evaluation.full_ranking_sharded(
+                state.params, cfg, val_q, kg.entity_mode, mesh,
+                hits_at=hits)
+        else:
+            rk = evaluation.full_ranking(
+                state.params, cfg, val_q, kg.entity_mode, hits_at=hits,
+                neighbor_table=neighbor_table)
         for structure, m in rk.items():
             print(json.dumps({"ranking": structure, **m}))
 

@@ -126,6 +126,29 @@ def make_sharded_topk_fn(mesh, cfg, k: int):
     return jax.jit(fn)
 
 
+def shard_encode_params(params: Dict[str, Any], mesh) -> Dict[str, Any]:
+    """Encode-side params with the entity table row-sharded over the
+    model axis: rows are padded to a shard multiple first (padded rows
+    are never gathered — entity ids stay < n_entities), everything else
+    replicates.  The layout the spmd train step leaves the table in."""
+    from . import sharding as sharding_lib
+
+    model = mesh_lib.model_axis(mesh)
+    s = mesh.shape[model]
+    ent = jnp.asarray(params["emb"]["ent"], jnp.float32)
+    n = ent.shape[0]
+    n_pad = -(-n // s) * s
+    if n_pad != n:
+        ent = jnp.concatenate(
+            [ent, jnp.zeros((n_pad - n, ent.shape[1]), ent.dtype)])
+    emb = dict(params["emb"])
+    emb["ent"] = ent
+    p = dict(params)
+    p["emb"] = emb
+    return sharding_lib.shard_params(
+        p, mesh, shard_entity_table=True, shard_relations=False)
+
+
 def shard_table(mesh, ent: jax.Array, entity_mode: jax.Array,
                 pad_mode: int = -1) -> Tuple[jax.Array, jax.Array, int]:
     """Row-shard (padded) copies of the table + mode vector onto the

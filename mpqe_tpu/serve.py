@@ -223,7 +223,6 @@ class ShardedQueryServer(QueryServer):
     ):
         from mpqe_tpu.parallel import mesh as mesh_lib
         from mpqe_tpu.parallel import rank_shard
-        from mpqe_tpu.parallel import sharding as sharding_lib
         from mpqe_tpu.train.evaluation import _effective_max_batch
 
         if not isinstance(cfg, mpqe_mod.MPQEConfig):
@@ -242,23 +241,13 @@ class ShardedQueryServer(QueryServer):
         self._rank_fns: Dict[Tuple[str, int], Any] = {}
         self._nbr = None
 
-        # encode-side: pad the table to a shard multiple (padded rows are
-        # never gathered — entity ids are < n_entities) and row-shard it
-        ent = jnp.asarray(params["emb"]["ent"], jnp.float32)
-        n, s = ent.shape[0], n_shards
-        n_pad = -(-n // s) * s
-        ent_pad = (ent if n_pad == n else jnp.concatenate(
-            [ent, jnp.zeros((n_pad - n, ent.shape[1]), ent.dtype)]))
-        emb = dict(params["emb"])
-        emb["ent"] = ent_pad
-        p = dict(params)
-        p["emb"] = emb
-        self.params = sharding_lib.shard_params(
-            p, mesh, shard_entity_table=True, shard_relations=False)
+        # encode-side: table rows padded + sharded over the model axis
+        self.params = rank_shard.shard_encode_params(dict(params), mesh)
         # ranking-side: the same padded rows sharded for rank_shard
         # (pad modes are -1: maskable, never a candidate)
         self._ent_norm_t, self._mode_dev, _ = rank_shard.shard_table(
-            mesh, ent, jnp.asarray(self.entity_mode))
+            mesh, jnp.asarray(params["emb"]["ent"], jnp.float32),
+            jnp.asarray(self.entity_mode))
         self._rank_shard = rank_shard
 
     def _rank_fn(self, structure: str, k: int):

@@ -536,11 +536,78 @@ def full_ranking(
             ))
             ranks[lo:hi] = r[: hi - lo]
         if n_q:
-            m: Dict[str, float] = {
-                "mrr": float(np.mean(1.0 / ranks)),
-                "mean_rank": float(ranks.mean()),
-            }
-            for k in hits_at:
-                m[f"hits@{k}"] = float(np.mean(ranks <= k))
-            out[structure] = m
+            out[structure] = _rank_metrics(ranks, hits_at)
+    return out
+
+
+def _rank_metrics(ranks: np.ndarray, hits_at: Tuple[int, ...]
+                  ) -> Dict[str, float]:
+    m: Dict[str, float] = {
+        "mrr": float(np.mean(1.0 / ranks)),
+        "mean_rank": float(ranks.mean()),
+    }
+    for k in hits_at:
+        m[f"hits@{k}"] = float(np.mean(ranks <= k))
+    return m
+
+
+def full_ranking_sharded(
+    params,
+    cfg,  # MPQEConfig only
+    queries_by_structure: Dict[str, Dict[Formula, List[Query]]],
+    entity_mode: np.ndarray,
+    mesh,
+    hits_at: Tuple[int, ...] = (1, 3, 10),
+    max_queries_per_formula: Optional[int] = 200,
+    max_batch: int = 8192,
+) -> Dict[str, Dict[str, float]]:
+    """:func:`full_ranking` over a row-sharded entity table.
+
+    For tables that exceed one chip (config-5 / 10M-entity regime):
+    encode gathers anchor rows from the model-axis-sharded table via
+    GSPMD, and the rank count runs per shard + ``psum``
+    (``parallel/rank_shard``) — no ``[B, n_entities]`` score matrix
+    exists on any device.  Identical rank semantics to
+    :func:`full_ranking` (pinned element-exact in
+    ``tests/test_serve_sharded.py`` / ``test_evaluation.py``)."""
+    from mpqe_tpu.parallel import mesh as mesh_lib
+    from mpqe_tpu.parallel import rank_shard
+
+    if not isinstance(cfg, mpqe_mod.MPQEConfig):
+        raise ValueError("sharded full ranking supports MPQE configs only")
+    entity_mode = np.asarray(entity_mode)
+    es = make_eval_set(queries_by_structure, max_queries_per_formula,
+                       require_negatives=False)
+    p_sh = rank_shard.shard_encode_params(dict(params), mesh)
+    ent_s, mode_s, _ = rank_shard.shard_table(
+        mesh, jnp.asarray(params["emb"]["ent"], jnp.float32),
+        jnp.asarray(entity_mode.astype(np.int32)))
+    rank_fn = rank_shard.make_sharded_rank_fn(mesh, cfg)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def fn(p, ent_sh, mode_sh, structure, ne, nm, er, en, target):
+        q = mpqe_mod.encode_dense_multi(p, cfg, structure, ne, nm, er, en)
+        return rank_fn(ent_sh, mode_sh, q.astype(jnp.float32), target)
+
+    n_shards = mesh.shape[mesh_lib.model_axis(mesh)]
+    max_batch = _effective_max_batch(
+        cfg, max_batch, max(cfg.n_entities // n_shards, 1))
+    out: Dict[str, Dict[str, float]] = {}
+    for structure, data in es.by_structure.items():
+        n_q = data["target"].shape[0]
+        ranks = np.zeros(n_q, np.float64)
+        for lo in range(0, n_q, max_batch):
+            hi = min(lo + max_batch, n_q)
+            B = bucket_size(hi - lo)
+            r = np.asarray(fn(
+                p_sh, ent_s, mode_s, structure,
+                _pad_chunk(data["node_entity"], lo, hi, B),
+                _pad_chunk(data["node_mode"], lo, hi, B),
+                _pad_chunk(data["edge_rel"], lo, hi, B),
+                _pad_chunk(data["edge_norm"], lo, hi, B, 1),
+                _pad_chunk(data["target"][:, None], lo, hi, B)[:, 0],
+            ))
+            ranks[lo:hi] = r[: hi - lo]
+        if n_q:
+            out[structure] = _rank_metrics(ranks, hits_at)
     return out

@@ -176,3 +176,44 @@ def test_full_ranking_gqe(soft_and):
         assert 0 <= m[s]["mrr"] <= 1
         assert m[s]["hits@1"] <= m[s]["hits@3"] <= m[s]["hits@10"]
         assert m[s]["mean_rank"] >= 1
+
+
+def test_full_ranking_sharded_matches_dense():
+    """Sharded full ranking (row-sharded table, per-shard rank counts +
+    psum) reproduces the dense sweep's metrics exactly — including a
+    table size NOT divisible by the shard count (pad rows are inert)."""
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+    from mpqe_tpu.parallel import mesh as mesh_lib
+
+    kg = make_random_kg(n_entities=83, n_modes=2, n_base_rels=3,
+                        n_triples=400, seed=62)
+    sampler = QuerySampler(kg, seed=4)
+    qs = (sampler.sample_queries("1-chain", 15, n_neg=1)
+          + sampler.sample_queries("2-inter", 10, n_neg=1)
+          + sampler.sample_queries("3-chain", 10, n_neg=1))
+    grouped = group_queries_by_formula(qs)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=16, n_layers=2, num_bases=2, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(1), cfg)
+    dense = evaluation.full_ranking(params, cfg, grouped, kg.entity_mode)
+    mesh = mesh_lib.make_mesh((2, 4), devices=jax.devices()[:8])
+    sharded = evaluation.full_ranking_sharded(
+        params, cfg, grouped, kg.entity_mode, mesh)
+    assert set(sharded) == set(dense)
+    for s in dense:
+        for metric, v in dense[s].items():
+            assert abs(sharded[s][metric] - v) < 1e-9, (s, metric)
+
+
+def test_full_ranking_sharded_rejects_gqe():
+    from mpqe_tpu.models import gqe as gqe_mod
+    from mpqe_tpu.parallel import mesh as mesh_lib
+
+    cfg = gqe_mod.GQEConfig(n_entities=10, n_modes=1, n_rels=2,
+                            embed_dim=8)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh((1, 2), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="MPQE"):
+        evaluation.full_ranking_sharded(
+            params, cfg, {}, np.zeros(10, np.int32), mesh)
