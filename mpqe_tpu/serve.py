@@ -57,6 +57,13 @@ class QueryServer:
         max_batch: int = 8192,
         neighbor_table: Optional[Dict[str, Any]] = None,  # GQE
         # encoder="neighborhood": the fanout table ({"idx","mask"})
+        table_dtype: str = "float32",
+        # "bfloat16": half the rank-matmul table bytes (~1e-2 relative
+        #   score error); "int8": quarter bytes + int8 MXU rate — the
+        #   L2-normalized rows live in [-1, 1], so symmetric scale-127
+        #   quantization needs no calibration (requires cosine scoring,
+        #   i.e. cfg.scale_scores).  Quantization perturbs only the
+        #   candidate side; recall-vs-f32 is pinned in tests.
     ):
         from mpqe_tpu.train.evaluation import _effective_max_batch
 
@@ -74,11 +81,24 @@ class QueryServer:
         # compile (minutes over the remote-relay backend)
         self.max_batch = 1 << (eff.bit_length() - 1)
         self._rank_fns: Dict[Tuple[str, int], Any] = {}
+        if table_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unknown table_dtype {table_dtype!r}")
+        if table_dtype == "int8" and not cfg.scale_scores:
+            raise ValueError(
+                "table_dtype='int8' needs cosine scoring "
+                "(cfg.scale_scores): quantization relies on normalized "
+                "rows being bounded by [-1, 1]")
+        self.table_dtype = table_dtype
         ent = params["emb"]["ent"].astype(jnp.float32)
         if cfg.scale_scores:
             ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
         self.params = dict(params)
-        self._ent_norm_t = jnp.asarray(ent).T  # [d, n_entities]
+        ent_t = jnp.asarray(ent).T  # [d, n_entities]
+        if table_dtype == "bfloat16":
+            ent_t = ent_t.astype(jnp.bfloat16)
+        elif table_dtype == "int8":
+            ent_t = jnp.round(ent_t * 127.0).astype(jnp.int8)
+        self._ent_norm_t = ent_t
         self._mode_dev = jnp.asarray(self.entity_mode)
         self._nbr = (None if neighbor_table is None else
                      {"idx": jnp.asarray(neighbor_table["idx"]),
@@ -98,11 +118,22 @@ class QueryServer:
         if cached is not None:
             return cached
         cfg = self.cfg
+        table_dtype = self.table_dtype
 
         def all_scores(q, ent_norm_t):
             q = q.astype(jnp.float32)
             if cfg.scale_scores:
                 q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            if table_dtype == "int8":
+                # both sides symmetric scale-127 int8; int32 MXU
+                # accumulation; one rescale back to cosine units
+                q8 = jnp.round(jnp.clip(q, -1.0, 1.0) * 127.0
+                               ).astype(jnp.int8)
+                s = jnp.dot(q8, ent_norm_t,
+                            preferred_element_type=jnp.int32)
+                return s.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+            if table_dtype == "bfloat16":
+                q = q.astype(jnp.bfloat16)
             return jnp.dot(q, ent_norm_t, preferred_element_type=jnp.float32)
 
         def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode,

@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="HTTP mode: how long a request waits to coalesce "
                         "with concurrent traffic into one dispatch")
+    p.add_argument("--table_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="candidate-table dtype for the rank matmul: "
+                        "bfloat16 halves / int8 quarters the table bytes "
+                        "and raises the MXU rate (recall-vs-f32 pinned in "
+                        "tests; int8 needs cosine scoring)")
     p.add_argument("--shards", type=int, default=0,
                    help=">1: serve over a model-axis mesh of this many "
                         "devices with the entity table row-sharded "
@@ -122,12 +128,15 @@ def main(argv=None):
         if neighbor_table is not None:
             raise SystemExit(
                 "--shards does not support neighborhood-GQE checkpoints")
+        if args.table_dtype != "float32":
+            raise SystemExit("--table_dtype applies to unsharded serving")
         mesh = mesh_lib.make_mesh(
             (1, args.shards), devices=jax.devices()[:args.shards])
         server = ShardedQueryServer(state.params, cfg, kg.entity_mode, mesh)
     else:
         server = QueryServer(state.params, cfg, kg.entity_mode,
-                             neighbor_table=neighbor_table)
+                             neighbor_table=neighbor_table,
+                             table_dtype=args.table_dtype)
     structures = args.structures.split(",")
     server.warmup(structures, batch=args.batch, k=args.k)
 

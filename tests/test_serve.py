@@ -178,3 +178,34 @@ def test_server_gqe_neighborhood_model(trained):
     for q, a in zip(qs, answers):
         assert a.entity_ids.shape == (5,)
         assert np.all(np.isfinite(a.scores))
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_server_quantized_table_recall(trained, dtype):
+    """Quantized candidate tables keep the ranking: top-10 overlap with
+    the f32 server stays high on a trained model (int8's worst case is
+    ~1/127 per-component noise on [-1,1]-normalized rows)."""
+    kg, cfg, state, sampler = trained
+    f32 = QueryServer(state.params, cfg, kg.entity_mode)
+    qt = QueryServer(state.params, cfg, kg.entity_mode, table_dtype=dtype)
+    qs = (sampler.sample_queries("1-chain", 15, n_neg=1)
+          + sampler.sample_queries("2-chain", 15, n_neg=1))
+    a_f = f32.answer(qs, k=10)
+    a_q = qt.answer(qs, k=10)
+    overlaps = [
+        len(set(f.entity_ids.tolist()) & set(q.entity_ids.tolist())) / 10
+        for f, q in zip(a_f, a_q)]
+    assert np.mean(overlaps) >= 0.8, f"mean top-10 overlap {np.mean(overlaps)}"
+    # scores stay in cosine units (the int8 path rescales by 1/127^2)
+    for f, q in zip(a_f, a_q):
+        np.testing.assert_allclose(q.scores, f.scores, atol=0.05)
+
+
+def test_server_int8_requires_cosine(trained):
+    kg, cfg, state, _ = trained
+    import dataclasses as dc
+
+    cfg_raw = dc.replace(cfg, scale_scores=False)
+    with pytest.raises(ValueError, match="cosine"):
+        QueryServer(state.params, cfg_raw, kg.entity_mode,
+                    table_dtype="int8")
