@@ -38,13 +38,46 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from . import mesh as mesh_lib
 
 
-def _local_scores(table_l: jax.Array, q: jax.Array, scale: bool):
-    """[B, N_local] affinities against this shard's rows."""
+def _local_scores(table_l: jax.Array, q: jax.Array, scale: bool,
+                  table_dtype: str = "float32"):
+    """[B, N_local] affinities against this shard's rows.
+
+    Quantized dtypes expect the table PRE-normalized (and, for int8,
+    scale-127 quantized) by :func:`quantize_table`; f32 tables are raw
+    and normalize here per dispatch."""
     if scale:
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    if table_dtype == "int8":
+        q8 = jnp.round(jnp.clip(q, -1.0, 1.0) * 127.0).astype(jnp.int8)
+        s = jnp.dot(q8, table_l.T, preferred_element_type=jnp.int32)
+        return s.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    if table_dtype == "bfloat16":
+        return jnp.dot(q.astype(jnp.bfloat16), table_l.T,
+                       preferred_element_type=jnp.float32)
+    if scale:
         table_l = table_l / (
             jnp.linalg.norm(table_l, axis=-1, keepdims=True) + 1e-12)
     return jnp.dot(q, table_l.T, preferred_element_type=jnp.float32)
+
+
+def quantize_table(ent: jax.Array, table_dtype: str, scale: bool
+                   ) -> jax.Array:
+    """Pre-normalize (cosine) + quantize candidate rows for the sharded
+    rank/topk path.  ``int8`` is calibration-free under cosine scoring:
+    normalized rows are [-1, 1]-bounded, symmetric scale-127 both sides
+    (mirrors serve.QueryServer's single-chip quantization)."""
+    if table_dtype == "float32":
+        return ent
+    if table_dtype == "int8" and not scale:
+        raise ValueError(
+            "table_dtype='int8' needs cosine scoring (normalized rows)")
+    if scale:
+        ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
+    if table_dtype == "bfloat16":
+        return ent.astype(jnp.bfloat16)
+    if table_dtype == "int8":
+        return jnp.round(ent * 127.0).astype(jnp.int8)
+    raise ValueError(f"unknown table_dtype {table_dtype!r}")
 
 
 def make_sharded_rank_fn(mesh, cfg):
@@ -87,18 +120,19 @@ def make_sharded_rank_fn(mesh, cfg):
     return jax.jit(fn)
 
 
-def make_sharded_topk_fn(mesh, cfg, k: int):
+def make_sharded_topk_fn(mesh, cfg, k: int, table_dtype: str = "float32"):
     """fn(ent_sharded, entity_mode_sharded, q, answer_mode) ->
     (scores [B, k], entity_ids [B, k]) — the serving answer path for a
     row-sharded table.  Candidates outside ``answer_mode`` score -inf
-    (mirrors serve.py's mode mask)."""
+    (mirrors serve.py's mode mask).  Non-f32 ``table_dtype`` expects a
+    :func:`quantize_table`-prepared table."""
     model = mesh_lib.model_axis(mesh)
     scale = bool(cfg.scale_scores)
 
     def body(table_l, mode_l, q, answer_mode):
         n_l = table_l.shape[0]
         lo = jax.lax.axis_index(model) * n_l
-        scores_l = _local_scores(table_l, q, scale)
+        scores_l = _local_scores(table_l, q, scale, table_dtype)
         mode_ok = mode_l[None, :] == answer_mode[:, None]
         masked = jnp.where(mode_ok, scores_l, -jnp.inf)
         kk = min(k, n_l)

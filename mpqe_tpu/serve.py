@@ -251,6 +251,10 @@ class ShardedQueryServer(QueryServer):
         entity_mode: np.ndarray,
         mesh,
         max_batch: int = 8192,
+        table_dtype: str = "float32",  # bf16/int8 shrink EACH SHARD's
+        # candidate rows 2x/4x — the same lever as the single-chip
+        # quantization, applied where memory pressure motivated
+        # sharding in the first place (encode params stay f32)
     ):
         from mpqe_tpu.parallel import mesh as mesh_lib
         from mpqe_tpu.parallel import rank_shard
@@ -275,10 +279,14 @@ class ShardedQueryServer(QueryServer):
         # encode-side: table rows padded + sharded over the model axis
         self.params = rank_shard.shard_encode_params(dict(params), mesh)
         # ranking-side: the same padded rows sharded for rank_shard
-        # (pad modes are -1: maskable, never a candidate)
+        # (pad modes are -1: maskable, never a candidate), optionally
+        # pre-normalized + quantized
+        self.table_dtype = table_dtype
+        table = rank_shard.quantize_table(
+            jnp.asarray(params["emb"]["ent"], jnp.float32), table_dtype,
+            bool(cfg.scale_scores))
         self._ent_norm_t, self._mode_dev, _ = rank_shard.shard_table(
-            mesh, jnp.asarray(params["emb"]["ent"], jnp.float32),
-            jnp.asarray(self.entity_mode))
+            mesh, table, jnp.asarray(self.entity_mode))
         self._rank_shard = rank_shard
 
     def _rank_fn(self, structure: str, k: int):
@@ -286,7 +294,8 @@ class ShardedQueryServer(QueryServer):
         if cached is not None:
             return cached
         cfg = self.cfg
-        topk = self._rank_shard.make_sharded_topk_fn(self.mesh, cfg, k)
+        topk = self._rank_shard.make_sharded_topk_fn(
+            self.mesh, cfg, k, table_dtype=self.table_dtype)
 
         def fn(params, ent_s, mode_s, ne, nm, er, en, tgt_mode, nbr=None):
             q = mpqe_mod.encode_dense_multi(

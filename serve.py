@@ -128,11 +128,10 @@ def main(argv=None):
         if neighbor_table is not None:
             raise SystemExit(
                 "--shards does not support neighborhood-GQE checkpoints")
-        if args.table_dtype != "float32":
-            raise SystemExit("--table_dtype applies to unsharded serving")
         mesh = mesh_lib.make_mesh(
             (1, args.shards), devices=jax.devices()[:args.shards])
-        server = ShardedQueryServer(state.params, cfg, kg.entity_mode, mesh)
+        server = ShardedQueryServer(state.params, cfg, kg.entity_mode,
+                                    mesh, table_dtype=args.table_dtype)
     else:
         server = QueryServer(state.params, cfg, kg.entity_mode,
                              neighbor_table=neighbor_table,

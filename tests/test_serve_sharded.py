@@ -121,3 +121,26 @@ def test_sharded_serves_over_http(setup):
     finally:
         srv.shutdown()
         srv.batcher.stop()
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_sharded_quantized_table_recall(setup, dtype):
+    """Quantized SHARD tables (the memory lever where sharding is
+    motivated) keep the ranking close to the f32 sharded server."""
+    kg, dense, sharded = setup
+    mesh = mesh_lib.make_mesh((2, 4), devices=jax.devices()[:8])
+    cfg, params = sharded.cfg, dense.params
+    qt = ShardedQueryServer(params, cfg, kg.entity_mode, mesh,
+                            table_dtype=dtype)
+    sampler = QuerySampler(kg, seed=7)
+    qs = sampler.sample_queries("2-chain", 20, n_neg=1)
+    a_f = sharded.answer(qs, k=10)
+    a_q = qt.answer(qs, k=10)
+    overlaps = [
+        len(set(f.entity_ids.tolist()) & set(q.entity_ids.tolist())) / 10
+        for f, q in zip(a_f, a_q)]
+    assert np.mean(overlaps) >= 0.8
+    for f, q in zip(a_f, a_q):
+        np.testing.assert_allclose(
+            q.scores[np.isfinite(q.scores)],
+            f.scores[np.isfinite(f.scores)], atol=0.05)
