@@ -38,34 +38,58 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from . import mesh as mesh_lib
 
 
+def quantized_scores(q: jax.Array, table_t: jax.Array, table_dtype: str
+                     ) -> jax.Array:
+    """``q @ table_t`` under the table's dtype — THE single place the
+    quantized-scoring formulas live (serve.QueryServer and the sharded
+    rank/topk path both call it, so the int8/bf16 math cannot drift).
+
+    ``q`` is f32 (normalized by the caller when cosine-scoring);
+    ``table_t`` is ``[d, N]``, prepared by :func:`quantize_rows` for
+    non-f32 dtypes.  int8 is calibration-free under cosine scoring:
+    normalized values are [-1, 1]-bounded, symmetric scale-127 on both
+    sides, int32 MXU accumulation, one rescale back to cosine units."""
+    if table_dtype == "int8":
+        q8 = jnp.round(jnp.clip(q, -1.0, 1.0) * 127.0).astype(jnp.int8)
+        s = jnp.dot(q8, table_t, preferred_element_type=jnp.int32)
+        return s.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    if table_dtype == "bfloat16":
+        return jnp.dot(q.astype(jnp.bfloat16), table_t,
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(q, table_t, preferred_element_type=jnp.float32)
+
+
+def quantize_rows(ent_norm: jax.Array, table_dtype: str) -> jax.Array:
+    """Quantize PRE-normalized candidate rows (shared with serve.py)."""
+    if table_dtype == "bfloat16":
+        return ent_norm.astype(jnp.bfloat16)
+    if table_dtype == "int8":
+        return jnp.round(ent_norm * 127.0).astype(jnp.int8)
+    if table_dtype == "float32":
+        return ent_norm
+    raise ValueError(f"unknown table_dtype {table_dtype!r}")
+
+
 def _local_scores(table_l: jax.Array, q: jax.Array, scale: bool,
                   table_dtype: str = "float32"):
     """[B, N_local] affinities against this shard's rows.
 
-    Quantized dtypes expect the table PRE-normalized (and, for int8,
-    scale-127 quantized) by :func:`quantize_table`; f32 tables are raw
-    and normalize here per dispatch."""
+    Quantized dtypes expect the table PRE-normalized + quantized by
+    :func:`quantize_table`; f32 tables are raw and normalize here per
+    dispatch."""
     if scale:
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-    if table_dtype == "int8":
-        q8 = jnp.round(jnp.clip(q, -1.0, 1.0) * 127.0).astype(jnp.int8)
-        s = jnp.dot(q8, table_l.T, preferred_element_type=jnp.int32)
-        return s.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
-    if table_dtype == "bfloat16":
-        return jnp.dot(q.astype(jnp.bfloat16), table_l.T,
-                       preferred_element_type=jnp.float32)
-    if scale:
-        table_l = table_l / (
-            jnp.linalg.norm(table_l, axis=-1, keepdims=True) + 1e-12)
-    return jnp.dot(q, table_l.T, preferred_element_type=jnp.float32)
+        if table_dtype == "float32":
+            table_l = table_l / (
+                jnp.linalg.norm(table_l, axis=-1, keepdims=True) + 1e-12)
+    return quantized_scores(q, table_l.T, table_dtype)
 
 
 def quantize_table(ent: jax.Array, table_dtype: str, scale: bool
                    ) -> jax.Array:
     """Pre-normalize (cosine) + quantize candidate rows for the sharded
-    rank/topk path.  ``int8`` is calibration-free under cosine scoring:
-    normalized rows are [-1, 1]-bounded, symmetric scale-127 both sides
-    (mirrors serve.QueryServer's single-chip quantization)."""
+    rank/topk path.  f32 returns the raw table (normalization happens
+    per dispatch in :func:`_local_scores`)."""
     if table_dtype == "float32":
         return ent
     if table_dtype == "int8" and not scale:
@@ -73,11 +97,7 @@ def quantize_table(ent: jax.Array, table_dtype: str, scale: bool
             "table_dtype='int8' needs cosine scoring (normalized rows)")
     if scale:
         ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
-    if table_dtype == "bfloat16":
-        return ent.astype(jnp.bfloat16)
-    if table_dtype == "int8":
-        return jnp.round(ent * 127.0).astype(jnp.int8)
-    raise ValueError(f"unknown table_dtype {table_dtype!r}")
+    return quantize_rows(ent, table_dtype)
 
 
 def make_sharded_rank_fn(mesh, cfg):
@@ -183,13 +203,25 @@ def shard_encode_params(params: Dict[str, Any], mesh) -> Dict[str, Any]:
         p, mesh, shard_entity_table=True, shard_relations=False)
 
 
+def shard_modes(mesh, entity_mode: jax.Array, n_rows: int,
+                pad_mode: int = -1) -> jax.Array:
+    """Pad the mode vector to ``n_rows`` with ``pad_mode`` (matching no
+    real mode, so pad table rows can never enter a rank count and only
+    appear in a top-k as the ``(-inf, -1)`` filler tail) and shard it
+    over the model axis."""
+    model = mesh_lib.model_axis(mesh)
+    n = entity_mode.shape[0]
+    if n_rows != n:
+        entity_mode = jnp.concatenate(
+            [entity_mode,
+             jnp.full((n_rows - n,), pad_mode, entity_mode.dtype)])
+    return jax.device_put(entity_mode, NamedSharding(mesh, P(model)))
+
+
 def shard_table(mesh, ent: jax.Array, entity_mode: jax.Array,
                 pad_mode: int = -1) -> Tuple[jax.Array, jax.Array, int]:
     """Row-shard (padded) copies of the table + mode vector onto the
-    model axis; returns (ent_sharded, mode_sharded, n_padded).  Pad rows
-    get mode ``pad_mode`` (matching no real mode) so they can never
-    enter a rank count, and can only appear in a top-k as the
-    explicitly-marked ``(-inf, -1)`` filler tail."""
+    model axis; returns (ent_sharded, mode_sharded, n_padded)."""
     model = mesh_lib.model_axis(mesh)
     s = mesh.shape[model]
     n = ent.shape[0]
@@ -197,9 +229,6 @@ def shard_table(mesh, ent: jax.Array, entity_mode: jax.Array,
     if n_pad != n:
         ent = jnp.concatenate(
             [ent, jnp.zeros((n_pad - n, ent.shape[1]), ent.dtype)])
-        entity_mode = jnp.concatenate(
-            [entity_mode,
-             jnp.full((n_pad - n,), pad_mode, entity_mode.dtype)])
     ent_s = jax.device_put(ent, NamedSharding(mesh, P(model, None)))
-    mode_s = jax.device_put(entity_mode, NamedSharding(mesh, P(model)))
+    mode_s = shard_modes(mesh, entity_mode, n_pad, pad_mode)
     return ent_s, mode_s, n_pad

@@ -89,16 +89,15 @@ class QueryServer:
                 "(cfg.scale_scores): quantization relies on normalized "
                 "rows being bounded by [-1, 1]")
         self.table_dtype = table_dtype
+        from mpqe_tpu.parallel.rank_shard import quantize_rows
+
         ent = params["emb"]["ent"].astype(jnp.float32)
         if cfg.scale_scores:
             ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
         self.params = dict(params)
-        ent_t = jnp.asarray(ent).T  # [d, n_entities]
-        if table_dtype == "bfloat16":
-            ent_t = ent_t.astype(jnp.bfloat16)
-        elif table_dtype == "int8":
-            ent_t = jnp.round(ent_t * 127.0).astype(jnp.int8)
-        self._ent_norm_t = ent_t
+        # the quantization formulas live in ONE place (rank_shard) so the
+        # single-chip and sharded paths cannot drift
+        self._ent_norm_t = quantize_rows(jnp.asarray(ent), table_dtype).T
         self._mode_dev = jnp.asarray(self.entity_mode)
         self._nbr = (None if neighbor_table is None else
                      {"idx": jnp.asarray(neighbor_table["idx"]),
@@ -117,6 +116,8 @@ class QueryServer:
         cached = self._rank_fns.get((structure, k))
         if cached is not None:
             return cached
+        from mpqe_tpu.parallel.rank_shard import quantized_scores
+
         cfg = self.cfg
         table_dtype = self.table_dtype
 
@@ -124,17 +125,7 @@ class QueryServer:
             q = q.astype(jnp.float32)
             if cfg.scale_scores:
                 q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-            if table_dtype == "int8":
-                # both sides symmetric scale-127 int8; int32 MXU
-                # accumulation; one rescale back to cosine units
-                q8 = jnp.round(jnp.clip(q, -1.0, 1.0) * 127.0
-                               ).astype(jnp.int8)
-                s = jnp.dot(q8, ent_norm_t,
-                            preferred_element_type=jnp.int32)
-                return s.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
-            if table_dtype == "bfloat16":
-                q = q.astype(jnp.bfloat16)
-            return jnp.dot(q, ent_norm_t, preferred_element_type=jnp.float32)
+            return quantized_scores(q, ent_norm_t, table_dtype)
 
         def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode,
                nbr=None):
@@ -278,15 +269,23 @@ class ShardedQueryServer(QueryServer):
 
         # encode-side: table rows padded + sharded over the model axis
         self.params = rank_shard.shard_encode_params(dict(params), mesh)
-        # ranking-side: the same padded rows sharded for rank_shard
-        # (pad modes are -1: maskable, never a candidate), optionally
-        # pre-normalized + quantized
         self.table_dtype = table_dtype
-        table = rank_shard.quantize_table(
-            jnp.asarray(params["emb"]["ent"], jnp.float32), table_dtype,
-            bool(cfg.scale_scores))
-        self._ent_norm_t, self._mode_dev, _ = rank_shard.shard_table(
-            mesh, table, jnp.asarray(self.entity_mode))
+        if table_dtype == "float32":
+            # ranking reuses the ENCODE table buffer (rank_shard
+            # normalizes f32 per dispatch) — a second row-sharded f32
+            # copy would double the dominant HBM buffer in exactly the
+            # table-exceeds-one-chip regime this class exists for
+            self._ent_norm_t = self.params["emb"]["ent"]
+            self._mode_dev = rank_shard.shard_modes(
+                mesh, jnp.asarray(self.entity_mode),
+                self._ent_norm_t.shape[0])
+        else:
+            # quantized ranking copy (bf16: half, int8: quarter bytes)
+            table = rank_shard.quantize_table(
+                jnp.asarray(params["emb"]["ent"], jnp.float32),
+                table_dtype, bool(cfg.scale_scores))
+            self._ent_norm_t, self._mode_dev, _ = rank_shard.shard_table(
+                mesh, table, jnp.asarray(self.entity_mode))
         self._rank_shard = rank_shard
 
     def _rank_fn(self, structure: str, k: int):

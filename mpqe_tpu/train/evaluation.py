@@ -579,9 +579,12 @@ def full_ranking_sharded(
     es = make_eval_set(queries_by_structure, max_queries_per_formula,
                        require_negatives=False)
     p_sh = rank_shard.shard_encode_params(dict(params), mesh)
-    ent_s, mode_s, _ = rank_shard.shard_table(
-        mesh, jnp.asarray(params["emb"]["ent"], jnp.float32),
-        jnp.asarray(entity_mode.astype(np.int32)))
+    # ranking reuses the encode table buffer (no second row-sharded f32
+    # copy — it would double per-device HBM at exactly the scale that
+    # motivates sharding); only the padded mode vector is new
+    ent_s = p_sh["emb"]["ent"]
+    mode_s = rank_shard.shard_modes(
+        mesh, jnp.asarray(entity_mode.astype(np.int32)), ent_s.shape[0])
     rank_fn = rank_shard.make_sharded_rank_fn(mesh, cfg)
 
     @functools.partial(jax.jit, static_argnums=(3,))

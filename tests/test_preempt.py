@@ -83,3 +83,36 @@ def test_in_process_main_does_not_hijack_sigterm(tmp_path):
     train_mod.main([*ARGS, "--steps", "10",
                     "--run_dir", str(tmp_path / "run2")])
     assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_supervisor_forwards_sigterm_and_does_not_relaunch(tmp_path):
+    """SIGTERM to tools/resilient_train.py reaches the child, which
+    checkpoints and exits 0; the supervisor exits 0 WITHOUT relaunching
+    (a forwarded termination is a shutdown, never a crash)."""
+    run_dir = str(tmp_path / "run")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "tools/resilient_train.py", "--backoff", "0.2",
+         "--", *ARGS, "--steps", "1000000", "--run_dir", run_dir],
+        env=env, cwd=root,
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+    )
+    metrics_path = os.path.join(run_dir, "metrics.jsonl")
+    try:
+        _wait_for_loss_line(metrics_path, proc)
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+        stderr = proc.stderr.read()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == 0, stderr
+    assert "terminated by request" in stderr or \
+        "termination requested" in stderr
+    # exactly one launch, zero relaunches ("relaunching with --resume")
+    assert stderr.count("[resilient] launching") == 1, stderr
+    assert "relaunching with --resume" not in stderr, stderr
+    lines = [json.loads(ln) for ln in open(metrics_path)]
+    events = [ln.get("event") for ln in lines]
+    assert "preempt_stop" in events and "final_checkpoint" in events

@@ -54,11 +54,17 @@ def main(argv=None):
                          "(resume needs a stable checkpoint directory)")
 
     # graceful preemption passes THROUGH the supervisor: forward SIGTERM
-    # to the child (train.py checkpoints and exits 0 -> we return 0, no
-    # relaunch) instead of dying and orphaning it
+    # to the child (train.py checkpoints and exits 0) instead of dying
+    # and orphaning it — and once termination was REQUESTED, never
+    # relaunch, whatever the child's exit code (the child may still die
+    # nonzero if the signal lands before its handler installs, e.g.
+    # during imports/data loading; that is still a shutdown, not a crash)
     child = None
+    stop_requested = False
 
     def _forward(sig, frame):
+        nonlocal stop_requested
+        stop_requested = True
         if child is not None and child.poll() is None:
             child.send_signal(sig)
 
@@ -67,6 +73,10 @@ def main(argv=None):
     restarts, consecutive = 0, 0
     resume_args = list(train_args)
     while True:
+        if stop_requested:
+            print("[resilient] termination requested; not (re)launching",
+                  file=sys.stderr, flush=True)
+            return 0
         t0 = time.monotonic()
         cmd = [args.python, args.train_script] + resume_args
         print(f"[resilient] launching (restart {restarts}): "
@@ -74,6 +84,10 @@ def main(argv=None):
         child = subprocess.Popen(cmd)
         rc = child.wait()
         uptime = time.monotonic() - t0
+        if stop_requested:
+            print(f"[resilient] terminated by request (child rc={rc}); "
+                  "not relaunching", file=sys.stderr, flush=True)
+            return 0 if rc == 0 else rc
         if rc == 0:
             print(f"[resilient] training completed (uptime {uptime:.0f}s)",
                   file=sys.stderr, flush=True)

@@ -174,6 +174,7 @@ def http_phase(args, server, entity_mode):
         return json.dumps({"queries": qs, "k": args.k}).encode()
 
     lat = []
+    errors = []
     lat_lock = threading.Lock()
 
     def client():
@@ -182,10 +183,19 @@ def http_phase(args, server, entity_mode):
             req = urllib.request.Request(
                 url, data=body, headers={"Content-Type": "application/json"})
             t0 = time.perf_counter()
-            with urllib.request.urlopen(req, timeout=600) as r:
-                out = json.loads(r.read())
+            # a failed request must surface in the JSON line, not kill
+            # this thread silently and overstate the throughput numbers
+            try:
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    out = json.loads(r.read())
+                if len(out["answers"]) != args.http_batch:
+                    raise RuntimeError(
+                        f"short response: {len(out['answers'])} answers")
+            except Exception as e:  # noqa: BLE001 — report in stats
+                with lat_lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+                continue
             dt = time.perf_counter() - t0
-            assert len(out["answers"]) == args.http_batch
             with lat_lock:
                 lat.append(dt)
 
@@ -199,8 +209,14 @@ def http_phase(args, server, entity_mode):
     wall = time.perf_counter() - t0
     httpd.shutdown()
     httpd.batcher.stop()
+    if not lat:
+        print(json.dumps({"phase": "http_stream", "error":
+                          f"all {len(errors)} requests failed",
+                          "first_error": errors[0] if errors else None}),
+              flush=True)
+        return
     lat_ms = np.asarray(lat) * 1e3
-    total_q = args.http_clients * args.requests * args.http_batch
+    total_q = len(lat) * args.http_batch  # successful queries only
     sizes = list(httpd.batcher.batch_sizes)
     print(json.dumps({
         "phase": "http_stream", "clients": args.http_clients,
@@ -212,6 +228,8 @@ def http_phase(args, server, entity_mode):
         "latency_ms_p95": float(np.percentile(lat_ms, 95)),
         "dispatches": httpd.batcher.total_dispatches,
         "mean_dispatch_queries": float(np.mean(sizes)) if sizes else 0.0,
+        "errors": len(errors),
+        **({"first_error": errors[0]} if errors else {}),
     }), flush=True)
 
 

@@ -358,36 +358,57 @@ def main(argv=None):
     # checkpoint below then makes the run --resume-able, and the clean
     # exit code 0 tells tools/resilient_train.py NOT to relaunch
     stop_event = threading.Event()
-    prev_sigterm = None
+    prev_sigterm, installed_sigterm = None, False
     if threading.current_thread() is threading.main_thread():
         prev_sigterm = signal.signal(
             signal.SIGTERM, lambda s, f: stop_event.set())
+        installed_sigterm = True
 
-    state = loop_mod.run_train(
-        state, cfg, tc, train_q, val_queries=val_q,
-        should_stop=stop_event.is_set,
-        log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
-        train_step=train_step,
-        multi_step=multi_step,
-        batch_loss_fn=batch_loss_fn,
-        loss_consts=({"neighbor_table": neighbor_table}
-                     if neighbor_table is not None else None),
-        kg=kg, warmup=args.warmup, prefetch=args.prefetch,
-        steps_per_call=args.steps_per_call,
-        train_stores=train_stores,
-        neighbor_table=neighbor_table,
-        trace=((args.trace_skip, args.trace,
-                os.path.join(run_dir, "trace"))
-               if args.trace > 0 else None),
-    )
-    if prev_sigterm is not None:
-        signal.signal(signal.SIGTERM, prev_sigterm)
-    # always save a final checkpoint (best-val checkpoints only exist when
-    # validation ran during training); metric-less saves are never pruned
-    final_path = manager.save(state, wait=True)
-    manager.close()
-    metrics.log({"step": state.step, "event": "final_checkpoint",
-                 "path": final_path})
+    try:
+        state = loop_mod.run_train(
+            state, cfg, tc, train_q, val_queries=val_q,
+            should_stop=stop_event.is_set,
+            log_fn=metrics.log, checkpoint_fn=checkpoint_fn,
+            train_step=train_step,
+            multi_step=multi_step,
+            batch_loss_fn=batch_loss_fn,
+            loss_consts=({"neighbor_table": neighbor_table}
+                         if neighbor_table is not None else None),
+            kg=kg, warmup=args.warmup, prefetch=args.prefetch,
+            steps_per_call=args.steps_per_call,
+            train_stores=train_stores,
+            neighbor_table=neighbor_table,
+            trace=((args.trace_skip, args.trace,
+                    os.path.join(run_dir, "trace"))
+                   if args.trace > 0 else None),
+        )
+        # always save a final checkpoint (best-val checkpoints only exist
+        # when validation ran during training); metric-less saves are
+        # never pruned.  The handler stays installed until the save
+        # commits: a second SIGTERM in the grace window must keep being
+        # swallowed, not kill the process mid-save with a nonzero rc the
+        # supervisor would read as a crash.
+        final_path = manager.save(state, wait=True)
+        manager.close()
+        metrics.log({"step": state.step, "event": "final_checkpoint",
+                     "path": final_path})
+    finally:
+        # ALWAYS uninstall (even when run_train raises): the lambda
+        # closes over THIS run's stop_event — leaking it would make a
+        # later SIGTERM set a dead event instead of terminating
+        if installed_sigterm:
+            signal.signal(signal.SIGTERM,
+                          prev_sigterm if prev_sigterm is not None
+                          else signal.SIG_DFL)
+    if stop_event.is_set():
+        # preempted: the full final eval can outlast the grace window
+        # (minutes at scale) — exit promptly; --resume picks up from the
+        # checkpoint just saved
+        metrics.log({"step": state.step, "event": "preempt_exit"})
+        print(f"preempted at step={state.step}; checkpoint saved "
+              f"({final_path})")
+        metrics.close()
+        return state
     # batched single-sweep final eval (per-query-relation encoders exist
     # for both MPQE layer kinds and the GQE baselines)
     res = evaluation.evaluate_batched(
