@@ -220,16 +220,30 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802 — stdlib API
-        if self.path != "/healthz":
-            self._send(404, {"error": "not found"})
+        if self.path == "/healthz":
+            kg = self.server.kg
+            self._send(200, {
+                "ok": True,
+                "n_entities": int(kg.n_entities),
+                "n_rels": int(kg.n_rels),
+                "structures": sorted(STRUCTURES),
+            })
             return
-        kg = self.server.kg
-        self._send(200, {
-            "ok": True,
-            "n_entities": int(kg.n_entities),
-            "n_rels": int(kg.n_rels),
-            "structures": sorted(STRUCTURES),
-        })
+        if self.path == "/statz":
+            b = self.server.batcher
+            sizes = list(b.batch_sizes)
+            self._send(200, {
+                "total_dispatches": b.total_dispatches,
+                "total_queries": b.total_queries,
+                "mean_queries_per_dispatch": (
+                    b.total_queries / b.total_dispatches
+                    if b.total_dispatches else 0.0),
+                "recent_dispatch_sizes": sizes[-32:],
+                "max_batch": b.max_batch,
+                "max_wait_ms": b.max_wait_s * 1e3,
+            })
+            return
+        self._send(404, {"error": "not found"})
 
     def do_POST(self):  # noqa: N802 — stdlib API
         if self.path != "/v1/answer":

@@ -308,3 +308,41 @@ def test_train_trace_cli(tmp_path):
     found = [os.path.join(dp, f) for dp, _, fs in os.walk(trace_dir)
              for f in fs]
     assert found, "no trace files written"
+
+
+def test_evaluate_ranking_shards_cli(tmp_path):
+    """evaluate.py --ranking --shards runs the sharded full ranking on
+    the virtual mesh and agrees with the dense run."""
+    import json as _json
+
+    import evaluate as eval_mod
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "60", "--val_every", "50",
+        "--batch_size", "32", "--n_neg", "4",
+        "--structures", "1-chain,2-inter",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "150", "--syn_val_queries", "40",
+        "--run_dir", run_dir,
+    ])
+    import contextlib
+    import io
+
+    def ranking_lines(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eval_mod.main(argv)
+        return {o["ranking"]: o for o in map(_json.loads,
+                                             buf.getvalue().splitlines())
+                if "ranking" in o}
+
+    base = ["--run_dir", run_dir, "--ranking", "--hits_at", "1,5"]
+    dense = ranking_lines(base)
+    sharded = ranking_lines(base + ["--shards", "4"])
+    assert set(sharded) == set(dense) and dense
+    for s in dense:
+        for metric in ("mrr", "hits@1", "hits@5"):
+            assert abs(sharded[s][metric] - dense[s][metric]) < 1e-9

@@ -266,3 +266,19 @@ def test_http_rejects_non_object_bodies(httpd):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url, payload)
         assert e.value.code == 400
+
+
+def test_http_statz(httpd):
+    kg, srv, url = httpd
+    # ensure at least one dispatch happened (other tests in this module
+    # already fired requests, but be self-sufficient)
+    q = QuerySampler(kg, seed=11).sample_query("1-chain", n_neg=1)
+    _post(url, {"queries": [{"structure": "1-chain",
+                             "anchors": list(q.anchors),
+                             "rels": list(q.formula.rels)}]})
+    with urllib.request.urlopen(url + "/statz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["total_dispatches"] >= 1
+    assert body["total_queries"] >= 1
+    assert body["mean_queries_per_dispatch"] > 0
+    assert isinstance(body["recent_dispatch_sizes"], list)
