@@ -14,7 +14,11 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <random>
+#include <string>
+#include <string_view>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -279,6 +283,151 @@ int build_incoming_csr(
     in_src[p] = tails[e];
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------
+// N-Triples parser with term interning (the native IO path behind
+// mpqe_tpu/data/rdf.py; semantics mirror rdf.parse_ntriples exactly —
+// the Python twin is the correctness oracle in tests/test_rdf.py).
+//
+// Two-call protocol: nt_parse scans the whole buffer, interning every
+// term (first-seen order, exactly like the Python interner) and
+// returning counts; nt_export copies the id-triples + term table into
+// caller-allocated buffers; nt_free releases the state.  Grammar errors
+// stop the parse and report the 1-based line in *err_line (handle is
+// still returned so partial results could be inspected; the Python
+// wrapper raises instead).
+// ---------------------------------------------------------------------
+struct NtState {
+  std::vector<int32_t> spo;     // [n, 3] term ids
+  std::vector<uint8_t> o_lit;   // [n]
+  std::vector<int64_t> offs;    // [n_terms + 1] into term_buf
+  std::string term_buf;         // concatenated term bytes
+  // map keys must outlive term_buf reallocations: views point into a
+  // stable side arena (deque never moves existing elements)
+  std::deque<std::string> arena;
+  std::unordered_map<std::string_view, int32_t> intern;
+};
+
+static int32_t nt_intern(NtState* st, const char* s, int64_t len) {
+  auto it = st->intern.find(std::string_view(s, (size_t)len));
+  if (it != st->intern.end()) return it->second;
+  const int32_t id = (int32_t)(st->offs.size() - 1);
+  st->arena.emplace_back(s, (size_t)len);
+  st->intern.emplace(std::string_view(st->arena.back()), id);
+  st->offs.push_back((int64_t)st->term_buf.size() + len);
+  st->term_buf.append(s, (size_t)len);
+  return id;
+}
+
+static inline const char* nt_skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  return p;
+}
+
+// scan one term at p; *is_lit set for literals; returns next position or
+// nullptr on grammar error.  Mirrors rdf._scan_term including the
+// trailing-dot rules (blank labels can't end with '.'; '@lang' stops at
+// '.'; literal content is the RAW bytes between the quotes).
+static const char* nt_scan_term(NtState* st, const char* p,
+                                const char* end, int32_t* id,
+                                uint8_t* is_lit) {
+  *is_lit = 0;
+  if (p >= end) return nullptr;
+  if (*p == '<') {
+    const char* q = (const char*)memchr(p + 1, '>', (size_t)(end - p - 1));
+    if (!q) return nullptr;
+    *id = nt_intern(st, p + 1, q - (p + 1));
+    return q + 1;
+  }
+  if (*p == '_') {
+    const char* q = p;
+    while (q < end && *q != ' ' && *q != '\t' && *q != '\r') ++q;
+    const char* e = q;
+    if (e > p && e[-1] == '.') --e;  // statement terminator, not label
+    *id = nt_intern(st, p, e - p);
+    return e;
+  }
+  if (*p == '"') {
+    const char* q = p + 1;
+    while (q < end && *q != '"') q += (*q == '\\') ? 2 : 1;
+    if (q >= end) return nullptr;
+    *id = nt_intern(st, p + 1, q - (p + 1));
+    *is_lit = 1;
+    ++q;
+    if (q < end && *q == '@') {
+      while (q < end && *q != ' ' && *q != '\t' && *q != '\r' && *q != '.')
+        ++q;
+    } else if (q + 2 < end && q[0] == '^' && q[1] == '^' && q[2] == '<') {
+      const char* r = (const char*)memchr(q + 3, '>', (size_t)(end - q - 3));
+      if (!r) return nullptr;
+      q = r + 1;
+    }
+    return q;
+  }
+  return nullptr;
+}
+
+uint64_t nt_parse(const char* buf, int64_t len, int64_t* n_triples,
+                  int64_t* n_terms, int64_t* term_bytes,
+                  int64_t* err_line) {
+  NtState* st = new NtState();
+  st->offs.push_back(0);
+  *err_line = 0;
+  const char* p = buf;
+  const char* bend = buf + len;
+  int64_t line_no = 0;
+  while (p < bend) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(bend - p));
+    const char* lend = nl ? nl : bend;
+    ++line_no;
+    const char* c = nt_skip_ws(p, lend);
+    // strip trailing ws for the end checks
+    const char* ce = lend;
+    while (ce > c && (ce[-1] == ' ' || ce[-1] == '\t' || ce[-1] == '\r'))
+      --ce;
+    p = nl ? nl + 1 : bend;
+    if (c >= ce || *c == '#') continue;
+    int32_t s_id, p_id, o_id;
+    uint8_t s_lit, p_lit, o_lit;
+    const char* q = nt_scan_term(st, c, ce, &s_id, &s_lit);
+    if (!q || s_lit) { *err_line = line_no; break; }
+    q = nt_skip_ws(q, ce);
+    const char* pred_start = q;
+    q = nt_scan_term(st, q, ce, &p_id, &p_lit);
+    if (!q || p_lit || pred_start >= ce || *pred_start != '<') {
+      *err_line = line_no;
+      break;
+    }
+    q = nt_skip_ws(q, ce);
+    q = nt_scan_term(st, q, ce, &o_id, &o_lit);
+    if (!q) { *err_line = line_no; break; }
+    q = nt_skip_ws(q, ce);
+    if (q >= ce || *q != '.') { *err_line = line_no; break; }
+    st->spo.push_back(s_id);
+    st->spo.push_back(p_id);
+    st->spo.push_back(o_id);
+    st->o_lit.push_back(o_lit);
+  }
+  *n_triples = (int64_t)st->o_lit.size();
+  *n_terms = (int64_t)st->offs.size() - 1;
+  *term_bytes = (int64_t)st->term_buf.size();
+  return (uint64_t)(uintptr_t)st;
+}
+
+int nt_export(uint64_t handle, int32_t* spo, uint8_t* o_lit,
+              int64_t* term_offsets, char* term_buf) {
+  NtState* st = (NtState*)(uintptr_t)handle;
+  if (!st) return 1;
+  std::memcpy(spo, st->spo.data(), st->spo.size() * 4);
+  std::memcpy(o_lit, st->o_lit.data(), st->o_lit.size());
+  std::memcpy(term_offsets, st->offs.data(), st->offs.size() * 8);
+  std::memcpy(term_buf, st->term_buf.data(), st->term_buf.size());
+  return 0;
+}
+
+void nt_free(uint64_t handle) {
+  delete (NtState*)(uintptr_t)handle;
 }
 
 }  // extern "C"

@@ -92,6 +92,20 @@ def _load(path: str) -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
         _i32p, _i32p, _i32p,
     ]
+    lib.nt_parse.restype = ctypes.c_uint64
+    lib.nt_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.nt_export.restype = ctypes.c_int
+    lib.nt_export.argtypes = [
+        ctypes.c_uint64, _i32p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        _i64p, ctypes.c_char_p,
+    ]
+    lib.nt_free.restype = None
+    lib.nt_free.argtypes = [ctypes.c_uint64]
     return lib
 
 
@@ -275,3 +289,42 @@ def sample_queries_native(
     if rc != 0:
         raise RuntimeError(f"sample_chain_queries failed rc={rc}")
     return {"entities": entities, "rels": rels, "negatives": negs}
+
+
+# ----------------------------------------------------------------------
+def parse_ntriples_native(data: bytes):
+    """Native N-Triples parse + term interning (cpp nt_parse).
+
+    Returns ``(spo [n, 3] int32 term ids, o_lit [n] bool, terms)`` —
+    array-identical to ``rdf.intern_statements(rdf.parse_ntriples(...))``
+    on the same bytes (pinned in tests/test_rdf.py).  Raises
+    ``rdf.NTriplesError`` with the 1-based line on grammar errors."""
+    assert _lib is not None, "call ensure_built() first"
+    from mpqe_tpu.data.rdf import NTriplesError
+
+    n_trip = ctypes.c_int64()
+    n_terms = ctypes.c_int64()
+    term_bytes = ctypes.c_int64()
+    err_line = ctypes.c_int64()
+    handle = _lib.nt_parse(
+        data, len(data),
+        ctypes.byref(n_trip), ctypes.byref(n_terms),
+        ctypes.byref(term_bytes), ctypes.byref(err_line))
+    try:
+        if err_line.value:
+            raise NTriplesError(
+                f"line {err_line.value}: invalid N-Triples statement")
+        spo = np.empty((max(n_trip.value, 1), 3), np.int32)
+        o_lit = np.empty(max(n_trip.value, 1), np.uint8)
+        offs = np.empty(n_terms.value + 1, np.int64)
+        buf = ctypes.create_string_buffer(max(term_bytes.value, 1))
+        rc = _lib.nt_export(handle, spo, o_lit, offs, buf)
+        if rc != 0:
+            raise RuntimeError("nt_export failed")
+    finally:
+        _lib.nt_free(handle)
+    raw = buf.raw[: term_bytes.value]
+    terms = [raw[offs[i]:offs[i + 1]].decode("utf-8", "replace")
+             for i in range(n_terms.value)]
+    return (spo[: n_trip.value],
+            o_lit[: n_trip.value].astype(bool), terms)

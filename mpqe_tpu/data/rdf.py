@@ -30,8 +30,7 @@ dataset directory for ``train.py --data pkl:<dir>``.
 from __future__ import annotations
 
 import gzip
-from collections import Counter
-from typing import Dict, Iterable, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -142,77 +141,146 @@ def iter_ntriples_file(path: str) -> Iterator[Tuple[str, str, str, bool]]:
 
 
 # ----------------------------------------------------------------------
-# RDF -> KnowledgeGraph
+# RDF -> KnowledgeGraph (array path; both parsers feed it)
 # ----------------------------------------------------------------------
-def kg_from_rdf(
-    triples: Iterable[Tuple[str, str, str, bool]],
+def intern_statements(
+    statements: Iterable[Tuple[str, str, str, bool]],
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """(s, p, o, is_lit) stream -> id triples + first-seen term table.
+
+    The same interning order the native parser (cpp nt_parse) produces,
+    so the two front ends are array-identical on identical bytes."""
+    intern: Dict[str, int] = {}
+    terms: List[str] = []
+    spo: List[int] = []
+    lit: List[bool] = []
+
+    def tid(t: str) -> int:
+        i = intern.get(t)
+        if i is None:
+            i = intern[t] = len(terms)
+            terms.append(t)
+        return i
+
+    for s, p, o, o_lit in statements:
+        spo.append(tid(s))
+        spo.append(tid(p))
+        spo.append(tid(o))
+        lit.append(o_lit)
+    return (np.asarray(spo, np.int32).reshape(-1, 3),
+            np.asarray(lit, bool), terms)
+
+
+def kg_from_terms(
+    spo: np.ndarray,
+    o_lit: np.ndarray,
+    terms: Sequence[str],
     *,
     type_pred: str = RDF_TYPE,
     min_rel_count: int = 1,
     drop_preds: Sequence[str] = (),
 ) -> KnowledgeGraph:
-    """Convert parsed RDF statements into a KnowledgeGraph.
+    """Interned statements -> KnowledgeGraph (array implementation).
 
     Deterministic: modes sorted by type IRI, base relations sorted by
-    (predicate, from_mode, to_mode), entity ids sorted by (mode, IRI) —
-    the same bytes always produce the same id assignment.
+    (predicate, from_mode, to_mode) strings, entity ids sorted by
+    (mode, IRI) — the same bytes always produce the same id assignment.
+    (Triple ORDER within the store is id-sorted, which carries no
+    semantics — the CSR re-sorts internally.)
+
+    Heavy work (dedup, counting, filtering) runs in id space with
+    numpy; strings are touched only at entity/relation granularity.
     """
-    drop = set(drop_preds)
-    ent_type: Dict[str, str] = {}
-    struct: List[Tuple[str, str, str]] = []
-    for s, p, o, o_lit in triples:
-        if p == type_pred:
-            if not o_lit and (s not in ent_type or o < ent_type[s]):
-                ent_type[s] = o
-            continue
-        if o_lit or p in drop:
-            continue
-        struct.append((s, p, o))
-    if not struct:
+    spo = np.asarray(spo, np.int32).reshape(-1, 3)
+    o_lit = np.asarray(o_lit, bool)
+    terms = list(terms)
+
+    def term_id(t: str) -> int:
+        try:
+            return terms.index(t)
+        except ValueError:
+            return -1
+
+    type_id = term_id(type_pred)
+    drop_ids = [term_id(p) for p in drop_preds]
+    s, p, o = spo[:, 0], spo[:, 1], spo[:, 2]
+
+    # entity mode = lexicographically smallest type IRI (rank space)
+    is_type = (p == type_id) & ~o_lit
+    utypes = np.unique(o[is_type])
+    order = sorted(range(len(utypes)), key=lambda i: terms[utypes[i]])
+    rank_of = np.empty(len(utypes), np.int64)
+    for r_, i in enumerate(order):
+        rank_of[i] = r_
+    untyped_rank = len(utypes)
+    ent_rank = np.full(len(terms), untyped_rank, np.int64)
+    if utypes.size:
+        t_rank = rank_of[np.searchsorted(utypes, o[is_type])]
+        np.minimum.at(ent_rank, s[is_type], t_rank)
+    rank_name = [terms[int(utypes[i])] for i in order] + [UNTYPED_MODE]
+
+    # structural triples: non-literal, non-type, non-dropped; dedup
+    keep = ~o_lit & (p != type_id)
+    for d in drop_ids:
+        keep &= p != d
+    st = np.unique(spo[keep], axis=0)
+    if st.size == 0:
         raise ValueError("no structural (entity-to-entity) triples found")
+    s2, p2, o2 = st[:, 0], st[:, 1], st[:, 2]
 
-    struct = sorted(set(struct))  # dedup, deterministic order
-
-    def mode_of(e: str) -> str:
-        return ent_type.get(e, UNTYPED_MODE)
-
-    # base relation = (predicate, from_mode_name, to_mode_name)
-    rel_keys = [(p, mode_of(s), mode_of(o)) for s, p, o in struct]
-    counts = Counter(rel_keys)
-    kept_keys = sorted(k for k, c in counts.items() if c >= min_rel_count)
-    if not kept_keys:
+    # base relation = (predicate, from_mode, to_mode); prune by count
+    key_rows = np.stack(
+        [p2.astype(np.int64), ent_rank[s2], ent_rank[o2]], axis=1)
+    ukeys, inv, counts = np.unique(
+        key_rows, axis=0, return_inverse=True, return_counts=True)
+    kept_idx = np.flatnonzero(counts >= min_rel_count)
+    if kept_idx.size == 0:
         raise ValueError(
-            f"min_rel_count={min_rel_count} prunes every relation"
-        )
-    rel_id = {k: i for i, k in enumerate(kept_keys)}
-    kept = [
-        (s, o, rel_id[k])
-        for (s, p, o), k in zip(struct, rel_keys)
-        if k in rel_id
-    ]
+            f"min_rel_count={min_rel_count} prunes every relation")
+    kept_sorted = sorted(
+        kept_idx.tolist(),
+        key=lambda i: (terms[int(ukeys[i, 0])],
+                       rank_name[int(ukeys[i, 1])],
+                       rank_name[int(ukeys[i, 2])]))
+    rel_of_key = np.full(len(ukeys), -1, np.int64)
+    for new_id, ki in enumerate(kept_sorted):
+        rel_of_key[ki] = new_id
+    trip_rel = rel_of_key[inv]
+    m = trip_rel >= 0
+    s3, o3, r3 = s2[m], o2[m], trip_rel[m]
 
     # modes/entities over SURVIVING triples only (pruning a relation may
     # remove the last reference to an entity or a whole mode)
-    ents = sorted(
-        {s for s, _, _ in kept} | {o for _, o, _ in kept},
-        key=lambda e: (mode_of(e), e),
-    )
-    mode_names = tuple(sorted({mode_of(e) for e in ents}))
-    mode_id = {m: i for i, m in enumerate(mode_names)}
-    eid = {e: i for i, e in enumerate(ents)}
-    entity_mode = np.asarray([mode_id[mode_of(e)] for e in ents], np.int32)
-    trip_arr = np.asarray(
-        [(eid[s], r, eid[o]) for s, o, r in kept], np.int32
-    )
-    rel_domain = np.asarray([mode_id[k[1]] for k in kept_keys], np.int32)
-    rel_range = np.asarray([mode_id[k[2]] for k in kept_keys], np.int32)
+    ents = np.unique(np.concatenate([s3, o3]))
+    ent_mode_name = [rank_name[int(ent_rank[e])] for e in ents]
+    ent_order = sorted(
+        range(len(ents)),
+        key=lambda i: (ent_mode_name[i], terms[int(ents[i])]))
+    mode_names = tuple(sorted(set(ent_mode_name)))
+    mode_id = {mn: i for i, mn in enumerate(mode_names)}
+    eid = np.full(len(terms), -1, np.int64)
+    for new_id, i in enumerate(ent_order):
+        eid[ents[i]] = new_id
+    entity_mode = np.asarray(
+        [mode_id[ent_mode_name[i]] for i in ent_order], np.int32)
+    trip_arr = np.stack([eid[s3], r3, eid[o3]], axis=1).astype(np.int32)
+
+    def key_names(ki):
+        pk, fm, tm = ukeys[ki]
+        return terms[int(pk)], rank_name[int(fm)], rank_name[int(tm)]
+
+    rel_domain = np.asarray(
+        [mode_id[key_names(ki)[1]] for ki in kept_sorted], np.int32)
+    rel_range = np.asarray(
+        [mode_id[key_names(ki)[2]] for ki in kept_sorted], np.int32)
     # embed the mode pair in the name: keeps (from, name, to) pickle keys
     # unique even when one predicate spans several mode pairs
-    rel_names = tuple(f"{p}|{fm}>{tm}" for p, fm, tm in kept_keys)
+    rel_names = tuple(
+        "{}|{}>{}".format(*key_names(ki)) for ki in kept_sorted)
     return make_knowledge_graph(
         trip_arr,
         entity_mode,
-        len(kept_keys),
+        len(kept_sorted),
         rel_domain=rel_domain,
         rel_range=rel_range,
         mode_names=mode_names,
@@ -220,6 +288,34 @@ def kg_from_rdf(
     )
 
 
-def load_ntriples_kg(path: str, **kw) -> KnowledgeGraph:
-    """``.nt(.gz)`` file -> KnowledgeGraph (see :func:`kg_from_rdf`)."""
+def kg_from_rdf(
+    triples: Iterable[Tuple[str, str, str, bool]],
+    **kw,
+) -> KnowledgeGraph:
+    """Parsed RDF statements -> KnowledgeGraph (see kg_from_terms)."""
+    spo, lit, terms = intern_statements(triples)
+    if spo.size == 0:
+        raise ValueError("no structural (entity-to-entity) triples found")
+    return kg_from_terms(spo, lit, terms, **kw)
+
+
+def load_ntriples_kg(path: str, native: Optional[bool] = None,
+                     **kw) -> KnowledgeGraph:
+    """``.nt(.gz)`` file -> KnowledgeGraph.
+
+    ``native=None`` uses the C++ parser (cpp/mpqe_host.cpp nt_parse —
+    term-interning at native speed, the IO-heavy half of ingestion) when
+    the library is available, falling back to the pure-Python stream;
+    True forces native (raises if unavailable), False forces Python.
+    Both front ends produce array-identical term tables (pinned in
+    tests/test_rdf.py)."""
+    from mpqe_tpu.data import native as native_mod
+
+    use_native = (native_mod.available() if native is None else native)
+    if use_native:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            data = f.read()
+        spo, lit, terms = native_mod.parse_ntriples_native(data)
+        return kg_from_terms(spo, lit, terms, **kw)
     return kg_from_rdf(iter_ntriples_file(path), **kw)

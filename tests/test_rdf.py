@@ -212,3 +212,57 @@ def test_parse_ntriples_dot_without_whitespace():
     ]))
     assert [r[2] for r in rows] == ["_:b0", "x", "http://b", "1"]
     assert [r[3] for r in rows] == [False, True, False, True]
+
+
+def test_native_parse_matches_python():
+    """The C++ nt_parse front end (cpp/mpqe_host.cpp) is array-identical
+    to the Python parser + interner on the same bytes — ids, literal
+    flags, AND the first-seen term table."""
+    from mpqe_tpu.data import native as native_mod
+
+    if not native_mod.ensure_built():
+        pytest.skip("native library unavailable")
+    tricky = NT + "\n".join([
+        "<http://a> <http://p> _:b9.",
+        '<http://a> <http://p> "x"@en.',
+        "<http://a> <http://p> <http://b>.",
+        '<http://a> <http://p> "1"^^<http://t>.',
+        '  <http://ws> <http://p> <http://b> .  ',
+        '<http://a> <http://p> "esc \\" quote" .',
+    ]) + "\n"
+    spo_p, lit_p, terms_p = rdf_mod.intern_statements(
+        rdf_mod.parse_ntriples(tricky.splitlines()))
+    spo_n, lit_n, terms_n = native_mod.parse_ntriples_native(
+        tricky.encode())
+    assert terms_n == terms_p
+    np.testing.assert_array_equal(spo_n, spo_p)
+    np.testing.assert_array_equal(lit_n, lit_p)
+
+
+def test_native_parse_error_line():
+    from mpqe_tpu.data import native as native_mod
+
+    if not native_mod.ensure_built():
+        pytest.skip("native library unavailable")
+    bad = b"<http://a> <http://p> <http://b> .\n<http://a> nope .\n"
+    with pytest.raises(rdf_mod.NTriplesError, match="line 2"):
+        native_mod.parse_ntriples_native(bad)
+
+
+def test_load_ntriples_kg_native_equals_python(tmp_path):
+    from mpqe_tpu.data import native as native_mod
+
+    if not native_mod.ensure_built():
+        pytest.skip("native library unavailable")
+    src = make_random_kg(
+        n_entities=150, n_modes=3, n_base_rels=5, n_triples=1200, seed=13)
+    nt = str(tmp_path / "kg.nt.gz")
+    _write_nt_from_kg(src, nt, gz=True)
+    kg_n = rdf_mod.load_ntriples_kg(nt, native=True)
+    kg_p = rdf_mod.load_ntriples_kg(nt, native=False)
+    np.testing.assert_array_equal(kg_n.entity_mode, kg_p.entity_mode)
+    np.testing.assert_array_equal(kg_n.heads, kg_p.heads)
+    np.testing.assert_array_equal(kg_n.rels, kg_p.rels)
+    np.testing.assert_array_equal(kg_n.tails, kg_p.tails)
+    assert kg_n.rel_names == kg_p.rel_names
+    assert kg_n.mode_names == kg_p.mode_names
