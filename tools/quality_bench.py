@@ -90,7 +90,8 @@ def train_model(model, kg, train_q, val_q, args):
     else:
         cfg = gqe_mod.GQEConfig(
             n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
-            embed_dim=args.dim, decoder="bilinear", intersection="deepsets",
+            embed_dim=args.dim, decoder=args.gqe_decoder,
+            intersection=args.gqe_intersection,
             encoder=args.gqe_encoder,
         )
         init_fn = gqe_mod.init_gqe
@@ -140,6 +141,10 @@ def main(argv=None):
                     help="GQE anchor encoder (models/aggregators.py "
                          "GraphSAGE-style when 'neighborhood')")
     ap.add_argument("--gqe_fanout", type=int, default=8)
+    ap.add_argument("--gqe_decoder", default="bilinear",
+                    choices=["bilinear", "transe", "distmult"])
+    ap.add_argument("--gqe_intersection", default="deepsets",
+                    choices=["min", "mean", "deepsets"])
     ap.add_argument("--holdout", default="",
                     help="comma list of structures excluded from training "
                          "and evaluated zero-shot")
