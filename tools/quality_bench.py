@@ -84,7 +84,7 @@ def train_model(model, kg, train_q, val_q, args):
         cfg = mpqe_mod.MPQEConfig(
             n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
             embed_dim=args.dim, n_layers=3, num_bases=args.bases,
-            readout="tgt",
+            readout=args.mpqe_readout,
         )
         init_fn, loss_fn, enc = None, None, None
     else:
@@ -141,6 +141,10 @@ def main(argv=None):
                     help="GQE anchor encoder (models/aggregators.py "
                          "GraphSAGE-style when 'neighborhood')")
     ap.add_argument("--gqe_fanout", type=int, default=8)
+    ap.add_argument("--mpqe_readout", default="tgt",
+                    choices=["tgt", "sum", "max", "concat", "mlp"],
+                    help="MPQE readout (the paper's readout-comparison "
+                         "axis; TGT is its headline)")
     ap.add_argument("--gqe_decoder", default="bilinear",
                     choices=["bilinear", "transe", "distmult"])
     ap.add_argument("--gqe_intersection", default="deepsets",
