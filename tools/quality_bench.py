@@ -83,7 +83,8 @@ def train_model(model, kg, train_q, val_q, args):
     if model == "mpqe":
         cfg = mpqe_mod.MPQEConfig(
             n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
-            embed_dim=args.dim, n_layers=3, num_bases=args.bases,
+            embed_dim=args.dim, n_layers=3,
+            num_bases=args.bases or None,  # 0 = full per-relation weights
             readout=args.mpqe_readout,
         )
         init_fn, loss_fn, enc = None, None, None
