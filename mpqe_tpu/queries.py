@@ -112,12 +112,83 @@ STRUCTURE_NAMES: Tuple[str, ...] = tuple(STRUCTURES)
 # Query "types" grouped by anchor arity, mirroring the reference's
 # {train,val,test}_queries_{2,3}.pkl split (SURVEY.md §A.3).
 CHAIN_STRUCTURES = ("1-chain", "2-chain", "3-chain")
-INTERSECTION_STRUCTURES = (
+# a SET (membership-checked only) so register_structure can extend it
+# in place — from-imports across the package see the mutation
+INTERSECTION_STRUCTURES = {
     "2-inter",
     "3-inter",
     "3-inter_chain",
     "3-chain_inter",
-)
+}
+
+
+def register_structure(
+    name: str,
+    n_anchors: int,
+    n_vars: int,
+    edges: Sequence[Tuple[int, int]],
+) -> QueryStructure:
+    """Register a CUSTOM query-DAG template under ``name``.
+
+    The reference hardcodes its 7 templates (SURVEY.md §2.1 batcher
+    row); here templates are data, so a new DAG shape (a 4-chain, a
+    deeper intersection tree, ...) gets the whole stack — sampler,
+    C++/numpy batch packers, dense encoder, curriculum training, eval,
+    serving — without touching any of it.  Slot convention: anchors are
+    slots ``0..n_anchors-1``, variables follow, the target is LAST.
+
+    Validated invariants (the ones the rest of the framework relies
+    on):
+      * every edge points toward the target: ``src < dst``, and no edge
+        ends at an anchor slot;
+      * iterating edges in REVERSE, each edge's destination is the
+        target or was bound (as the source) by a later edge — the
+        sampler's backward-walk requirement;
+      * every slot participates in some edge.
+
+    ``diameter`` (TGT readout depth) is computed as the longest path to
+    the target.  Structures with a multi-in-edge node register as
+    intersections (hard-negative protocol applies).
+    """
+    if name in STRUCTURES:
+        raise ValueError(f"structure {name!r} already registered")
+    n_nodes = n_anchors + n_vars + 1
+    target = n_nodes - 1
+    edges = [(int(s), int(d)) for s, d in edges]
+    touched = set()
+    for s, d in edges:
+        if not (0 <= s < d < n_nodes):
+            raise ValueError(
+                f"edge ({s},{d}) must satisfy 0 <= src < dst < {n_nodes} "
+                "(edges point toward the target)")
+        if d < n_anchors:
+            raise ValueError(f"edge ({s},{d}) ends at an anchor slot")
+        touched.add(s)
+        touched.add(d)
+    if touched != set(range(n_nodes)):
+        raise ValueError(
+            f"disconnected slots: {sorted(set(range(n_nodes)) - touched)}")
+    bound = {target}
+    for s, d in reversed(edges):
+        if d not in bound:
+            raise ValueError(
+                f"edge ({s},{d}): destination unbound in the backward "
+                "walk — order edges anchor-to-target")
+        bound.add(s)
+    # diameter = longest path to target (src < dst => descending DP)
+    dist = [0] * n_nodes
+    for s, d in sorted(edges, key=lambda e: -e[1]):
+        dist[s] = max(dist[s], dist[d] + 1)
+    spec = _s(name, n_nodes, len(edges), max(dist),
+              list(range(n_anchors)),
+              list(range(n_anchors, n_nodes - 1)), edges)
+    STRUCTURES[name] = spec
+    in_deg: Dict[int, int] = {}
+    for _, d in edges:
+        in_deg[d] = in_deg.get(d, 0) + 1
+    if any(v >= 2 for v in in_deg.values()):
+        INTERSECTION_STRUCTURES.add(name)
+    return spec
 
 
 @dataclasses.dataclass(frozen=True)
