@@ -98,7 +98,7 @@ def main(argv=None):
     targs = train_parse_args(
         [f"--{k}" if v is True else f"--{k}={v}"
          for k, v in run_cfg.items()
-         if k in ("data", "structures", "seed", "syn_entities", "syn_modes",
+         if k in ("data", "structures", "custom_structures", "seed", "syn_entities", "syn_modes",
                   "syn_rels", "syn_triples") and v is not None])
     kg, _, _ = load_data(targs)
 

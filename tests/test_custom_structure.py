@@ -2,11 +2,12 @@
 here register_structure() gives a new shape the whole stack — sampler,
 packers, training, eval, serving — without touching any of it."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
 
-from mpqe_tpu import queries as q_mod
 from mpqe_tpu.data.sampler import QuerySampler, make_rule_kg
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.queries import (INTERSECTION_STRUCTURES, STRUCTURES,
@@ -95,3 +96,35 @@ def test_custom_structures_train_eval_serve(custom):
         state.params, cfg, group_queries_by_formula(val_q),
         kg.entity_mode, hits_at=(1, 5))
     assert set(rk) == {"4-chain", "2-inter_chain2"}
+
+
+def test_custom_structures_cli_round_trip(tmp_path):
+    """--custom_structures registers templates from JSON before data
+    loading; evaluate.py and serve.py re-register from the saved run
+    config so a custom-structure checkpoint round-trips."""
+    import json
+
+    import evaluate as eval_mod
+    import serve as serve_mod
+    import train as train_mod
+
+    spec_path = str(tmp_path / "structs.json")
+    with open(spec_path, "w") as f:
+        json.dump([{"name": "cli-4-chain", "n_anchors": 1, "n_vars": 3,
+                    "edges": [[0, 1], [1, 2], [2, 3], [3, 4]]}], f)
+    run_dir = str(tmp_path / "run")
+    train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "4",
+        "--num_bases", "2", "--steps", "60", "--val_every", "50",
+        "--batch_size", "32", "--n_neg", "2",
+        "--custom_structures", spec_path,
+        "--structures", "1-chain,cli-4-chain",
+        "--syn_entities", "150", "--syn_triples", "600",
+        "--syn_train_queries", "200", "--syn_val_queries", "40",
+        "--run_dir", run_dir,
+    ])
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read()
+    assert "cli-4-chain" in lines
+    eval_mod.main(["--run_dir", run_dir, "--n_neg", "8"])
+    serve_mod.main(["--run_dir", run_dir, "--requests", "4",
+                    "--batch", "2", "--structures", "cli-4-chain"])

@@ -120,6 +120,11 @@ def parse_args(argv=None):
                    help="retain only the best-k validation checkpoints")
     p.add_argument("--structures", default="all",
                    help="comma list or 'all' or 'chains'")
+    p.add_argument("--custom_structures", default=None,
+                   help="JSON file registering extra query-DAG templates "
+                        "before data loading: a list of {name, n_anchors, "
+                        "n_vars, edges} objects (queries.register_structure)"
+                        " — name them in --structures to train on them")
     # synthetic data knobs
     p.add_argument("--syn_entities", type=int, default=500)
     p.add_argument("--syn_modes", type=int, default=3)
@@ -131,6 +136,18 @@ def parse_args(argv=None):
 
 
 def load_data(args):
+    if getattr(args, "custom_structures", None):
+        import json as _json
+
+        from mpqe_tpu.queries import STRUCTURES, register_structure
+
+        with open(args.custom_structures) as f:
+            for spec in _json.load(f):
+                if spec["name"] in STRUCTURES:
+                    continue  # idempotent across resume/eval reloads
+                register_structure(
+                    spec["name"], spec["n_anchors"], spec["n_vars"],
+                    [tuple(e) for e in spec["edges"]])
     structures = (
         list(STRUCTURE_NAMES)
         if args.structures == "all"
