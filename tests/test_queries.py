@@ -22,7 +22,12 @@ EXPECTED = {
 
 
 def test_all_seven_structures_present():
-    assert set(STRUCTURES) == set(EXPECTED)
+    # custom registrations (register_structure) may ADD entries within a
+    # test process; the canonical 7 and their snapshot tuple are fixed
+    assert set(EXPECTED) <= set(STRUCTURES)
+    from mpqe_tpu.queries import STRUCTURE_NAMES
+
+    assert set(STRUCTURE_NAMES) == set(EXPECTED)
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTED))
