@@ -266,3 +266,58 @@ def test_load_ntriples_kg_native_equals_python(tmp_path):
     np.testing.assert_array_equal(kg_n.tails, kg_p.tails)
     assert kg_n.rel_names == kg_p.rel_names
     assert kg_n.mode_names == kg_p.mode_names
+
+
+def test_parsers_fuzz_round_trip():
+    """Randomized statements (IRIs, blank nodes, literals with escapes,
+    lang tags, datatypes, creative whitespace, dot spacing) round-trip
+    through BOTH parsers identically — the native parser does raw C
+    string scanning, so fuzz what the grammar allows."""
+    from mpqe_tpu.data import native as native_mod
+
+    rng = np.random.default_rng(99)
+    alphabet = list("abcXYZ09_-./#:~%")
+
+    def iri():
+        n = int(rng.integers(1, 12))
+        return "http://" + "".join(rng.choice(alphabet, n))
+
+    def bnode():
+        return "_:b" + "".join(rng.choice(list("abc012"), 3))
+
+    def literal():
+        n = int(rng.integers(0, 8))
+        # escaped quote (backslash-quote) and escaped backslash
+        # (backslash-backslash) stay RAW in both parsers; tokens are
+        # whole escape sequences so a quote is never left unescaped
+        body = "".join(rng.choice(alphabet + ['\\"', "\\\\", " "], n))
+        suffix = rng.choice(["", "@en", "@de-DE", "^^<http://t/int>"])
+        return f'"{body}"{suffix}', True
+
+    lines = []
+    for _ in range(300):
+        s = bnode() if rng.random() < 0.2 else f"<{iri()}>"
+        p = f"<{iri()}>"
+        if rng.random() < 0.4:
+            o, _lit = literal()
+        elif rng.random() < 0.5:
+            o = f"<{iri()}>"
+        else:
+            o = bnode()
+        ws1 = " " * int(rng.integers(1, 3))
+        ws2 = "\t" if rng.random() < 0.2 else " "
+        dot = rng.choice([" .", ".", "  .  "])
+        # '.' directly after a datatype IRI / plain IRI / bnode / lang is
+        # valid; after a bare literal with no suffix "x". is NOT handled
+        # by the python scanner either (quote ends the term) — it is:
+        lines.append(f"{s}{ws1}{p}{ws2}{o}{dot}")
+    text = "\n".join(lines) + "\n"
+    spo_p, lit_p, terms_p = rdf_mod.intern_statements(
+        rdf_mod.parse_ntriples(text.splitlines()))
+    assert len(lit_p) == 300
+    if native_mod.ensure_built():
+        spo_n, lit_n, terms_n = native_mod.parse_ntriples_native(
+            text.encode())
+        assert terms_n == terms_p
+        np.testing.assert_array_equal(spo_n, spo_p)
+        np.testing.assert_array_equal(lit_n, lit_p)
