@@ -144,3 +144,29 @@ def test_sharded_quantized_table_recall(setup, dtype):
         np.testing.assert_allclose(
             q.scores[np.isfinite(q.scores)],
             f.scores[np.isfinite(f.scores)], atol=0.05)
+
+
+def test_protocol_eval_is_sharding_transparent(setup):
+    """evaluate_batched (the AUC/APR protocol eval) over GSPMD-sharded
+    params equals the dense result exactly: its table accesses are
+    gathers, which XLA lowers to collectives under the row-sharded
+    layout — so protocol eval needs no sharded variant, only sharded
+    params (full_ranking needed rank_shard because of the [B, N]
+    matrix, not the gathers)."""
+    from mpqe_tpu.parallel import rank_shard
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.train import evaluation
+
+    kg, dense_srv, sharded_srv = setup
+    sampler = QuerySampler(kg, seed=12)
+    val = group_queries_by_formula(
+        sampler.sample_queries("2-chain", 30, n_neg=8)
+        + sampler.sample_queries("2-inter", 30, n_neg=8, n_hard_neg=8))
+    cfg, params = sharded_srv.cfg, dense_srv.params
+    dense = evaluation.evaluate_batched(
+        params, cfg, evaluation.make_eval_set(val))
+    p_sh = rank_shard.shard_encode_params(dict(params), sharded_srv.mesh)
+    sharded = evaluation.evaluate_batched(
+        p_sh, cfg, evaluation.make_eval_set(val))
+    assert dense.macro_auc == sharded.macro_auc
+    assert dense.macro_apr == sharded.macro_apr
