@@ -378,15 +378,23 @@ uint64_t nt_parse(const char* buf, int64_t len, int64_t* n_triples,
   const char* bend = buf + len;
   int64_t line_no = 0;
   while (p < bend) {
-    const char* nl = (const char*)memchr(p, '\n', (size_t)(bend - p));
-    const char* lend = nl ? nl : bend;
+    // universal newlines like the Python text-mode twin: '\n', '\r',
+    // and '\r\n' each terminate one line (bare-CR files must not
+    // silently collapse into a single line)
+    const char* nl = p;
+    while (nl < bend && *nl != '\n' && *nl != '\r') ++nl;
+    const char* lend = nl;
     ++line_no;
     const char* c = nt_skip_ws(p, lend);
     // strip trailing ws for the end checks
     const char* ce = lend;
     while (ce > c && (ce[-1] == ' ' || ce[-1] == '\t' || ce[-1] == '\r'))
       --ce;
-    p = nl ? nl + 1 : bend;
+    p = nl;
+    if (p < bend) {
+      ++p;
+      if (nl[0] == '\r' && p < bend && *p == '\n') ++p;  // CRLF = one break
+    }
     if (c >= ce || *c == '#') continue;
     int32_t s_id, p_id, o_id;
     uint8_t s_lit, p_lit, o_lit;

@@ -326,5 +326,21 @@ def parse_ntriples_native(data: bytes):
     raw = buf.raw[: term_bytes.value]
     terms = [raw[offs[i]:offs[i + 1]].decode("utf-8", "replace")
              for i in range(n_terms.value)]
-    return (spo[: n_trip.value],
-            o_lit[: n_trip.value].astype(bool), terms)
+    spo = spo[: n_trip.value]
+    # C++ interns raw BYTES; the Python twin interns decoded text.  On
+    # invalid UTF-8 the errors='replace' decode can merge byte-distinct
+    # terms — re-intern the decoded strings (first-seen order preserved)
+    # so the id space matches the Python parser on any input.
+    if len(set(terms)) != len(terms):
+        remap: Dict[str, int] = {}
+        dedup: list = []
+        new_id = np.empty(len(terms), np.int32)
+        for i, t in enumerate(terms):
+            j = remap.get(t)
+            if j is None:
+                j = remap[t] = len(dedup)
+                dedup.append(t)
+            new_id[i] = j
+        spo = new_id[spo]
+        terms = dedup
+    return spo, o_lit[: n_trip.value].astype(bool), terms

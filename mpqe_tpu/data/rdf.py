@@ -54,6 +54,8 @@ def _scan_term(line: str, pos: int) -> Tuple[str, bool, int]:
     (the suffix is consumed but discarded — literals are dropped by the
     KG conversion anyway)."""
     n = len(line)
+    if pos >= n:
+        raise NTriplesError("truncated statement")
     c = line[pos]
     if c == "<":
         end = line.find(">", pos + 1)
@@ -311,7 +313,18 @@ def load_ntriples_kg(path: str, native: Optional[bool] = None,
     tests/test_rdf.py)."""
     from mpqe_tpu.data import native as native_mod
 
-    use_native = (native_mod.available() if native is None else native)
+    if native is None:
+        use_native = native_mod.available()
+    elif native:
+        # available() lazily builds/loads the library; forcing native
+        # must trigger that too (not just assume a prior caller did)
+        if not native_mod.available():
+            raise RuntimeError(
+                "native N-Triples parser requested but cpp/libmpqe_host.so "
+                "is unavailable (make -C cpp failed?)")
+        use_native = True
+    else:
+        use_native = False
     if use_native:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rb") as f:

@@ -108,6 +108,9 @@ class MicroBatcher:
             maxlen=1024)
         self.total_dispatches = 0
         self.total_queries = 0
+        # /statz reads these from handler threads while _loop appends;
+        # iterating a mutating deque raises RuntimeError without it
+        self.stats_lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._stopped = False
@@ -172,9 +175,10 @@ class MicroBatcher:
 
     def _drain(self, batch) -> None:
         n = sum(len(qs) for qs, _, _ in batch)
-        self.batch_sizes.append(n)
-        self.total_dispatches += 1
-        self.total_queries += n
+        with self.stats_lock:
+            self.batch_sizes.append(n)
+            self.total_dispatches += 1
+            self.total_queries += n
         by_k: Dict[int, List[Tuple[List[Query], Future]]] = {}
         for qs, k, fut in batch:
             by_k.setdefault(k, []).append((qs, fut))
@@ -231,13 +235,15 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if self.path == "/statz":
             b = self.server.batcher
-            sizes = list(b.batch_sizes)
+            with b.stats_lock:
+                sizes = list(b.batch_sizes)
+                dispatches = b.total_dispatches
+                queries = b.total_queries
             self._send(200, {
-                "total_dispatches": b.total_dispatches,
-                "total_queries": b.total_queries,
+                "total_dispatches": dispatches,
+                "total_queries": queries,
                 "mean_queries_per_dispatch": (
-                    b.total_queries / b.total_dispatches
-                    if b.total_dispatches else 0.0),
+                    queries / dispatches if dispatches else 0.0),
                 "recent_dispatch_sizes": sizes[-32:],
                 "max_batch": b.max_batch,
                 "max_wait_ms": b.max_wait_s * 1e3,

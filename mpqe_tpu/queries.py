@@ -168,6 +168,14 @@ def register_structure(
     if touched != set(range(n_nodes)):
         raise ValueError(
             f"disconnected slots: {sorted(set(range(n_nodes)) - touched)}")
+    # every variable/target slot must be DEFINED by propagation — a
+    # source-only variable slot passes the backward walk but crashes the
+    # sampler's topological check later; reject it here instead
+    in_slots = {d for _, d in edges}
+    no_in = [i for i in range(n_anchors, n_nodes) if i not in in_slots]
+    if no_in:
+        raise ValueError(
+            f"variable/target slots without an incoming edge: {no_in}")
     bound = {target}
     for s, d in reversed(edges):
         if d not in bound:

@@ -42,6 +42,11 @@ def test_register_validates(custom):
         register_structure("bad3", 1, 2, [(0, 3), (1, 3)])
     with pytest.raises(ValueError, match="backward walk"):
         register_structure("bad4", 1, 1, [(1, 2), (0, 1)])
+    # a source-only VARIABLE slot passes the backward walk but can never
+    # be bound by propagation — must be rejected here, not crash the
+    # sampler with a bare AssertionError later
+    with pytest.raises(ValueError, match="incoming edge"):
+        register_structure("bad5", 1, 1, [(0, 2), (1, 2)])
 
 
 def test_register_spec_properties(custom):
@@ -128,3 +133,39 @@ def test_custom_structures_cli_round_trip(tmp_path):
     eval_mod.main(["--run_dir", run_dir, "--n_neg", "8"])
     serve_mod.main(["--run_dir", run_dir, "--requests", "4",
                     "--batch", "2", "--structures", "cli-4-chain"])
+
+
+def test_custom_structures_name_collision_rejected(tmp_path):
+    """A spec whose name is already registered with a DIFFERENT template
+    must error, not silently train on the wrong DAG; the IDENTICAL spec
+    stays idempotent (resume/eval reloads)."""
+    import json
+
+    import train as train_mod
+
+    # identical to the canonical 2-chain -> idempotent, loads fine
+    ok_path = str(tmp_path / "ok.json")
+    with open(ok_path, "w") as f:
+        json.dump([{"name": "2-chain", "n_anchors": 1, "n_vars": 1,
+                    "edges": [[0, 1], [1, 2]]}], f)
+    args = train_mod.parse_args([
+        "--data", "synthetic", "--structures", "1-chain",
+        "--custom_structures", ok_path,
+        "--syn_entities", "80", "--syn_triples", "300",
+        "--syn_train_queries", "50", "--syn_val_queries", "10",
+    ])
+    train_mod.load_data(args)
+
+    # same name, different edges -> hard error
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as f:
+        json.dump([{"name": "2-chain", "n_anchors": 2, "n_vars": 0,
+                    "edges": [[0, 2], [1, 2]]}], f)
+    args = train_mod.parse_args([
+        "--data", "synthetic", "--structures", "1-chain",
+        "--custom_structures", bad_path,
+        "--syn_entities", "80", "--syn_triples", "300",
+        "--syn_train_queries", "50", "--syn_val_queries", "10",
+    ])
+    with pytest.raises(ValueError, match="DIFFERENT template"):
+        train_mod.load_data(args)

@@ -47,6 +47,8 @@ def test_parse_ntriples_terms():
     '<http://x/a> "lit" <http://x/b> .',            # literal predicate
     "<http://x/a <http://x/p> <http://x/b> .",      # unterminated IRI
     '<http://x/a> <http://x/p> "open .',            # unterminated literal
+    "<http://x/a> <http://x/p>",                    # truncated (no object)
+    "<http://x/a>",                                 # truncated (subj only)
 ])
 def test_parse_ntriples_rejects(bad):
     with pytest.raises(rdf_mod.NTriplesError):
@@ -321,3 +323,57 @@ def test_parsers_fuzz_round_trip():
         assert terms_n == terms_p
         np.testing.assert_array_equal(spo_n, spo_p)
         np.testing.assert_array_equal(lit_n, lit_p)
+
+
+def test_parsers_agree_on_cr_terminators_and_invalid_utf8():
+    """Bare-CR line terminators and invalid UTF-8 used to diverge: the
+    native parser split lines only on '\\n' (silently dropping every
+    statement after the first per physical CR-line) and interned raw
+    BYTES while the Python twin interns decoded text (errors='replace'
+    can merge byte-distinct terms).  Both front ends must now produce
+    identical arrays on these inputs too."""
+    from mpqe_tpu.data import native as native_mod
+
+    if not native_mod.ensure_built():
+        pytest.skip("native library unavailable")
+    cases = [
+        # bare CR: two statements, not one
+        b"<http://a> <http://p> <http://b> .\r<http://c> <http://p> <http://d> .\r",
+        # CRLF: one line break each, no phantom blank lines
+        b"<http://a> <http://p> <http://b> .\r\n<http://c> <http://p> <http://d> .\r\n",
+        # invalid UTF-8: \xff and \xfe both decode to U+FFFD -> the two
+        # byte-distinct IRIs are ONE term after decoding
+        b"<http://a\xff> <http://p> <http://a\xfe> .\n",
+        # mixed terminators + a comment line
+        b"# hdr\r<http://a> <http://p> <http://b> .\n<http://c> <http://p> <http://d> .\r\n",
+    ]
+    for data in cases:
+        spo_n, lit_n, terms_n = native_mod.parse_ntriples_native(data)
+        spo_p, lit_p, terms_p = rdf_mod.intern_statements(
+            rdf_mod.parse_ntriples(
+                data.decode("utf-8", "replace").splitlines()))
+        assert terms_n == terms_p, data
+        np.testing.assert_array_equal(spo_n, spo_p)
+        np.testing.assert_array_equal(lit_n, lit_p)
+
+
+def test_load_ntriples_kg_native_forced_builds_lazily(tmp_path):
+    """native=True in a FRESH interpreter must trigger the lazy library
+    build/load itself (it used to assume a prior available() call and
+    crash on an assert)."""
+    import subprocess
+    import sys
+
+    nt = tmp_path / "kg.nt"
+    nt.write_text("<http://a> <http://p> <http://b> .\n"
+                  "<http://b> <http://q> <http://a> .\n")
+    code = (
+        "from mpqe_tpu.data import rdf\n"
+        f"kg = rdf.load_ntriples_kg({str(nt)!r}, native=True)\n"
+        "print('entities', kg.n_entities)\n")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+        timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "entities 2" in out.stdout

@@ -82,6 +82,12 @@ def main(argv=None):
         print(f"[resilient] launching (restart {restarts}): "
               f"{' '.join(cmd)}", file=sys.stderr, flush=True)
         child = subprocess.Popen(cmd)
+        # close the race: a SIGTERM landing between the loop-top check
+        # and Popen saw child None/dead — it set stop_requested but had
+        # nothing to forward to.  Re-check now that the child exists
+        # (train.py's handler tolerates a duplicate SIGTERM).
+        if stop_requested and child.poll() is None:
+            child.send_signal(signal.SIGTERM)
         rc = child.wait()
         uptime = time.monotonic() - t0
         if stop_requested:

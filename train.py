@@ -143,11 +143,24 @@ def load_data(args):
 
         with open(args.custom_structures) as f:
             for spec in _json.load(f):
+                edges = [(int(s), int(d)) for s, d in spec["edges"]]
                 if spec["name"] in STRUCTURES:
-                    continue  # idempotent across resume/eval reloads
+                    # idempotent across resume/eval reloads — but ONLY
+                    # for the identical template; silently training on a
+                    # different same-named DAG would be wrong answers
+                    ex = STRUCTURES[spec["name"]]
+                    same = (
+                        len(ex.anchor_slots) == int(spec["n_anchors"])
+                        and len(ex.var_slots) == int(spec["n_vars"])
+                        and list(zip(ex.edge_src, ex.edge_dst)) == edges)
+                    if not same:
+                        raise ValueError(
+                            f"--custom_structures: {spec['name']!r} is "
+                            "already registered with a DIFFERENT template "
+                            "(rename the custom structure)")
+                    continue
                 register_structure(
-                    spec["name"], spec["n_anchors"], spec["n_vars"],
-                    [tuple(e) for e in spec["edges"]])
+                    spec["name"], spec["n_anchors"], spec["n_vars"], edges)
     structures = (
         list(STRUCTURE_NAMES)
         if args.structures == "all"
