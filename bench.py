@@ -42,6 +42,7 @@ STRUCTURE = "3-chain_inter"
 BATCH = 131_072
 N_NEG = 4
 N_SMALL, N_LARGE = 5, 55
+N_LARGE_FWD = 255  # forward loops are cheap enough for tighter stats
 TORCH_BATCH = 8_192
 TORCH_ITERS = 5
 
@@ -53,7 +54,7 @@ def log(msg: str) -> None:
 BROKEN_TIMINGS: list = []
 
 
-def _timed_loop(loop_fn, *args, n_small=N_SMALL, n_large=N_LARGE,
+def _timed_loop(loop_fn, *args, n_small=None, n_large=None,
                 samples=3):
     """Overhead-cancelled per-iteration seconds for loop_fn(*args, n) —
     median of positive deltas via utils/profiling.loop_time.  If the
@@ -64,7 +65,9 @@ def _timed_loop(loop_fn, *args, n_small=N_SMALL, n_large=N_LARGE,
     try:
         return profiling.loop_time(
             lambda n: loop_fn(*args, n),
-            n_small=n_small, n_large=n_large, samples=samples, log=log)
+            n_small=N_SMALL if n_small is None else n_small,
+            n_large=N_LARGE if n_large is None else n_large,
+            samples=samples, log=log)
     except RuntimeError as e:
         log(f"  timing BROKEN: {e}")
         BROKEN_TIMINGS.append(str(e))
@@ -122,7 +125,7 @@ def bench_jax():
 
     log(f"compiling forward (B={B}) on {jax.default_backend()}...")
     fwd_dt_xla = _timed_loop(fwd_loop, params, node_entity, node_mode,
-                             edge_norm, n_large=255)
+                             edge_norm, n_large=N_LARGE_FWD)
     log(f"fwd (XLA): {fwd_dt_xla*1e3:.3f} ms")
 
     # fused whole-forward Pallas kernel — the `--kernel fused_fwd`
@@ -155,7 +158,7 @@ def bench_jax():
 
         log("compiling fused forward...")
         fwd_dt_fused = _timed_loop(fwd_loop_fused, params, edge_norm,
-                                   n_large=255)
+                                   n_large=N_LARGE_FWD)
         log(f"fwd (fused kernel): {fwd_dt_fused*1e3:.3f} ms")
 
     import math
@@ -590,10 +593,45 @@ def bench_torch_baseline():
             "torch_train_queries_per_s": B / step_dt}
 
 
+def _guard_relay():
+    """Keep the driver's JSON line alive through a relay outage.
+
+    The axon backend init BLOCKS forever when the TPU relay is down
+    (outages of many hours observed round 3) — a hung bench records
+    NOTHING for the round.  Probe the default backend in a subprocess
+    first; on a dead relay, pin the CPU backend in-process and shrink
+    the workload so the fallback finishes inside the driver's timeout.
+    Returns True when the fallback engaged (recorded in extras — a CPU
+    number is honest only if labeled as one).
+    """
+    import os
+
+    from mpqe_tpu.utils.platform import pin_platform_from_env, relay_alive
+
+    pin_platform_from_env()
+    plats = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plats and "axon" not in plats:
+        return False  # explicitly non-TPU: nothing to probe
+    log("probing TPU relay health (subprocess tiny jit, <=150 s)...")
+    if relay_alive(timeout_s=150.0):
+        log("relay ok")
+        return False
+    log("RELAY DOWN: falling back to the CPU backend at reduced shapes "
+        "so the driver still gets a (labeled) JSON line")
+    global BATCH, N_SMALL, N_LARGE, N_LARGE_FWD
+    BATCH = TORCH_BATCH  # same batch as the torch baseline
+    N_SMALL, N_LARGE, N_LARGE_FWD = 1, 6, 12
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return True
+
+
 def main():
     import os
 
     tb = bench_torch_baseline()  # run first: clean CPU, no tunnel interference
+    relay_down = _guard_relay()
     jx = bench_jax()
     vs = (
         jx["fwd_edges_per_s"] / tb["torch_fwd_edges_per_s"]
@@ -609,6 +647,11 @@ def main():
         extra["kernel_paths"] = bench_kernel_paths()
     if BROKEN_TIMINGS:
         extra["broken_timings"] = BROKEN_TIMINGS
+    if relay_down:
+        extra["relay_down_cpu_fallback"] = (
+            "TPU relay unreachable at bench time; values measured on the "
+            f"CPU backend at batch {BATCH} — NOT comparable to on-chip "
+            "rounds (see BASELINE.md for the last on-chip numbers)")
     record = {
         "metric": "rgcn_fwd_edges_per_s_chip",
         "value": jx["fwd_edges_per_s"],

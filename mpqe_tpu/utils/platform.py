@@ -18,6 +18,36 @@ from __future__ import annotations
 import os
 
 
+def relay_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the default (axon) backend in a SUBPROCESS with a hard
+    timeout.
+
+    The relay can be down for hours (observed round 3), and a hung
+    backend init cannot be interrupted in-process (it blocks inside the
+    PJRT plugin's C extension) — so the probe must run out-of-process.
+    Returns True iff a tiny jitted computation completes within
+    ``timeout_s``.  ~10-60 s when the relay is healthy (one remote
+    compile); the generous default absorbs a slow-but-alive relay.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "print(float(jax.jit(lambda x: (x @ x).sum())"
+        "(jnp.ones((128, 128)))))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
 def pin_platform_from_env() -> None:
     """Honor a non-axon ``JAX_PLATFORMS`` env var in-process.
 
