@@ -55,6 +55,32 @@ import numpy as np
 _LAYER_RE = re.compile(r"(?:^|\.)(?:convs?|layers|rgcns?)\.(\d+)\.([A-Za-z_]+)$")
 
 
+def export_mpqe_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_mpqe_params`: mpqe_tpu params as a
+    reference-shaped state dict (same PyG/RGCNConv naming this module's
+    classifier reads back — ``import(export(p)) == p`` is pinned by
+    test).  Readout params (mlp/concat) keep this framework's own leaf
+    names under ``readout.*`` — the reference's readout-module names are
+    not recoverable (mount empty); the classifier's key map imports them.
+    """
+    out: Dict[str, np.ndarray] = {
+        "enc.ent.weight": np.asarray(params["emb"]["ent"]),
+        "mode_embeddings.weight": np.asarray(params["emb"]["var"]),
+    }
+    for i, layer in enumerate(params["layers"]):
+        pre = f"rgcn.convs.{i}."
+        out[pre + "root"] = np.asarray(layer["w_self"])
+        out[pre + "bias"] = np.asarray(layer["bias"])
+        if "basis" in layer:
+            out[pre + "weight"] = np.asarray(layer["basis"])
+            out[pre + "comp"] = np.asarray(layer["coeff"])
+        else:
+            out[pre + "weight"] = np.asarray(layer["w_rel"])
+    for leaf, arr in params.get("readout", {}).items():
+        out[f"readout.{leaf}"] = np.asarray(arr)
+    return out
+
+
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file into ``{key: float ndarray}``.
 

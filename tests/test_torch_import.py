@@ -182,6 +182,59 @@ def test_key_map_transpose_and_rel_perm():
         _basis_sd()["rgcn.convs.0.comp"].numpy()[perm])
 
 
+def test_export_import_round_trip():
+    """export_mpqe_state_dict -> import_mpqe_params is the identity, for
+    both basis and full-weight layers."""
+    import jax
+
+    for num_bases in (NB, None):
+        cfg = _cfg(num_bases=num_bases)
+        params = mpqe_mod.init_mpqe(jax.random.PRNGKey(3), cfg)
+        sd = ti.export_mpqe_state_dict(params)
+        back, rep = ti.import_mpqe_params(
+            sd, cfg, jax.random.PRNGKey(99),
+            mode_names=("alpha", "beta", "gamma"))
+        assert not rep.missing and not rep.unused_keys
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(back)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_cli_round_trip(tmp_path):
+    """Trained run dir -> .pt -> torch.load has the documented keys."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "tools")
+    import export_torch_checkpoint as ecli  # noqa: E402
+
+    from mpqe_tpu.train import checkpoint as ckpt_mod
+    from mpqe_tpu.train import loop as loop_mod
+    from mpqe_tpu.train.metrics import MetricsWriter
+
+    cfg = _cfg()
+    run_dir = str(tmp_path / "run")
+    m = MetricsWriter(run_dir)
+    import dataclasses
+
+    m.write_config(dataclasses.asdict(cfg), "model_config.json")
+    m.close()
+    state = loop_mod.init_train_state(
+        jax.random.PRNGKey(5), cfg, loop_mod.TrainConfig())
+    ckpt_mod.save_checkpoint(os.path.join(run_dir, "ckpt"), state)
+
+    out = str(tmp_path / "model.pt")
+    ecli.main(["--run_dir", run_dir, "--out", out])
+    sd = torch.load(out, weights_only=True)
+    assert "enc.ent.weight" in sd and "rgcn.convs.1.comp" in sd
+    np.testing.assert_array_equal(
+        sd["enc.ent.weight"].numpy(),
+        np.asarray(state.params["emb"]["ent"]))
+
+
 def test_cli_end_to_end(tmp_path):
     """state_dict file -> run dir -> evaluate.py consumes it."""
     import sys

@@ -13,7 +13,11 @@ documented there) and writes a run dir that ``evaluate.py`` and
     python serve.py --run_dir runs/imported --structures 2-chain
 
 Model shape (embed_dim, n_layers, num_bases, relation vocab) is inferred
-from the state dict; entity/mode counts come from the dataset.  Use
+from the state dict; entity/mode counts come from the dataset.  MPQE
+(R-GCN) checkpoints only: the reference's GQE baselines register one
+parameter per relation TRIPLE under names this build cannot know
+(mount empty) — import those with an explicit ``--map`` onto
+``rel_mat``/``rel_vec``/``rel_diag`` rows if needed.  Use
 ``--map mapping.json`` to override or add assignments
 (``{"layers.0.w_self": {"key": "...", "transpose": false}}``) and
 ``--rel_perm perm.npy`` if the reference enumerated relations in a
