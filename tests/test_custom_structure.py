@@ -135,6 +135,80 @@ def test_custom_structures_cli_round_trip(tmp_path):
                     "--batch", "2", "--structures", "cli-4-chain"])
 
 
+def test_random_dag_fuzz_through_full_stack():
+    """15 random valid query DAGs (1-3 anchors, 0-2 vars, optional extra
+    intersection edge) each go register -> sample -> pack -> encode ->
+    batched eval without touching any stack code — the generalization
+    the reference's hard-coded template dicts cannot make."""
+    rng = np.random.default_rng(7)
+    kg = make_rule_kg(n_entities=200, n_modes=2, n_base_rels=4,
+                      out_degree=1, seed=5, variant="band")
+    sampler = QuerySampler(kg, seed=3)
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=8, n_layers=2, num_bases=2, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+
+    import mpqe_tpu.queries as queries_mod
+
+    before = dict(STRUCTURES)
+    before_inter = set(INTERSECTION_STRUCTURES)
+    try:
+        _fuzz_loop(rng, sampler, cfg, params)
+    finally:
+        # registration is module-global; don't leak 15+ fuzz templates
+        # into later tests in the same process
+        STRUCTURES.clear()
+        STRUCTURES.update(before)
+        INTERSECTION_STRUCTURES.clear()
+        INTERSECTION_STRUCTURES.update(before_inter)
+        assert queries_mod.STRUCTURES is STRUCTURES  # same object, safe
+
+
+def _fuzz_loop(rng, sampler, cfg, params):
+    made = 0
+    for trial in range(80):
+        if made >= 15:
+            break
+        a = int(rng.integers(1, 4))
+        v = int(rng.integers(0, 3))
+        n = a + v + 1
+        t = n - 1
+        # each anchor walks an increasing-slot path through a random
+        # subset of the vars to the target; every var lands on >=1 path
+        assign = [[] for _ in range(a)]
+        for vs in range(a, a + v):
+            assign[int(rng.integers(0, a))].append(vs)
+        edges = set()
+        for ai in range(a):
+            seq = [ai] + sorted(assign[ai]) + [t]
+            edges.update(zip(seq, seq[1:]))
+        if rng.random() < 0.5 and n > 2:
+            # extra incoming edge into a random var/target slot
+            d = int(rng.integers(a, n))
+            s = int(rng.integers(0, d))
+            edges.add((s, d))
+        edges = sorted(edges, key=lambda e: (e[1], e[0]))
+        name = f"fuzz-{trial}-a{a}v{v}"
+        try:
+            spec = register_structure(name, a, v, edges)
+        except ValueError:
+            continue  # extra edge occasionally makes an anchor a sink
+        try:
+            qs = sampler.sample_queries(name, 8, n_neg=4)
+        except RuntimeError:
+            continue  # shape unsatisfiable on this KG (mode constraints)
+        made += 1
+        assert all(len(q.anchors) == a for q in qs)
+        res = evaluation.evaluate_batched(
+            params, cfg, evaluation.make_eval_set(
+                group_queries_by_formula(qs)), n_neg=4)
+        assert name in res.auc_by_structure
+        assert np.isfinite(res.auc_by_structure[name])
+        assert spec.diameter >= 1
+    assert made >= 15
+
+
 def test_custom_structures_name_collision_rejected(tmp_path):
     """A spec whose name is already registered with a DIFFERENT template
     must error, not silently train on the wrong DAG; the IDENTICAL spec
