@@ -91,7 +91,9 @@ def main(argv=None):
         neighbor_table = agg_mod.build_neighbor_table_device(
             kg, fanout=run_cfg["gqe_fanout"], seed=run_cfg["seed"])
 
-    tc = loop_mod.TrainConfig()
+    # optimizer knobs (clip/adamw/schedule) change the opt_state pytree —
+    # the restore template must match what the run trained with
+    tc = loop_mod.train_config_from_run(run_cfg)
     template = loop_mod.init_train_state(
         jax.random.PRNGKey(0), cfg, tc, init_fn=init_fn)
     ckpt = args.ckpt or ckpt_mod.latest_checkpoint(

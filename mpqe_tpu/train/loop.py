@@ -35,7 +35,12 @@ from mpqe_tpu.train import evaluation
 @dataclasses.dataclass
 class TrainConfig:
     lr: float = 0.01
-    lr_schedule: str = "const"  # const | cosine (decay to lr/100 over max_steps)
+    # const | cosine (decay to lr/100 over max_steps) | warmup_cosine
+    # (linear 0 -> lr over warmup_steps, then cosine to lr/100)
+    lr_schedule: str = "const"
+    warmup_steps: int = 0
+    grad_clip_norm: float = 0.0  # 0 = no clipping
+    weight_decay: float = 0.0  # >0 switches adam -> adamw
     batch_size: int = 512
     n_neg: int = 1
     max_steps: int = 100_000
@@ -53,15 +58,53 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     if tc.lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(
             tc.lr, decay_steps=max(tc.max_steps, 1), alpha=0.01)
+    elif tc.lr_schedule == "warmup_cosine":
+        w = max(tc.warmup_steps, 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, tc.lr, warmup_steps=w,
+            decay_steps=max(tc.max_steps, w + 1),
+            end_value=tc.lr * 0.01)
     elif tc.lr_schedule == "const":
         lr = tc.lr
     else:
         raise ValueError(tc.lr_schedule)
     if tc.optimizer == "adam":
-        return optax.adam(lr)
-    if tc.optimizer == "sgd":
-        return optax.sgd(lr)
-    raise ValueError(tc.optimizer)
+        # weight decay applies to every param incl. the entity table
+        # (standard adamw semantics — decoupled, schedule-scaled)
+        base = (optax.adamw(lr, weight_decay=tc.weight_decay)
+                if tc.weight_decay > 0 else optax.adam(lr))
+    elif tc.optimizer == "sgd":
+        if tc.weight_decay > 0:
+            raise ValueError("weight_decay requires optimizer='adam'")
+        base = optax.sgd(lr)
+    else:
+        raise ValueError(tc.optimizer)
+    if tc.grad_clip_norm > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(tc.grad_clip_norm), base)
+    return base
+
+
+def train_config_from_run(run_cfg) -> TrainConfig:
+    """TrainConfig matching the optimizer a run dir was trained with.
+
+    Checkpoint restore needs a template whose opt_state PYTREE STRUCTURE
+    matches the saved one — grad clipping (optax.chain) and adamw change
+    that structure, so evaluate/serve/export must rebuild the optimizer
+    from the run's ``config.json`` (train.py's ``vars(args)``) rather
+    than assume defaults.  Missing keys (older runs, imported
+    checkpoints) fall back to the defaults they were built with.
+    """
+    g = run_cfg.get
+    return TrainConfig(
+        lr=g("lr", 0.01) or 0.01,
+        lr_schedule=g("lr_schedule") or "const",
+        warmup_steps=g("warmup_steps") or 0,
+        optimizer=g("optimizer") or "adam",
+        grad_clip_norm=g("grad_clip") or 0.0,
+        weight_decay=g("weight_decay") or 0.0,
+        max_steps=g("steps") or 100_000,
+    )
 
 
 @dataclasses.dataclass

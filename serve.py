@@ -103,7 +103,8 @@ def main(argv=None):
     kg, _, _ = load_data(targs)
 
     template = loop_mod.init_train_state(
-        jax.random.PRNGKey(0), cfg, loop_mod.TrainConfig(), init_fn=init_fn)
+        jax.random.PRNGKey(0), cfg,
+        loop_mod.train_config_from_run(run_cfg), init_fn=init_fn)
     ckpt = args.ckpt or ckpt_mod.latest_checkpoint(
         os.path.join(args.run_dir, "ckpt"))
     if ckpt is None:

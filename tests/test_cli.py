@@ -346,3 +346,39 @@ def test_evaluate_ranking_shards_cli(tmp_path):
     for s in dense:
         for metric in ("mrr", "hits@1", "hits@5"):
             assert abs(sharded[s][metric] - dense[s][metric]) < 1e-9
+
+
+def test_train_optimizer_knobs_then_evaluate_and_resume(tmp_path):
+    """--lr_schedule/--grad_clip/--weight_decay change the opt_state
+    pytree; evaluate.py and --resume must rebuild a matching template
+    from config.json (regression: a default-TrainConfig template fails
+    the Orbax restore structurally)."""
+    import evaluate as eval_mod
+    import serve as serve_mod
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    argv = [
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--readout", "sum", "--steps", "60", "--val_every", "50",
+        "--batch_size", "32", "--n_neg", "4",
+        "--structures", "1-chain,2-inter",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "200", "--syn_val_queries", "40",
+        "--lr_schedule", "warmup_cosine", "--warmup_steps", "10",
+        "--grad_clip", "1.0", "--weight_decay", "1e-4",
+        "--run_dir", run_dir,
+    ]
+    train_mod.main(argv)
+    cfg = json.load(open(os.path.join(run_dir, "config.json")))
+    assert cfg["grad_clip"] == 1.0 and cfg["weight_decay"] == 1e-4
+
+    eval_mod.main(["--run_dir", run_dir, "--n_neg", "8"])
+    serve_mod.main(["--run_dir", run_dir, "--requests", "2", "--batch", "2",
+                    "--structures", "1-chain"])
+
+    # resume restores the chained/adamw opt_state and continues
+    train_mod.main(argv[:-2] + ["--run_dir", run_dir, "--resume",
+                                "--steps", "80"])
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read()
+    assert '"step": 80' in lines

@@ -363,3 +363,74 @@ def test_steps_per_call_rejected_with_custom_train_step(setting):
     with pytest.raises(ValueError, match="steps_per_call"):
         loop_mod.run_train(state, cfg, tc, train_q,
                            train_step=lambda *a: None, steps_per_call=2)
+
+
+def test_optimizer_knobs():
+    """Schedules, clipping, and decoupled weight decay build and behave:
+    warmup starts at lr~0, clipping bounds the global update norm, adamw
+    shrinks params on zero-loss gradients, sgd+decay is rejected."""
+    import optax
+
+    tc = loop_mod.TrainConfig(lr=0.1, lr_schedule="warmup_cosine",
+                              warmup_steps=10, max_steps=100)
+    opt = loop_mod.make_optimizer(tc)
+    params = {"w": jnp_ones((4,))}
+    st = opt.init(params)
+    g = {"w": jnp_ones((4,))}
+    up, st = opt.update(g, st, params)
+    # first warmup step: lr == 0 -> zero update
+    assert float(np.abs(np.asarray(up["w"])).max()) == 0.0
+
+    tc = loop_mod.TrainConfig(lr=1.0, optimizer="sgd", grad_clip_norm=0.5)
+    opt = loop_mod.make_optimizer(tc)
+    st = opt.init(params)
+    big = {"w": 1e6 * jnp_ones((4,))}
+    up, st = opt.update(big, st, params)
+    norm = float(np.linalg.norm(np.asarray(up["w"])))
+    assert norm <= 0.5 + 1e-5  # sgd(lr=1) returns -clipped grad
+
+    tc = loop_mod.TrainConfig(lr=0.1, weight_decay=0.1)
+    opt = loop_mod.make_optimizer(tc)
+    st = opt.init(params)
+    zero = {"w": 0.0 * jnp_ones((4,))}
+    up, st = opt.update(zero, st, params)
+    new = optax.apply_updates(params, up)
+    assert float(np.asarray(new["w"]).max()) < 1.0  # decay shrank params
+
+    with pytest.raises(ValueError, match="weight_decay"):
+        loop_mod.make_optimizer(
+            loop_mod.TrainConfig(optimizer="sgd", weight_decay=0.1))
+
+
+def jnp_ones(shape):
+    import jax.numpy as jnp
+
+    return jnp.ones(shape, jnp.float32)
+
+
+def test_train_config_from_run_matches_structures():
+    """evaluate/serve rebuild the optimizer from config.json — the
+    opt_state template must match structurally for every knob combo."""
+    for run_cfg in (
+        {},  # old run dirs / imported checkpoints
+        {"lr": 0.05, "lr_schedule": "cosine", "steps": 500},
+        {"grad_clip": 1.0, "weight_decay": 1e-4,
+         "lr_schedule": "warmup_cosine", "warmup_steps": 5, "steps": 50},
+        {"optimizer": "sgd", "grad_clip": 2.0},
+    ):
+        tc = loop_mod.train_config_from_run(run_cfg)
+        opt = loop_mod.make_optimizer(tc)
+        params = {"w": jnp_ones((3,))}
+        st = opt.init(params)
+        # same-knob TrainConfig built the way train.py builds it
+        tc2 = loop_mod.TrainConfig(
+            lr=run_cfg.get("lr", 0.01),
+            lr_schedule=run_cfg.get("lr_schedule", "const"),
+            warmup_steps=run_cfg.get("warmup_steps", 0),
+            optimizer=run_cfg.get("optimizer", "adam"),
+            grad_clip_norm=run_cfg.get("grad_clip", 0.0),
+            weight_decay=run_cfg.get("weight_decay", 0.0),
+            max_steps=run_cfg.get("steps", 100_000))
+        st2 = loop_mod.make_optimizer(tc2).init(params)
+        assert (jax.tree_util.tree_structure(st)
+                == jax.tree_util.tree_structure(st2))

@@ -44,6 +44,11 @@ def main(argv=None):
 
     with open(os.path.join(args.run_dir, "model_config.json")) as f:
         mc = json.load(f)
+    run_cfg = {}
+    cfg_path = os.path.join(args.run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            run_cfg = json.load(f)
     if "readout" not in mc:
         raise SystemExit("GQE run dirs are not exportable (MPQE only)")
     cfg = mpqe_mod.MPQEConfig(
@@ -52,7 +57,8 @@ def main(argv=None):
         n_layers=mc["n_layers"], num_bases=mc["num_bases"],
         readout=mc["readout"], margin=mc["margin"])
     template = loop_mod.init_train_state(
-        jax.random.PRNGKey(0), cfg, loop_mod.TrainConfig())
+        jax.random.PRNGKey(0), cfg,
+        loop_mod.train_config_from_run(run_cfg))
     ckpt = args.ckpt or ckpt_mod.latest_checkpoint(
         os.path.join(args.run_dir, "ckpt"))
     if ckpt is None:

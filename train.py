@@ -72,6 +72,17 @@ def parse_args(argv=None):
                         "(36.9 vs 42.0 ms, BASELINE.md) at reduced "
                         "precision")
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr_schedule", default="const",
+                   choices=["const", "cosine", "warmup_cosine"])
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear warmup length for --lr_schedule "
+                        "warmup_cosine")
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off)")
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help=">0 uses adamw (decoupled decay on every param "
+                        "incl. the entity table)")
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--n_neg", type=int, default=1)
     p.add_argument("--steps", type=int, default=10_000)
@@ -303,6 +314,9 @@ def main(argv=None):
         lr=args.lr, batch_size=args.batch_size, n_neg=args.n_neg,
         max_steps=args.steps, val_every=args.val_every,
         patience=args.patience, seed=args.seed,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        optimizer=args.optimizer, grad_clip_norm=args.grad_clip,
+        weight_decay=args.weight_decay,
     )
     metrics.write_config(dataclasses.asdict(cfg), "model_config.json")
 
