@@ -56,12 +56,18 @@ int pack_dense_batch(
     const int32_t* neg_pool, const int64_t* neg_ptr,
     const int32_t* hard_pool, const int64_t* hard_ptr, int32_t use_hard,
     const int32_t* fb_pool, int64_t fb_size,
+    // optional (head, rel) answer-set exclusion for the fallback path:
+    // per-group SORTED id slices + per-query group index (has_ans=0 ->
+    // pointers ignored).  Mirrors store.py FormulaStore.ans_*.
+    const int32_t* ans_pool, const int64_t* ans_ptr,
+    const int32_t* ans_idx, int32_t has_ans,
     const int32_t* anchor_slot_ids,  // [n_anchor_slots] template slots
     int32_t n_nodes,
     const int64_t* pick, int64_t n_pick,
     int64_t batch_size, int32_t n_neg, uint64_t seed,
     int32_t* node_entity, int32_t* target_out,
     int32_t* negatives, float* neg_mask, float* query_mask) {
+  constexpr int64_t kFbProbeCap = 64;  // == store.py FB_PROBE_CAP
   if (n_pick > batch_size || n_pick <= 0) return 1;
   uint64_t s = seed ^ 0xabcdef1234567890ULL;
   for (int64_t b = 0; b < n_pick; ++b) {
@@ -84,14 +90,30 @@ int pack_dense_batch(
         negatives[b * n_neg + k] = pool[lo + (int64_t)rng_below(s, hi - lo)];
         neg_mask[b * n_neg + k] = 1.0f;
       }
-    } else if (fb_size > 0 &&
-               !(fb_size == 1 && fb_pool[0] == targets[qi])) {
+    } else if (fb_size > 0) {
+      // uniform same-mode fallback excluding true answers: the query's
+      // own target always, the full (head, rel) answer set when answer
+      // groups ride along.  Invalid draws probe forward (cap
+      // kFbProbeCap); an exhausted probe leaves the slot masked.
+      const int32_t* ans = nullptr;
+      int64_t ans_n = 0;
+      if (has_ans) {
+        const int32_t g = ans_idx[qi];
+        ans = ans_pool + ans_ptr[g];
+        ans_n = ans_ptr[g + 1] - ans_ptr[g];
+      }
+      const int64_t cap = fb_size < kFbProbeCap ? fb_size : kFbProbeCap;
       for (int32_t k = 0; k < n_neg; ++k) {
         int64_t idx = (int64_t)rng_below(s, fb_size);
-        int32_t c = fb_pool[idx];
-        if (c == targets[qi]) c = fb_pool[(idx + 1) % fb_size];
-        negatives[b * n_neg + k] = c;
-        neg_mask[b * n_neg + k] = 1.0f;
+        for (int64_t p = 0; p < cap; ++p) {
+          const int32_t c = fb_pool[(idx + p) % fb_size];
+          if (c == targets[qi]) continue;
+          if (ans_n &&
+              std::binary_search(ans, ans + ans_n, c)) continue;
+          negatives[b * n_neg + k] = c;
+          neg_mask[b * n_neg + k] = 1.0f;
+          break;
+        }
       }
     }
     query_mask[b] = 1.0f;

@@ -61,6 +61,7 @@ def _load(path: str) -> ctypes.CDLL:
         _i32p, _i64p,  # neg pool/ptr
         _i32p, _i64p, ctypes.c_int32,  # hard pool/ptr, use_hard
         _i32p, ctypes.c_int64,  # fallback pool, size (0 = disabled)
+        _i32p, _i64p, _i32p, ctypes.c_int32,  # ans pool/ptr/idx, has_ans
         _i32p, ctypes.c_int32,  # anchor_slot_ids, n_nodes
         _i64p, ctypes.c_int64,  # pick, n_pick
         ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,  # B, n_neg, seed
@@ -153,6 +154,14 @@ def pack_dense_batch_native(
         1 if use_hard else 0,
         np.ascontiguousarray(fb) if fb_size else np.zeros(1, np.int32),
         fb_size,
+        np.ascontiguousarray(store.ans_pool)
+        if store.ans_idx is not None and store.ans_pool.size
+        else np.zeros(1, np.int32),
+        np.ascontiguousarray(store.ans_ptr)
+        if store.ans_idx is not None else np.zeros(2, np.int64),
+        np.ascontiguousarray(store.ans_idx)
+        if store.ans_idx is not None else np.zeros(1, np.int32),
+        1 if store.ans_idx is not None else 0,
         anchor_slots, spec.n_nodes,
         pick64, len(pick64),
         B, n_neg, seed,

@@ -19,6 +19,12 @@ import numpy as np
 from mpqe_tpu.data.batcher import DenseQueryBatch, template_edge_norm
 from mpqe_tpu.queries import Formula, Query
 
+# fallback-negative probe bound: a draw that hits a true answer walks
+# forward through the pool at most this many entries before giving up
+# (leaving the slot masked).  64 consecutive answers in a uniform pool
+# means the answer set ~saturates the mode — no useful negative exists.
+FB_PROBE_CAP = 64
+
 
 @dataclasses.dataclass(frozen=True)
 class FormulaStore:
@@ -36,6 +42,15 @@ class FormulaStore:
     # O(n_mode) once per formula instead of O(64) materialized rows per
     # query (raw-edge / train_edges.pkl-style data at KG scale)
     fallback_pool: Optional[np.ndarray] = None
+    # optional TRUE-ANSWER exclusion for the fallback path (the
+    # reference's train_edges protocol excludes the full (head, rel)
+    # answer set, not just the query's own target): per answer GROUP a
+    # SORTED id slice (ans_pool[ans_ptr[g]:ans_ptr[g+1]]), and per query
+    # the group it belongs to (ans_idx[qi]) — queries sharing a head
+    # share one group, so storage is O(edges), not O(sum deg^2)
+    ans_pool: Optional[np.ndarray] = None  # int32, sorted per group
+    ans_ptr: Optional[np.ndarray] = None  # [n_groups + 1] int64
+    ans_idx: Optional[np.ndarray] = None  # [n_q] int32
 
     @property
     def n_queries(self) -> int:
@@ -104,9 +119,10 @@ def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
 
     One store per directed relation (anchors = sources, targets =
     destinations); negatives come from the shared same-mode fallback
-    pool at pack time (uniform, not answer-set-checked — the native
-    sampler's convention).  Pass the result as ``run_train``'s
-    ``train_stores``."""
+    pool at pack time, EXCLUDING the full (head, rel) answer set — the
+    reference's train_edges protocol (SURVEY.md §A.4).  The exclusion
+    structure is the relation block itself regrouped by head (storage
+    O(edges)).  Pass the result as ``run_train``'s ``train_stores``."""
     src, rel, dst = kg.directed_edges()
     order = np.argsort(rel, kind="stable")
     src = np.ascontiguousarray(src[order], np.int32)
@@ -124,15 +140,28 @@ def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
             mode_pools[int(rm)] = np.ascontiguousarray(
                 kg.entities_of_mode(int(rm)), np.int32)
         n = hi - lo
+        # answer groups: one per unique head; each edge (query) points
+        # at its head's group, whose slice is that head's full tail set
+        s_blk, d_blk = src[lo:hi], dst[lo:hi]
+        grp_order = np.lexsort((d_blk, s_blk))
+        s_sorted = s_blk[grp_order]
+        ans_pool = np.ascontiguousarray(d_blk[grp_order])
+        heads, inv = np.unique(s_sorted, return_inverse=True)
+        ans_ptr = np.zeros(len(heads) + 1, np.int64)
+        np.add.at(ans_ptr, inv + 1, 1)
+        np.cumsum(ans_ptr, out=ans_ptr)
+        # ans_idx aligned to QUERY order (the unsorted block)
+        ans_idx = np.searchsorted(heads, s_blk).astype(np.int32)
         stores.append(FormulaStore(
             formula=Formula("1-chain", (int(r),), (int(dm), int(rm))),
-            anchors=np.ascontiguousarray(src[lo:hi, None]),
-            targets=dst[lo:hi],
+            anchors=np.ascontiguousarray(s_blk[:, None]),
+            targets=d_blk,
             neg_pool=np.zeros(0, np.int32),
             neg_ptr=np.zeros(n + 1, np.int64),
             hard_pool=np.zeros(0, np.int32),
             hard_ptr=np.zeros(n + 1, np.int64),
             fallback_pool=mode_pools[int(rm)],
+            ans_pool=ans_pool, ans_ptr=ans_ptr, ans_idx=ans_idx,
         ))
     return {"1-chain": stores}
 
@@ -180,17 +209,33 @@ def pack_dense_batch_np(
             negatives[b] = pool_b[lo + rng.integers(0, hi - lo, n_neg)]
             neg_mask[b] = 1.0
         elif fb_size:
-            # on-the-fly uniform same-mode fallback; a draw that hits the
-            # target slides to the next pool entry (same contract as the
-            # C++ packer, modulo RNG streams)
+            # on-the-fly uniform same-mode fallback, excluding the
+            # query's TRUE ANSWERS (its own target always; the full
+            # (head, rel) answer set when the store carries answer
+            # groups — the reference's train_edges protocol).  A draw
+            # that hits an answer probes forward through the pool (cap
+            # FB_PROBE_CAP); if no valid candidate turns up the slot
+            # stays masked.  Same contract as the C++ packer, modulo
+            # RNG streams.
+            ans = None
+            if store.ans_idx is not None:
+                g = int(store.ans_idx[qi])
+                ans = store.ans_pool[
+                    int(store.ans_ptr[g]):int(store.ans_ptr[g + 1])]
             idx = rng.integers(0, fb_size, n_neg)
-            draw = fb[idx]
-            coll = draw == target[b]
-            if coll.any():
-                draw = np.where(coll, fb[(idx + 1) % fb_size], draw)
-            if not (fb_size == 1 and fb[0] == target[b]):
-                negatives[b] = draw
-                neg_mask[b] = 1.0
+            cap = min(fb_size, FB_PROBE_CAP)
+            for k in range(n_neg):
+                for p in range(cap):
+                    c = int(fb[(int(idx[k]) + p) % fb_size])
+                    if c == target[b]:
+                        continue
+                    if ans is not None:
+                        j = int(np.searchsorted(ans, c))
+                        if j < ans.size and int(ans[j]) == c:
+                            continue
+                    negatives[b, k] = c
+                    neg_mask[b, k] = 1.0
+                    break
         query_mask[b] = 1.0
     if n_pick < B:
         node_entity[n_pick:] = node_entity[0]

@@ -434,3 +434,61 @@ def test_train_config_from_run_matches_structures():
         st2 = loop_mod.make_optimizer(tc2).init(params)
         assert (jax.tree_util.tree_structure(st)
                 == jax.tree_util.tree_structure(st2))
+
+
+def test_raw_edge_fallback_negatives_exclude_answer_set():
+    """The train_edges protocol excludes the FULL (head, rel) answer set
+    from sampled negatives, not just the query's own target (SURVEY.md
+    §A.4; was PARITY deviation 7).  Pinned for the numpy packer AND the
+    C++ twin, including the no-valid-candidate -> masked-slot case."""
+    from mpqe_tpu.data import native as native_mod
+    from mpqe_tpu.data.store import pack_dense_batch_np, stores_from_edges
+
+    kg = make_random_kg(n_entities=24, n_modes=2, n_base_rels=2,
+                        n_triples=160, seed=11)
+    stores = stores_from_edges(kg)["1-chain"]
+    # true answer sets from the KG itself, keyed by (head, rel)
+    packers = [("np", pack_dense_batch_np)]
+    if native_mod.ensure_built():
+        packers.append(("cpp", native_mod.pack_dense_batch_native))
+    checked = 0
+    for s in stores:
+        r = s.formula.rels[0]
+        for name, pack in packers:
+            for seed in range(4):
+                pick = np.arange(s.n_queries, dtype=np.int64)
+                batch = pack(s, pick, s.n_queries, 8, seed)
+                for b in range(s.n_queries):
+                    head = int(batch.node_entity[b, 0])
+                    answers = set(
+                        int(t) for t in kg.neighbors(r, head))
+                    assert int(batch.target[b]) in answers
+                    for k in range(8):
+                        if batch.neg_mask[b, k] > 0:
+                            assert int(batch.negatives[b, k]) not in \
+                                answers, (name, r, head)
+                            checked += 1
+    assert checked > 500
+
+    # saturation: if every same-mode entity IS an answer, the slot must
+    # come back masked, not silently contain a true answer
+    from mpqe_tpu.graph import make_knowledge_graph
+
+    triples = np.asarray([[0, 0, 2], [0, 0, 3], [1, 0, 2]], np.int32)
+    entity_mode = np.asarray([0, 0, 1, 1], np.int32)
+    kg2 = make_knowledge_graph(
+        triples, entity_mode, n_base_rels=1,
+        rel_domain=np.asarray([0], np.int32),
+        rel_range=np.asarray([1], np.int32))
+    s0 = [s for s in stores_from_edges(kg2)["1-chain"]
+          if s.formula.rels[0] == 0][0]
+    for name, pack in packers:
+        batch = pack(s0, np.arange(s0.n_queries, dtype=np.int64),
+                     s0.n_queries, 4, 0)
+        for b in range(s0.n_queries):
+            head = int(batch.node_entity[b, 0])
+            if head == 0:  # answers {2, 3} saturate mode-1 -> all masked
+                assert float(batch.neg_mask[b].sum()) == 0.0, name
+            else:  # head 1: entity 3 is the only valid negative
+                live = batch.negatives[b][batch.neg_mask[b] > 0]
+                assert live.size and set(live.tolist()) == {3}, name
