@@ -112,7 +112,9 @@ def build_stores(
     return out
 
 
-def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
+def stores_from_edges(
+    kg, exclude_answers: bool = True
+) -> Dict[str, List[FormulaStore]]:
     """Raw-edge 1-chain training stores straight from the KG's triple
     arrays — zero per-edge Python objects (the 100M-edge scale path for
     the reference's ``train_edges.pkl`` protocol, SURVEY.md §A.3).
@@ -122,7 +124,10 @@ def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
     pool at pack time, EXCLUDING the full (head, rel) answer set — the
     reference's train_edges protocol (SURVEY.md §A.4).  The exclusion
     structure is the relation block itself regrouped by head (storage
-    O(edges)).  Pass the result as ``run_train``'s ``train_stores``."""
+    O(edges)).  ``exclude_answers=False`` skips building it (one lexsort
+    per relation block — worth skipping only at extreme scale, where the
+    false-negative rate ~ answer-set-size / mode-size is negligible
+    anyway).  Pass the result as ``run_train``'s ``train_stores``."""
     src, rel, dst = kg.directed_edges()
     order = np.argsort(rel, kind="stable")
     src = np.ascontiguousarray(src[order], np.int32)
@@ -143,15 +148,17 @@ def stores_from_edges(kg) -> Dict[str, List[FormulaStore]]:
         # answer groups: one per unique head; each edge (query) points
         # at its head's group, whose slice is that head's full tail set
         s_blk, d_blk = src[lo:hi], dst[lo:hi]
-        grp_order = np.lexsort((d_blk, s_blk))
-        s_sorted = s_blk[grp_order]
-        ans_pool = np.ascontiguousarray(d_blk[grp_order])
-        heads, inv = np.unique(s_sorted, return_inverse=True)
-        ans_ptr = np.zeros(len(heads) + 1, np.int64)
-        np.add.at(ans_ptr, inv + 1, 1)
-        np.cumsum(ans_ptr, out=ans_ptr)
-        # ans_idx aligned to QUERY order (the unsorted block)
-        ans_idx = np.searchsorted(heads, s_blk).astype(np.int32)
+        ans_pool = ans_ptr = ans_idx = None
+        if exclude_answers:
+            grp_order = np.lexsort((d_blk, s_blk))
+            s_sorted = s_blk[grp_order]
+            ans_pool = np.ascontiguousarray(d_blk[grp_order])
+            heads, inv = np.unique(s_sorted, return_inverse=True)
+            ans_ptr = np.zeros(len(heads) + 1, np.int64)
+            np.add.at(ans_ptr, inv + 1, 1)
+            np.cumsum(ans_ptr, out=ans_ptr)
+            # ans_idx aligned to QUERY order (the unsorted block)
+            ans_idx = np.searchsorted(heads, s_blk).astype(np.int32)
         stores.append(FormulaStore(
             formula=Formula("1-chain", (int(r),), (int(dm), int(rm))),
             anchors=np.ascontiguousarray(s_blk[:, None]),
