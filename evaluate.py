@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None, help="defaults to latest in run_dir/ckpt")
     p.add_argument("--split", action="store_true",
                    help="report seen-edges vs one-new-edge buckets")
+    p.add_argument("--use", default="val", choices=["val", "test"],
+                   help="which held-out set to score: val (default) or "
+                        "the TEST split — test_{edges,queries_*}.pkl for "
+                        "pkl data (the reference reports test numbers), "
+                        "a fresh disjoint-seed draw for synthetic/npz")
     p.add_argument("--n_neg", type=int, default=64)
     p.add_argument("--ranking", action="store_true",
                    help="also report full-candidate MRR / Hits@K per "
@@ -82,6 +87,34 @@ def main(argv=None):
     )
     kg, _, val_q = load_data(targs)
 
+    if args.use == "test":
+        data = run_cfg.get("data", "")
+        if data.startswith("pkl:"):
+            d = data[4:]
+            test_q: dict = {}
+            for name in ("test_edges.pkl", "test_queries_2.pkl",
+                         "test_queries_3.pkl"):
+                path = os.path.join(d, name)
+                if os.path.exists(path):
+                    for s, by_f in loader_mod.load_queries_pickle(
+                            path, kg).items():
+                        test_q.setdefault(s, {}).update(by_f)
+            if not test_q:
+                raise SystemExit(f"--use test: no test_*.pkl under {d}")
+            val_q = test_q
+        else:
+            # synthetic/npz have no test files: fresh held-out draw from
+            # a disjoint RNG stream (same counts as the val draw)
+            from mpqe_tpu.data.sampler import QuerySampler
+
+            sampler = QuerySampler(kg, seed=targs.seed + 7919)
+            per_s = max(1, targs.syn_val_queries
+                        // max(len(val_q), 1))
+            fresh = []
+            for s in val_q:
+                fresh += sampler.sample_queries(s, per_s, n_neg=64)
+            val_q = group_queries_by_formula(fresh)
+
     # the neighborhood encoder's fanout table is a deterministic function
     # of (kg, fanout, seed) — rebuild it exactly as the run sampled it
     neighbor_table = None
@@ -111,7 +144,7 @@ def main(argv=None):
 
     res = run_eval(val_q)
     print(json.dumps({"checkpoint": ckpt, "step": state.step,
-                      **res.flat()}))
+                      "use": args.use, **res.flat()}))
 
     if args.ranking:
         hits = tuple(int(k) for k in args.hits_at.split(","))

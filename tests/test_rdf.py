@@ -202,6 +202,23 @@ def test_prepare_dataset_trains(tmp_path):
     ])
     assert os.path.exists(os.path.join(run, "metrics.jsonl"))
 
+    # the TEST split (the set the reference reports) is reachable from
+    # the same run dir — scores the prepared test_{edges,queries}.pkl
+    import contextlib
+    import io
+    import json
+
+    import evaluate as eval_cli
+
+    for use in ("val", "test"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eval_cli.main(["--run_dir", run, "--n_neg", "4",
+                           "--use", use])
+        head = json.loads(buf.getvalue().splitlines()[0])
+        assert head["use"] == use
+        assert np.isfinite(head["auc_macro"])
+
 
 def test_parse_ntriples_dot_without_whitespace():
     """N-Triples allows the terminating '.' to abut the object: blank
