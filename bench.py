@@ -640,11 +640,19 @@ def main():
     extra = dict(jx)
     if tb:
         extra.update(tb)
+    # the opt-in extras size their loops for the chip; on the relay-down
+    # CPU fallback they'd blow the driver timeout — skip them (noted)
     if os.environ.get("MPQE_BENCH_MATRIX"):
-        extra["configs"] = bench_matrix()
-        extra["shared_neg_variant"] = bench_shared_negatives()
+        if relay_down:
+            extra["configs"] = "skipped: relay down (CPU fallback)"
+        else:
+            extra["configs"] = bench_matrix()
+            extra["shared_neg_variant"] = bench_shared_negatives()
     if os.environ.get("MPQE_BENCH_KERNELS"):
-        extra["kernel_paths"] = bench_kernel_paths()
+        if relay_down:
+            extra["kernel_paths"] = "skipped: relay down (CPU fallback)"
+        else:
+            extra["kernel_paths"] = bench_kernel_paths()
     if BROKEN_TIMINGS:
         extra["broken_timings"] = BROKEN_TIMINGS
     if relay_down:

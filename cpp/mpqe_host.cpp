@@ -103,13 +103,25 @@ int pack_dense_batch(
         ans_n = ans_ptr[g + 1] - ans_ptr[g];
       }
       const int64_t cap = fb_size < kFbProbeCap ? fb_size : kFbProbeCap;
+      const int32_t tgt = targets[qi];
       for (int32_t k = 0; k < n_neg; ++k) {
         int64_t idx = (int64_t)rng_below(s, fb_size);
         for (int64_t p = 0; p < cap; ++p) {
           const int32_t c = fb_pool[(idx + p) % fb_size];
-          if (c == targets[qi]) continue;
-          if (ans_n &&
-              std::binary_search(ans, ans + ans_n, c)) continue;
+          if (c == tgt) continue;
+          if (ans_n) {
+            // answer sets are typically out-degree-sized: a linear scan
+            // beats binary search below ~32 entries (no branches lost)
+            bool hit = false;
+            if (ans_n <= 32) {
+              for (int64_t a = 0; a < ans_n; ++a) {
+                if (ans[a] == c) { hit = true; break; }
+              }
+            } else {
+              hit = std::binary_search(ans, ans + ans_n, c);
+            }
+            if (hit) continue;
+          }
           negatives[b * n_neg + k] = c;
           neg_mask[b * n_neg + k] = 1.0f;
           break;

@@ -91,14 +91,7 @@ def main(argv=None):
         data = run_cfg.get("data", "")
         if data.startswith("pkl:"):
             d = data[4:]
-            test_q: dict = {}
-            for name in ("test_edges.pkl", "test_queries_2.pkl",
-                         "test_queries_3.pkl"):
-                path = os.path.join(d, name)
-                if os.path.exists(path):
-                    for s, by_f in loader_mod.load_queries_pickle(
-                            path, kg).items():
-                        test_q.setdefault(s, {}).update(by_f)
+            test_q = loader_mod.load_split_queries(d, kg, "test")
             if not test_q:
                 raise SystemExit(f"--use test: no test_*.pkl under {d}")
             val_q = test_q

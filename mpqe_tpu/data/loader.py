@@ -24,6 +24,7 @@ zero-copy into the batcher, no Python-object unpickling cost.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -378,6 +379,20 @@ def save_graph_pickle(path: str, kg: KnowledgeGraph) -> np.ndarray:
     with open(path, "wb") as f:
         pickle.dump((relations, adj_lists, node_maps), f)
     return graph_pickle_rel_id_map(kg)
+
+
+def load_split_queries(d: str, kg, split: str) -> Dict:
+    """Merge ``{split}_edges.pkl`` + ``{split}_queries_{2,3}.pkl`` from a
+    prepared dataset dir into ``{structure: {Formula: [Query]}}``.
+    Missing files are skipped (datasets may ship any subset)."""
+    out: Dict = {}
+    for name in ([f"{split}_edges.pkl"]
+                 + [f"{split}_queries_{a}.pkl" for a in (2, 3)]):
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            for s, by_f in load_queries_pickle(p, kg).items():
+                out.setdefault(s, {}).update(by_f)
+    return out
 
 
 def load_test_queries_pickle(

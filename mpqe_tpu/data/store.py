@@ -229,10 +229,22 @@ def pack_dense_batch_np(
                 g = int(store.ans_idx[qi])
                 ans = store.ans_pool[
                     int(store.ans_ptr[g]):int(store.ans_ptr[g + 1])]
+            # vectorized draw + validity check; only the (rare) invalid
+            # slots pay the per-slot probe loop — this is the training
+            # hot path when the native packer is unavailable
             idx = rng.integers(0, fb_size, n_neg)
+            draw = fb[idx]
+            bad = draw == target[b]
+            if ans is not None and ans.size:
+                j = np.searchsorted(ans, draw)
+                j_c = np.minimum(j, ans.size - 1)
+                bad |= (j < ans.size) & (ans[j_c] == draw)
+            ok = ~bad
+            negatives[b, ok] = draw[ok]
+            neg_mask[b, ok] = 1.0
             cap = min(fb_size, FB_PROBE_CAP)
-            for k in range(n_neg):
-                for p in range(cap):
+            for k in np.nonzero(bad)[0]:
+                for p in range(1, cap):
                     c = int(fb[(int(idx[k]) + p) % fb_size])
                     if c == target[b]:
                         continue

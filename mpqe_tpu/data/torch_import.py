@@ -88,13 +88,21 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     (``{"state_dict": ...}``, ``{"model": ...}``, ``{"model_state_dict":
     ...}``).
     """
+    import pickle
+
     import torch
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # older torch, or a checkpoint wrapping non-tensor objects
+    except pickle.UnpicklingError:
+        # the checkpoint wraps non-tensor objects the weights-only
+        # unpickler refuses; retry permissively.  Only THIS error falls
+        # back — a corrupt/truncated file must surface its real error,
+        # not a second traceback from an unsafe reload.
         obj = torch.load(path, map_location="cpu", weights_only=False)
+    except TypeError:
+        # torch too old for the weights_only kwarg
+        obj = torch.load(path, map_location="cpu")
     for wrapper in ("state_dict", "model_state_dict", "model"):
         if isinstance(obj, dict) and isinstance(obj.get(wrapper), dict):
             obj = obj[wrapper]
@@ -294,9 +302,17 @@ def import_mpqe_params(
 
     # 3a. variable embeddings
     if "emb.var" not in mapped:
+        def _names_a_mode(k: str) -> bool:
+            # a key that names a specific mode is a per-mode ENTITY
+            # table, even if its row count happens to equal n_modes
+            return any(
+                re.search(r"(?:^|\.)" + re.escape(m) + r"(?:\.|$)", k)
+                for m in mode_names)
+
         var_whole = [k for k in rest
                      if sd[k].shape == (cfg.n_modes, d)
-                     and sd[k].shape != (cfg.n_entities, d)]
+                     and sd[k].shape != (cfg.n_entities, d)
+                     and not _names_a_mode(k)]
         if len(var_whole) == 1:
             assign("emb.var", sd[var_whole[0]], var_whole[0])
         elif len(var_whole) > 1:
@@ -360,10 +376,19 @@ def import_mpqe_params(
                 for mode, k in picks.items():
                     ids = node_maps[mode]
                     if isinstance(ids, dict):
-                        # {global_id: local_row}
-                        gl = np.empty(len(ids), dtype=np.int64)
+                        # {global_id: local_row}; local rows must be a
+                        # dense 0..len-1 permutation or rows would land
+                        # on arbitrary entities
+                        gl = np.full(len(ids), -1, dtype=np.int64)
                         for g, loc in ids.items():
-                            gl[int(loc)] = int(g)
+                            loc = int(loc)
+                            if not 0 <= loc < len(ids) or gl[loc] != -1:
+                                raise ValueError(
+                                    f"node_maps[{mode!r}]: local rows "
+                                    "are not a dense 0..n-1 permutation "
+                                    f"(row {loc} duplicate or out of "
+                                    "range)")
+                            gl[loc] = int(g)
                     else:
                         gl = np.asarray(list(ids), dtype=np.int64)
                     a = sd[k]

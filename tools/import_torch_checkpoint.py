@@ -56,6 +56,14 @@ def main(argv=None):
                         "from tensor shapes for tgt/sum/max)")
     p.add_argument("--margin", type=float, default=1.0)
     p.add_argument("--map", default=None, help="JSON key-map overrides")
+    p.add_argument("--embed_dim", type=int, default=None,
+                   help="with --n_layers and --num_bases: skip shape "
+                        "inference (for state dicts whose layer keys "
+                        "don't match the PyG naming — map them with "
+                        "--map instead)")
+    p.add_argument("--n_layers", type=int, default=None)
+    p.add_argument("--num_bases", default=None,
+                   help="'none' = full per-relation weights, else an int")
     p.add_argument("--rel_perm", default=None,
                    help=".npy permutation: ours[r] = theirs[perm[r]]")
     p.add_argument("--allow_partial", action="store_true",
@@ -78,9 +86,19 @@ def main(argv=None):
     from mpqe_tpu.train.metrics import MetricsWriter
 
     sd = ti.load_state_dict(args.ckpt)
-    shape = ti.infer_model_shape(sd)
-    print(f"state dict: d={shape.embed_dim} layers={shape.n_layers} "
-          f"rels={shape.n_rels} bases={shape.num_bases}", file=sys.stderr)
+    if args.embed_dim is not None or args.n_layers is not None:
+        if args.embed_dim is None or args.n_layers is None:
+            raise SystemExit(
+                "--embed_dim and --n_layers must be given together")
+        nb = (None if args.num_bases in (None, "none")
+              else int(args.num_bases))
+        shape = None  # explicit shape; relation vocab comes from data
+    else:
+        shape = ti.infer_model_shape(sd)
+        nb = shape.num_bases
+        print(f"state dict: d={shape.embed_dim} layers={shape.n_layers} "
+              f"rels={shape.n_rels} bases={shape.num_bases}",
+              file=sys.stderr)
 
     targs = train_mod.parse_args([
         "--data", args.data, "--structures", args.structures,
@@ -91,7 +109,7 @@ def main(argv=None):
                         "syn_val_queries")), []),
     ])
     kg, _, _ = train_mod.load_data(targs)
-    if kg.n_rels != shape.n_rels:
+    if shape is not None and kg.n_rels != shape.n_rels:
         raise SystemExit(
             f"relation vocab mismatch: state dict has {shape.n_rels} "
             f"directed relations, dataset has {kg.n_rels} — wrong "
@@ -105,8 +123,9 @@ def main(argv=None):
 
     cfg = mpqe_mod.MPQEConfig(
         n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
-        embed_dim=shape.embed_dim, n_layers=shape.n_layers,
-        num_bases=shape.num_bases, readout=args.readout,
+        embed_dim=args.embed_dim if shape is None else shape.embed_dim,
+        n_layers=args.n_layers if shape is None else shape.n_layers,
+        num_bases=nb, readout=args.readout,
         margin=args.margin)
     key_map = None
     if args.map:

@@ -198,27 +198,12 @@ def load_data(args):
     if args.data.startswith("pkl:"):
         d = args.data[4:]
         kg, _, _ = loader_mod.load_graph_pickle(os.path.join(d, "graph_data.pkl"))
-        train_q: dict = {}
-        val_q: dict = {}
         # 1-chain data comes from {train,val}_edges.pkl in the GQE lineage
         # (SURVEY.md §A.3); when train_edges.pkl is absent, main() derives
         # the 1-chain training set from the train graph's edges directly
         # (stores_from_edges — the two are equivalent by construction).
-        for name, dest in (("train_edges.pkl", train_q),
-                           ("val_edges.pkl", val_q)):
-            p = os.path.join(d, name)
-            if os.path.exists(p):
-                for s, by_f in loader_mod.load_queries_pickle(p, kg).items():
-                    dest.setdefault(s, {}).update(by_f)
-        for arity in (2, 3):
-            tp = os.path.join(d, f"train_queries_{arity}.pkl")
-            vp = os.path.join(d, f"val_queries_{arity}.pkl")
-            if os.path.exists(tp):
-                for s, by_f in loader_mod.load_queries_pickle(tp, kg).items():
-                    train_q.setdefault(s, {}).update(by_f)
-            if os.path.exists(vp):
-                for s, by_f in loader_mod.load_queries_pickle(vp, kg).items():
-                    val_q.setdefault(s, {}).update(by_f)
+        train_q = loader_mod.load_split_queries(d, kg, "train")
+        val_q = loader_mod.load_split_queries(d, kg, "val")
         return kg, train_q, val_q
     raise ValueError(f"unknown --data {args.data}")
 
