@@ -290,3 +290,103 @@ def test_cli_end_to_end(tmp_path):
 
     # and evaluate.py accepts the run dir as-is
     eval_mod.main(["--run_dir", out, "--n_neg", "8"])
+
+
+def test_dict_node_maps_must_be_dense_permutation():
+    """{global: local} maps with gapped/duplicate local rows used to
+    scatter embedding rows through uninitialized indices — now a hard
+    error."""
+    modes = ("alpha", "beta", "gamma")
+    sd = {}
+    for i in range(L):
+        sd.update(_layer_keys(i, 8, NB))
+    sd["enc.features.alpha.weight"] = torch.randn(3, D)
+    sd["enc.features.beta.weight"] = torch.randn(2, D)
+    sd["enc.features.gamma.weight"] = torch.randn(2, D)
+    sd["enc.vars.alpha.weight"] = torch.randn(1, D)
+    sd["enc.vars.beta.weight"] = torch.randn(1, D)
+    sd["enc.vars.gamma.weight"] = torch.randn(1, D)
+    bad = {"alpha": {10: 0, 11: 2, 12: 3},  # local row 1 missing
+           "beta": {0: 0, 1: 1}, "gamma": {2: 0, 3: 1}}
+    with pytest.raises(ValueError, match="dense 0..n-1"):
+        _import(sd, _cfg(), mode_names=modes, node_maps=bad)
+
+
+def test_mode_named_table_not_misclassified_as_var():
+    """A per-mode entity table with exactly n_modes rows must stay an
+    entity table (its key names a mode), not become emb.var."""
+    modes = ("alpha", "beta", "gamma")
+    sd = {}
+    for i in range(L):
+        sd.update(_layer_keys(i, 8, NB))
+    # alpha's ENTITY table happens to have n_modes == 3 rows
+    sd["enc.features.alpha.weight"] = torch.randn(N_MODES, D)
+    sd["enc.features.beta.weight"] = torch.randn(2, D)
+    sd["enc.features.gamma.weight"] = torch.randn(2, D)
+    sd["enc.vars.alpha.weight"] = torch.randn(1, D)
+    sd["enc.vars.beta.weight"] = torch.randn(1, D)
+    sd["enc.vars.gamma.weight"] = torch.randn(1, D)
+    node_maps = {"alpha": [0, 1, 2], "beta": [3, 4], "gamma": [5, 6]}
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=7, n_modes=N_MODES, n_rels=8, embed_dim=D,
+        n_layers=L, num_bases=NB, readout="tgt")
+    import jax
+
+    params, rep = ti.import_mpqe_params(
+        {k: v.numpy() for k, v in sd.items()}, cfg, jax.random.PRNGKey(0),
+        mode_names=modes, node_maps=node_maps)
+    assert not rep.missing
+    np.testing.assert_array_equal(
+        np.asarray(params["emb"]["ent"])[:3],
+        sd["enc.features.alpha.weight"].numpy())
+    np.testing.assert_array_equal(
+        np.asarray(params["emb"]["var"])[0],
+        sd["enc.vars.alpha.weight"].numpy()[0])
+
+
+def test_cli_shape_overrides_with_map_only_checkpoint(tmp_path):
+    """Layer keys that don't match the PyG regex import through --map +
+    explicit shape flags (this workflow used to be unreachable: shape
+    inference raised before --map was read)."""
+    import sys
+
+    import train as train_mod
+
+    sys.path.insert(0, "tools")
+    import import_torch_checkpoint as cli  # noqa: E402
+
+    targs = train_mod.parse_args([
+        "--data", "synthetic", "--seed", "0",
+        "--syn_entities", "200", "--syn_modes", "3", "--syn_rels", "6",
+        "--syn_triples", "600", "--syn_train_queries", "100",
+        "--syn_val_queries", "20"])
+    kg, _, _ = train_mod.load_data(targs)
+    g = torch.Generator().manual_seed(2)
+    sd = {
+        "entity_table": torch.randn(kg.n_entities, D, generator=g),
+        "var_table": torch.randn(kg.n_modes, D, generator=g),
+        "oddly.named.self0": torch.randn(D, D, generator=g),
+        "oddly.named.bias0": torch.randn(D, generator=g),
+        "oddly.named.basis0": torch.randn(NB, D, D, generator=g),
+        "oddly.named.coeff0": torch.randn(kg.n_rels, NB, generator=g),
+    }
+    ckpt = str(tmp_path / "odd.pt")
+    torch.save(sd, ckpt)
+    key_map = {
+        "emb.ent": {"key": "entity_table"},
+        "emb.var": {"key": "var_table"},
+        "layers.0.w_self": {"key": "oddly.named.self0"},
+        "layers.0.bias": {"key": "oddly.named.bias0"},
+        "layers.0.basis": {"key": "oddly.named.basis0"},
+        "layers.0.coeff": {"key": "oddly.named.coeff0"},
+    }
+    map_path = str(tmp_path / "map.json")
+    with open(map_path, "w") as f:
+        json.dump(key_map, f)
+    out = str(tmp_path / "imported")
+    cli.main(["--ckpt", ckpt, "--data", "synthetic", "--out", out,
+              "--map", map_path, "--embed_dim", str(D), "--n_layers", "1",
+              "--num_bases", str(NB)])
+    with open(os.path.join(out, "model_config.json")) as f:
+        mc = json.load(f)
+    assert mc["n_layers"] == 1 and mc["num_bases"] == NB
