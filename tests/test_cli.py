@@ -382,3 +382,22 @@ def test_train_optimizer_knobs_then_evaluate_and_resume(tmp_path):
                                 "--steps", "80"])
     lines = open(os.path.join(run_dir, "metrics.jsonl")).read()
     assert '"step": 80' in lines
+
+
+def test_train_parallel_with_optimizer_knobs(tmp_path):
+    """grad_clip/adamw change the opt_state pytree; the SPMD path's
+    sharding rules must stay structure-generic."""
+    import train as train_mod
+
+    run_dir = str(tmp_path / "run")
+    train_mod.main([
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "2",
+        "--num_bases", "4", "--steps", "30", "--val_every", "20",
+        "--batch_size", "32", "--n_neg", "2",
+        "--syn_entities", "200", "--syn_triples", "600",
+        "--parallel", "spmd", "--mesh", "4,2",
+        "--grad_clip", "1.0", "--weight_decay", "1e-4",
+        "--lr_schedule", "warmup_cosine", "--warmup_steps", "5",
+        "--run_dir", run_dir,
+    ])
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
