@@ -53,6 +53,13 @@ def main(argv=None):
                         "bfloat16 halves / int8 quarters the table bytes "
                         "and raises the MXU rate (recall-vs-f32 pinned in "
                         "tests; int8 needs cosine scoring)")
+    p.add_argument("--answer", default=None, metavar="QUERIES_PKL",
+                   help="bulk offline mode: answer every query in a GQE-"
+                        "format queries pickle and write top-k ids/scores "
+                        "to --out (.npz); skips the latency benchmark")
+    p.add_argument("--out", default=None,
+                   help=".npz output for --answer (entity_ids [N,k], "
+                        "scores [N,k], structure [N], target [N])")
     p.add_argument("--shards", type=int, default=0,
                    help=">1: serve over a model-axis mesh of this many "
                         "devices with the entity table row-sharded "
@@ -137,6 +144,38 @@ def main(argv=None):
         server = QueryServer(state.params, cfg, kg.entity_mode,
                              neighbor_table=neighbor_table,
                              table_dtype=args.table_dtype)
+    if args.answer:
+        if not args.out:
+            raise SystemExit("--answer requires --out <file.npz>")
+        from mpqe_tpu.data import loader as loader_mod
+
+        grouped = loader_mod.load_queries_pickle(args.answer, kg)
+        flat = [q for by_f in grouped.values()
+                for qs in by_f.values() for q in qs]
+        if not flat:
+            raise SystemExit(f"--answer: no queries in {args.answer}")
+        server.warmup(sorted(grouped), batch=args.batch, k=args.k)
+        t0 = time.perf_counter()
+        answers = server.answer(flat, k=args.k)
+        dt = time.perf_counter() - t0
+        np.savez(
+            args.out,
+            entity_ids=np.stack([a.entity_ids for a in answers]),
+            scores=np.stack([a.scores for a in answers]),
+            structure=np.asarray(
+                [q.formula.structure for q in flat]),
+            target=np.asarray([q.target for q in flat], np.int32),
+        )
+        hits = sum(int(q.target in a.entity_ids.tolist())
+                   for q, a in zip(flat, answers))
+        print(json.dumps({
+            "checkpoint": ckpt, "queries": len(flat), "k": args.k,
+            "out": args.out, "seconds": dt,
+            "queries_per_s": len(flat) / dt,
+            "hit_at_k": hits / len(flat),
+        }))
+        return
+
     structures = args.structures.split(",")
     server.warmup(structures, batch=args.batch, k=args.k)
 

@@ -401,3 +401,44 @@ def test_train_parallel_with_optimizer_knobs(tmp_path):
         "--run_dir", run_dir,
     ])
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_serve_bulk_answer_mode(tmp_path):
+    """serve.py --answer <queries.pkl> --out <npz>: offline bulk top-k
+    over a GQE-format query file (mixed structures, one process)."""
+    import numpy as np
+
+    import serve as serve_mod
+    import train as train_mod
+    from mpqe_tpu.data import loader as loader_mod
+    from mpqe_tpu.data.sampler import QuerySampler
+
+    run_dir = str(tmp_path / "run")
+    args = [
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "2",
+        "--num_bases", "2", "--steps", "60", "--val_every", "50",
+        "--batch_size", "32", "--n_neg", "4",
+        "--structures", "1-chain,2-inter",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "200", "--syn_val_queries", "40",
+        "--run_dir", run_dir,
+    ]
+    train_mod.main(args)
+    kg, _, _ = train_mod.load_data(train_mod.parse_args(args))
+    sampler = QuerySampler(kg, seed=77)
+    qs = (sampler.sample_queries("1-chain", 12, n_neg=1)
+          + sampler.sample_queries("2-inter", 12, n_neg=1))
+    qpkl = str(tmp_path / "queries.pkl")
+    loader_mod.save_queries_pickle(qpkl, qs)
+
+    out = str(tmp_path / "answers.npz")
+    serve_mod.main(["--run_dir", run_dir, "--answer", qpkl, "--out", out,
+                    "--k", "5", "--batch", "8"])
+    z = np.load(out)
+    assert z["entity_ids"].shape == (24, 5)
+    assert z["scores"].shape == (24, 5)
+    assert sorted(set(z["structure"].tolist())) == ["1-chain", "2-inter"]
+    # answers respect the target mode (the server's mode mask)
+    for row, s in zip(z["entity_ids"], z["structure"]):
+        modes = set(kg.entity_mode[row].tolist())
+        assert len(modes) == 1, (s, row)
