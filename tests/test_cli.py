@@ -442,3 +442,42 @@ def test_serve_bulk_answer_mode(tmp_path):
     for row, s in zip(z["entity_ids"], z["structure"]):
         modes = set(kg.entity_mode[row].tolist())
         assert len(modes) == 1, (s, row)
+
+
+def test_serve_bulk_answer_sharded_matches_dense(tmp_path):
+    """--answer composes with --shards: row-sharded bulk answers equal
+    the dense server's element-for-element."""
+    import numpy as np
+
+    import serve as serve_mod
+    import train as train_mod
+    from mpqe_tpu.data import loader as loader_mod
+    from mpqe_tpu.data.sampler import QuerySampler
+
+    run_dir = str(tmp_path / "run")
+    args = [
+        "--data", "synthetic", "--embed_dim", "16", "--n_layers", "1",
+        "--num_bases", "2", "--steps", "40", "--val_every", "30",
+        "--batch_size", "32", "--n_neg", "2",
+        "--structures", "1-chain,2-chain",
+        "--syn_entities", "150", "--syn_triples", "400",
+        "--syn_train_queries", "150", "--syn_val_queries", "30",
+        "--run_dir", run_dir,
+    ]
+    train_mod.main(args)
+    kg, _, _ = train_mod.load_data(train_mod.parse_args(args))
+    sampler = QuerySampler(kg, seed=5)
+    qs = (sampler.sample_queries("1-chain", 8, n_neg=1)
+          + sampler.sample_queries("2-chain", 8, n_neg=1))
+    qpkl = str(tmp_path / "q.pkl")
+    loader_mod.save_queries_pickle(qpkl, qs)
+
+    dense = str(tmp_path / "dense.npz")
+    shard = str(tmp_path / "shard.npz")
+    serve_mod.main(["--run_dir", run_dir, "--answer", qpkl,
+                    "--out", dense, "--k", "5"])
+    serve_mod.main(["--run_dir", run_dir, "--answer", qpkl,
+                    "--out", shard, "--k", "5", "--shards", "4"])
+    zd, zs = np.load(dense), np.load(shard)
+    np.testing.assert_array_equal(zd["entity_ids"], zs["entity_ids"])
+    np.testing.assert_allclose(zd["scores"], zs["scores"], atol=1e-5)
