@@ -154,7 +154,10 @@ def main(argv=None):
                 for qs in by_f.values() for q in qs]
         if not flat:
             raise SystemExit(f"--answer: no queries in {args.answer}")
-        server.warmup(sorted(grouped), batch=args.batch, k=args.k)
+        # warm every power-of-two bucket the bulk request will hit (one
+        # compile each is minutes on the relay TPU)
+        server.warmup(sorted(grouped),
+                      batch=max(args.batch, len(flat)), k=args.k)
         t0 = time.perf_counter()
         answers = server.answer(flat, k=args.k)
         dt = time.perf_counter() - t0
