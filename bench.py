@@ -645,6 +645,7 @@ def main():
     if os.environ.get("MPQE_BENCH_MATRIX"):
         if relay_down:
             extra["configs"] = "skipped: relay down (CPU fallback)"
+            extra["shared_neg_variant"] = extra["configs"]
         else:
             extra["configs"] = bench_matrix()
             extra["shared_neg_variant"] = bench_shared_negatives()

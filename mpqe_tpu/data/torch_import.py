@@ -202,11 +202,15 @@ def _required_paths(params: Dict[str, Any]) -> List[str]:
     return req
 
 
+def _mode_pattern(mode: str) -> "re.Pattern":
+    """Mode name as a dotted path component (``enc.features.<mode>.w``)."""
+    return re.compile(r"(?:^|\.)" + re.escape(mode) + r"(?:\.|$)")
+
+
 def _match_mode_key(keys: Sequence[str], mode: str) -> Optional[str]:
     """Find the unique key that names ``mode`` as a path component
     (``enc.features.<mode>.weight`` and friends)."""
-    pat = re.compile(
-        r"(?:^|\.)" + re.escape(mode) + r"(?:\.|$)")
+    pat = _mode_pattern(mode)
     hits = [k for k in keys if pat.search(k)]
     if len(hits) == 1:
         return hits[0]
@@ -305,9 +309,7 @@ def import_mpqe_params(
         def _names_a_mode(k: str) -> bool:
             # a key that names a specific mode is a per-mode ENTITY
             # table, even if its row count happens to equal n_modes
-            return any(
-                re.search(r"(?:^|\.)" + re.escape(m) + r"(?:\.|$)", k)
-                for m in mode_names)
+            return any(_mode_pattern(m).search(k) for m in mode_names)
 
         var_whole = [k for k in rest
                      if sd[k].shape == (cfg.n_modes, d)
@@ -373,6 +375,7 @@ def import_mpqe_params(
                         f"{sorted(mode_names)}")
                 ent = np.array(params["emb"]["ent"], dtype=np.float32,
                                copy=True)
+                claimed = np.zeros(cfg.n_entities, dtype=bool)
                 for mode, k in picks.items():
                     ids = node_maps[mode]
                     if isinstance(ids, dict):
@@ -391,6 +394,23 @@ def import_mpqe_params(
                             gl[loc] = int(g)
                     else:
                         gl = np.asarray(list(ids), dtype=np.int64)
+                    # globals need the same discipline as local rows:
+                    # in range, unique within the mode, and not claimed
+                    # by another mode — otherwise rows silently land on
+                    # (or overwrite) the wrong entities
+                    if gl.size and (gl.min() < 0
+                                    or gl.max() >= cfg.n_entities):
+                        raise ValueError(
+                            f"node_maps[{mode!r}]: global entity ids "
+                            f"outside [0, {cfg.n_entities})")
+                    if np.unique(gl).size != gl.size:
+                        raise ValueError(
+                            f"node_maps[{mode!r}]: duplicate global ids")
+                    if claimed[gl].any():
+                        raise ValueError(
+                            f"node_maps[{mode!r}]: global ids already "
+                            "claimed by another mode")
+                    claimed[gl] = True
                     a = sd[k]
                     if a.shape[0] != len(gl):
                         raise ValueError(

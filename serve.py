@@ -155,9 +155,12 @@ def main(argv=None):
         if not flat:
             raise SystemExit(f"--answer: no queries in {args.answer}")
         # warm every power-of-two bucket the bulk request will hit (one
-        # compile each is minutes on the relay TPU)
+        # compile each is minutes on the relay TPU); cap at the server's
+        # max_batch — answer() chunks there, so larger warmups would just
+        # re-dispatch the compiled max-size program on dummy data
         server.warmup(sorted(grouped),
-                      batch=max(args.batch, len(flat)), k=args.k)
+                      batch=min(max(args.batch, len(flat)),
+                                server.max_batch), k=args.k)
         t0 = time.perf_counter()
         answers = server.answer(flat, k=args.k)
         dt = time.perf_counter() - t0

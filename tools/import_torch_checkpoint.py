@@ -94,6 +94,11 @@ def main(argv=None):
               else int(args.num_bases))
         shape = None  # explicit shape; relation vocab comes from data
     else:
+        if args.num_bases is not None:
+            raise SystemExit(
+                "--num_bases only applies with --embed_dim/--n_layers "
+                "(otherwise the basis count is inferred from the state "
+                "dict and an explicit flag would be silently ignored)")
         shape = ti.infer_model_shape(sd)
         nb = shape.num_bases
         print(f"state dict: d={shape.embed_dim} layers={shape.n_layers} "
