@@ -137,14 +137,20 @@ def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
     return Ws, biases
 
 
-def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False):
+def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False,
+                 split_gemm=False):
     """Kernel closure; slot layout and the layer loop unroll at trace
     time.  refs: a_refs..., m_refs..., W_0..W_{L-1}, b_0..b_{L-1}, out.
     With ``oh_operand`` the packed variable one-hot block arrives as ONE
     prebuilt [bb, d_pad] bf16 ref (built by XLA outside) instead of n_v
     id columns expanded in-kernel — trades ~n_v VPU passes over
     [bb, d_pad] on the kernel's critical path for one extra bf16 operand
-    DMA that the grid pipeline overlaps with compute."""
+    DMA that the grid pipeline overlaps with compute.  With
+    ``split_gemm`` layer 0 skips the ``jnp.concatenate`` of operand
+    blocks (a [bb, n_ops*d_pad] VPU copy per grid step) and instead runs
+    one GEMM per operand block against the matching d_pad-row slice of
+    W_0, accumulated in f32 — identical MACs (the MXU consumes k=128
+    panels either way), no copy."""
     f32, bf16 = jnp.float32, jnp.bfloat16
     n_m = 1 if (oh_operand and n_v) else n_v
 
@@ -171,12 +177,27 @@ def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False):
             else:
                 for k in range(n_v):
                     pieces.append((m_refs[k][:] == iota).astype(bf16))
-        x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
-        for li in range(steps):
+        if split_gemm and len(pieces) > 1:
+            # every layer-0 operand block occupies exactly d_pad rows of
+            # W_0, in `pieces` order (anchors, then variable blocks —
+            # see `row0`), so slice-and-accumulate replaces the concat
+            y = jnp.dot(pieces[0], w_refs[0][0:d_pad, :],
+                        preferred_element_type=f32)
+            for k in range(1, len(pieces)):
+                y = y + jnp.dot(pieces[k],
+                                w_refs[0][k * d_pad:(k + 1) * d_pad, :],
+                                preferred_element_type=f32)
+            start = 1
+        else:
+            x = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=1)
+            y = jnp.dot(x, w_refs[0][...], preferred_element_type=f32)
+            start = 1
+        y = y + b_refs[0][0:1, :]
+        for li in range(start, steps):
+            x = jnp.maximum(y, 0.0).astype(bf16)
             y = jnp.dot(x, w_refs[li][...], preferred_element_type=f32)
             y = y + b_refs[li][0:1, :]
-            if li < steps - 1:
-                x = jnp.maximum(y, 0.0).astype(bf16)
         # the final layer's out_slots is exactly (target,) by plan
         # construction, so y is already the [bb, d_pad] target block
         out_ref[...] = y
@@ -197,6 +218,8 @@ def fused_tgt_forward(
     block: int = 2048,
     interpret: bool = False,
     onehot_operand: bool = False,
+    split_gemm: bool = False,
+    vmem_limit_mb: Optional[int] = None,
 ) -> jax.Array:
     """Whole pruned TGT forward as one Pallas kernel → ``[B, d]`` f32.
 
@@ -278,14 +301,23 @@ def fused_tgt_forward(
         + [pl.BlockSpec(b.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM) for b in biases]
     )
+    # Mosaic's default scoped-VMEM limit is 16 MiB — conservative against
+    # the chip's physical VMEM (128 MiB on v5e).  Variants that keep more
+    # blocks live (split_gemm's per-operand accumulation, block > 2048)
+    # need the limit raised; callers opt in via ``vmem_limit_mb``.
+    compiler_params = None
+    if vmem_limit_mb is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
     out = pl.pallas_call(
         _make_kernel(steps, len(a_slots), len(v_slots), d_pad, packed, m8,
-                     oh_operand=oh_operand),
+                     oh_operand=oh_operand, split_gemm=split_gemm),
         grid=(B_pad // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, d_pad), jnp.float32),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*inputs)
     return out[:B, :d].astype(cfg.dtype)

@@ -196,3 +196,24 @@ def test_fused_fwd_onehot_operand_bit_exact(rng, structure):
         onehot_operand=True)
     np.testing.assert_allclose(np.asarray(oh), np.asarray(base),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("structure", ["3-chain_inter", "2-inter", "3-chain"])
+@pytest.mark.parametrize("oh_operand", [False, True])
+def test_fused_fwd_split_gemm_matches_concat(rng, structure, oh_operand):
+    # split_gemm=True replaces the layer-0 concat with per-operand-block
+    # GEMMs against d_pad-row slices of W_0, f32-accumulated; identical
+    # MACs, accumulation order may differ from the single wide GEMM
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(3), cfg)
+    ne, nm, er, en = _inputs(rng, structure)
+    base = ff.fused_tgt_forward(
+        params, cfg, structure, ne, nm, er, en, block=8, interpret=True)
+    sg = ff.fused_tgt_forward(
+        params, cfg, structure, ne, nm, er, en, block=8, interpret=True,
+        onehot_operand=oh_operand, split_gemm=True)
+    scale = float(jnp.max(jnp.abs(base))) + 1e-9
+    np.testing.assert_allclose(np.asarray(sg) / scale,
+                               np.asarray(base) / scale, atol=1e-6)

@@ -47,6 +47,14 @@ def main(argv=None):
     ap.add_argument("--oh_operand", action="store_true",
                     help="also time the onehot_operand=True variant "
                          "(prebuilt packed one-hot as a bf16 operand)")
+    ap.add_argument("--split_gemm", action="store_true",
+                    help="also time split_gemm=True (per-operand-block "
+                         "layer-0 GEMMs instead of the VPU concat), "
+                         "with and without oh_operand")
+    ap.add_argument("--skip_base", action="store_true",
+                    help="skip the XLA + default-fused timings (each is "
+                         "a multi-minute relay compile) and only time "
+                         "the requested variants")
     args = ap.parse_args(argv)
 
     import jax
@@ -83,19 +91,21 @@ def main(argv=None):
         return loop
 
     log(f"backend={jax.default_backend()} B={B}")
-    xla_loop = make_loop(lambda p, en: mpqe_mod.encode_dense(
-        p, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en))
-    log("compiling XLA forward...")
-    dt = _timed_loop(xla_loop, params, edge_norm)
-    log(f"xla   : {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+    if not args.skip_base:
+        xla_loop = make_loop(lambda p, en: mpqe_mod.encode_dense(
+            p, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en))
+        log("compiling XLA forward...")
+        dt = _timed_loop(xla_loop, params, edge_norm)
+        log(f"xla   : {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
 
-    for blk in [int(b) for b in args.blocks.split(",")]:
-        fl = make_loop(lambda p, en, blk=blk: mpqe_mod.encode_dense_fused(
-            p, cfg, STRUCTURE, node_entity, node_mode, edge_rel, en,
-            None, blk, False))
-        log(f"compiling fused block={blk}...")
-        dt = _timed_loop(fl, params, edge_norm)
-        log(f"fused {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+        for blk in [int(b) for b in args.blocks.split(",")]:
+            fl = make_loop(
+                lambda p, en, blk=blk: mpqe_mod.encode_dense_fused(
+                    p, cfg, STRUCTURE, node_entity, node_mode, edge_rel,
+                    en, None, blk, False))
+            log(f"compiling fused block={blk}...")
+            dt = _timed_loop(fl, params, edge_norm)
+            log(f"fused {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
 
     if args.oh_operand:
         # onehot_operand=True: the packed variable one-hot block is
@@ -110,6 +120,24 @@ def main(argv=None):
             log(f"compiling fused+oh_operand block={blk}...")
             dt = _timed_loop(fl, params, edge_norm)
             log(f"fused+oh {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+
+    if args.split_gemm:
+        # split_gemm=True: the layer-0 operand concat (a [bb, n_ops*d_pad]
+        # VPU copy every grid step) is replaced by one GEMM per operand
+        # block against the matching W_0 row slice (ops/pallas_fused_fwd)
+        from mpqe_tpu.ops import pallas_fused_fwd as ff
+        for oh in ([False, True] if args.oh_operand else [False]):
+            for blk in [int(b) for b in args.blocks.split(",")]:
+                fl = make_loop(
+                    lambda p, en, blk=blk, oh=oh: ff.fused_tgt_forward(
+                        p, cfg, STRUCTURE, node_entity, node_mode,
+                        edge_rel, en, block=blk, onehot_operand=oh,
+                        split_gemm=True, vmem_limit_mb=96))
+                tag = f"split{'+oh' if oh else ''}"
+                log(f"compiling fused+{tag} block={blk}...")
+                dt = _timed_loop(fl, params, edge_norm)
+                log(f"fused+{tag} {blk}: {dt*1e3:.3f} ms  "
+                    f"{msgs/dt:.3e} msgs/s")
 
     # compiled-mode parity at a small batch (same programs, tiny shapes)
     Bs = 1024
