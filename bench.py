@@ -130,9 +130,13 @@ def bench_jax():
 
     # fused whole-forward Pallas kernel — the `--kernel fused_fwd`
     # product path (ops/pallas_fused_fwd): the full pruned TGT plan runs
-    # per 2048-row block in VMEM (one GEMM per layer), so only the
-    # compulsory inputs/outputs touch HBM.  Compiled mode is TPU-only;
-    # on a CPU backend the XLA path is the headline.
+    # per VMEM block (one GEMM per layer), so only the compulsory
+    # inputs/outputs touch HBM.  block=4096 measured fastest at this
+    # shape (0.307 vs 0.324 ms at 2048; fits the default scoped-VMEM
+    # limit); the variant sweep (onehot_operand, split_gemm — both
+    # measured slower, tools/fused_fwd_bench.py) is in BASELINE.md.
+    # Compiled mode is TPU-only; on a CPU backend the XLA path is the
+    # headline.
     fwd_dt_fused = None
     if jax.default_backend() != "cpu":
         # the id arrays are CLOSURE CONSTANTS here, deliberately:
@@ -150,7 +154,7 @@ def bench_jax():
                 en, acc = carry
                 q = mpqe_mod.encode_dense_fused(
                     params, cfg, STRUCTURE, node_entity, node_mode,
-                    edge_rel, en, None, 2048, False,
+                    edge_rel, en, None, 4096, False,
                 )
                 return en + q[0, :spec.n_edges] * 1e-20, acc + q[0, 0]
             _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
