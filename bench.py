@@ -148,13 +148,21 @@ def bench_jax():
         # loop shows no such gap.  The 413-overflow hazard (CLAUDE.md)
         # is about ~100s-of-MB activation constants; these ids are
         # ~3.7 MB total.
+        # the scoped-VMEM limit is raisable from the product path
+        # (ADVICE r3: if a Mosaic update regresses the 16 MiB fit at
+        # block=4096, MPQE_FUSED_VMEM_MB=24 recovers the headline
+        # without bypassing the custom-VJP wrapper)
+        import os as _os
+        _vmem = _os.environ.get("MPQE_FUSED_VMEM_MB")
+        _vmem = int(_vmem) if _vmem else None
+
         @jax.jit
         def fwd_loop_fused(params, en0, n):
             def body(i, carry):
                 en, acc = carry
                 q = mpqe_mod.encode_dense_fused(
                     params, cfg, STRUCTURE, node_entity, node_mode,
-                    edge_rel, en, None, 4096, False,
+                    edge_rel, en, None, 4096, False, False, False, _vmem,
                 )
                 return en + q[0, :spec.n_edges] * 1e-20, acc + q[0, 0]
             _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
@@ -224,6 +232,13 @@ def bench_jax():
         "roofline_bound": rl.bound,
         "roofline_min_ms": rl.min_seconds * 1e3,
         "roofline_impl": impl,
+        # model revision tag: r1/r2 used "all-activations-round-trip-v1"
+        # (every inter-layer activation charged an HBM round trip; the
+        # device reached ~0.99 of it); r3+ charge compulsory traffic only
+        # (anchor rows + one-hot operands + id reads + final write), a
+        # true lower bound.  Fractions are NOT comparable across model
+        # revisions (VERDICT r3 weak #4).
+        "roofline_model": "compulsory-traffic-v2",
         # relay timing moves run-to-run by ~10-15% (BASELINE.md); a
         # fraction near/above 1 means the program is at the bound within
         # that measurement precision, not faster than physics

@@ -245,7 +245,8 @@ def encode_dense(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 8, 9, 10, 11, 12, 13, 14))
 def encode_dense_fused(
     params: Dict[str, Any],
     cfg: MPQEConfig,
@@ -257,35 +258,68 @@ def encode_dense_fused(
     anchor_rows: Optional[jax.Array] = None,
     block: int = 2048,
     interpret: bool = False,
+    onehot_operand: bool = False,
+    split_gemm: bool = False,
+    vmem_limit_mb: Optional[int] = None,
+    backward: str = "xla",
+    bwd_block: int = 1024,
 ) -> jax.Array:
     """:func:`encode_dense` with the forward pass run as ONE Pallas
     kernel (ops/pallas_fused_fwd): the whole multi-layer pruned TGT plan
     executes per B-block in VMEM, so only the compulsory inputs/outputs
-    touch HBM.  Backward recomputes through the XLA path, making
-    gradients bit-identical to ``encode_dense``'s; the forward matches to
-    bf16-matmul tolerance (both paths use bf16 MXU operands).
+    touch HBM.
+
+    ``backward`` selects the gradient path:
+
+    * ``"xla"`` (default) — recompute through :func:`encode_dense`;
+      gradients bit-identical to differentiating the XLA path.
+    * ``"pallas"`` — :func:`ops.pallas_fused_fwd.fused_tgt_backward`:
+      the same VMEM-block structure run in reverse (dW accumulated in
+      VMEM, activations recomputed in-kernel, anchor-row cotangents fed
+      to the ordinary scatter).  Gradients match to bf16-matmul
+      tolerance (same numerics class as XLA's default precision).
+
+    ``onehot_operand`` / ``split_gemm`` / ``vmem_limit_mb`` pass through
+    to :func:`ops.pallas_fused_fwd.fused_tgt_forward` so product callers
+    (bench, train) can select kernel variants or raise the scoped-VMEM
+    limit without bypassing this custom-VJP wrapper.
 
     Requires ``readout='tgt'`` and f32 activations (``cfg.dtype``).
     """
     return fused_fwd_ops.fused_tgt_forward(
         params, cfg, structure, node_entity, node_mode, edge_rel,
         edge_norm, anchor_rows, block=block, interpret=interpret,
+        onehot_operand=onehot_operand, split_gemm=split_gemm,
+        vmem_limit_mb=vmem_limit_mb,
     )
 
 
 def _encode_dense_fused_fwd(params, cfg, structure, node_entity, node_mode,
                             edge_rel, edge_norm, anchor_rows, block,
-                            interpret):
+                            interpret, onehot_operand, split_gemm,
+                            vmem_limit_mb, backward, bwd_block):
     out = fused_fwd_ops.fused_tgt_forward(
         params, cfg, structure, node_entity, node_mode, edge_rel,
         edge_norm, anchor_rows, block=block, interpret=interpret,
+        onehot_operand=onehot_operand, split_gemm=split_gemm,
+        vmem_limit_mb=vmem_limit_mb,
     )
     return out, (params, node_entity, node_mode, edge_rel, edge_norm,
                  anchor_rows)
 
 
-def _encode_dense_fused_bwd(cfg, structure, block, interpret, res, g):
+def _encode_dense_fused_bwd(cfg, structure, block, interpret, onehot_operand,
+                            split_gemm, vmem_limit_mb, backward, bwd_block,
+                            res, g):
     params, node_entity, node_mode, edge_rel, edge_norm, anchor_rows = res
+    if backward == "pallas":
+        dp, den, dar = fused_fwd_ops.fused_tgt_backward(
+            params, cfg, structure, node_entity, node_mode, edge_rel,
+            edge_norm, anchor_rows, g, block=bwd_block,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb)
+        return dp, None, None, None, den, dar
+    if backward != "xla":
+        raise ValueError(f"unknown backward mode {backward!r}")
     if anchor_rows is None:
         _, vjp = jax.vjp(
             lambda p, en: encode_dense(
@@ -433,6 +467,11 @@ def dense_batch_loss_shared_negs(
     target: jax.Array,  # [B]
     shared_negatives: jax.Array,  # [K] — ONE negative set for the batch
     query_mask: jax.Array,  # [B]
+    encoder: str = "dense",
+    fused_block: int = 2048,
+    fused_backward: str = "xla",
+    fused_bwd_block: int = 1024,
+    interpret: bool = False,
 ) -> jax.Array:
     """Margin loss with batch-shared negatives (protocol VARIANT).
 
@@ -443,6 +482,10 @@ def dense_batch_loss_shared_negs(
     transactions are the train-step bottleneck (BASELINE.md round 2), so
     this is the ~35 ms step configuration.  Negative scoring becomes one
     [B, d] @ [d, K] MXU matmul.  Off by default; enable knowingly.
+
+    ``encoder="fused_fwd"`` routes the encode through the fused
+    whole-forward Pallas kernel (with ``fused_backward`` selecting its
+    gradient path) so the two train-step levers compose.
     """
     a_slots = list(anchor_gather_slots(cfg, structure))
     n_a = len(a_slots)
@@ -452,10 +495,18 @@ def dense_batch_loss_shared_negs(
     pos_rows = rows[:, n_a, :]
     neg_rows = embed_ops.embedding_lookup(
         params["emb"]["ent"], shared_negatives)  # [K, d]
-    q = encode_dense(
-        params, cfg, structure, node_entity, node_mode, edge_rel, edge_norm,
-        anchor_rows=anchor_rows,
-    )
+    if encoder == "fused_fwd":
+        q = encode_dense_fused(
+            params, cfg, structure, node_entity, node_mode, edge_rel,
+            edge_norm, anchor_rows, fused_block, interpret, False, False,
+            None, fused_backward, fused_bwd_block)
+    elif encoder == "dense":
+        q = encode_dense(
+            params, cfg, structure, node_entity, node_mode, edge_rel,
+            edge_norm, anchor_rows=anchor_rows,
+        )
+    else:
+        raise ValueError(f"unknown encoder {encoder!r}")
     qf = q.astype(jnp.float32)
     nf = neg_rows.astype(jnp.float32)
     if cfg.scale_scores:
@@ -472,11 +523,17 @@ def dense_batch_loss_shared_negs(
     return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def make_shared_negs_batch_loss(n_shared: int):
+def make_shared_negs_batch_loss(n_shared: int, encoder: str = "dense",
+                                fused_block: int = 2048,
+                                fused_backward: str = "xla",
+                                fused_bwd_block: int = 1024,
+                                interpret: bool = False):
     """Adapt ``dense_batch_loss_shared_negs`` to the train loop's
     standard ``batch_loss_fn`` signature (``train/loop.py
     make_train_step``), so ``train.py --shared_negatives K`` can select
     the batch-shared-candidates protocol variant end-to-end.
+    ``encoder="fused_fwd"`` composes it with the fused whole-forward
+    kernel (``--kernel fused_fwd --shared_negatives K``).
 
     The shared candidate set is drawn IN-GRAPH from the batch's own
     per-query sampled negatives (one candidate per donor query, donors
@@ -502,7 +559,9 @@ def make_shared_negs_batch_loss(n_shared: int):
         shared = jnp.where(live, cand, negatives[0, 0])
         return dense_batch_loss_shared_negs(
             params, cfg, structure, node_entity, node_mode, edge_rel,
-            edge_norm, target, shared, query_mask)
+            edge_norm, target, shared, query_mask, encoder=encoder,
+            fused_block=fused_block, fused_backward=fused_backward,
+            fused_bwd_block=fused_bwd_block, interpret=interpret)
 
     return fn
 
@@ -822,15 +881,20 @@ def dense_batch_loss_kernel_fused_fwd(
     query_mask: jax.Array,
     block: int = 2048,
     interpret: bool = False,
+    vmem_limit_mb: Optional[int] = None,
+    backward: str = "xla",
+    bwd_block: int = 1024,
 ) -> jax.Array:
     """``dense_batch_loss`` with the forward routed through the fused
     whole-forward Pallas kernel (ops/pallas_fused_fwd; ``--kernel
-    fused_fwd``).  The custom-VJP backward recomputes through the XLA
-    path, so training gradients match ``dense_batch_loss`` exactly;
-    requires ``readout='tgt'``."""
+    fused_fwd``).  ``backward="xla"`` recomputes gradients through the
+    XLA path (bit-identical to ``dense_batch_loss``); ``backward=
+    "pallas"`` runs the fused Pallas backward kernel (tolerance
+    parity, fwd+bwd both VMEM-resident).  Requires ``readout='tgt'``."""
     q = encode_dense_fused(
         params, cfg, structure, node_entity, node_mode, edge_rel,
-        edge_norm, None, block, interpret)
+        edge_norm, None, block, interpret, False, False, vmem_limit_mb,
+        backward, bwd_block)
     return margin_loss_from_queries(
         params, cfg, q, target, negatives, neg_mask, query_mask)
 

@@ -73,9 +73,13 @@ def _var_layout(cfg, n_var: int, d_pad: int):
 
 def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
                     edge_rel, edge_norm, d_pad):
-    """Per-layer block weight matrix [k_l, n_l] (bf16) + bias row [8, n_l]
-    (f32), with edge_norm folded in and the variable-mode table
-    pre-multiplied into layer-0 one-hot columns.  Tiny XLA work.
+    """Per-layer block weight matrix [k_l, n_l] (f32 — callers cast to
+    bf16 for the kernel wire) + bias row [8, n_l] (f32), with edge_norm
+    folded in and the variable-mode table pre-multiplied into layer-0
+    one-hot columns.  Tiny XLA work.  Kept f32 and side-effect-free so
+    the Pallas backward can ``jax.vjp`` through this assembly to recover
+    exact dw_self/dbasis/dcoeff/dbias/dvar/dedge_norm from the kernel's
+    f32 dW/db accumulators.
 
     Layer-0 row layout: one d_pad block per anchor slot (in ``a_slots``
     order), then the packed variable block (or one block per variable
@@ -127,7 +131,7 @@ def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
             W = put(W, s, s, w_self)
         for j in edges:
             W = put(W, spec.edge_src[j], spec.edge_dst[j], w_e[j])
-        Ws.append(W.astype(jnp.bfloat16))
+        Ws.append(W)
 
         bias = jnp.zeros((8, len(out_slots) * d_pad), jnp.float32)
         for s in out_slots:
@@ -205,6 +209,230 @@ def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False,
     return kernel
 
 
+def _make_bwd_kernel(steps, n_a, n_v, d_pad, packed, m8,
+                     wire=jnp.bfloat16):
+    """Backward kernel closure (default concat layout only).
+
+    Per grid block: recompute the forward chain entirely in VMEM
+    (activations never touch HBM — same trade as the blocked kernel's
+    grad path), then walk it backwards:
+
+      dW_l += X_l^T @ g_l        (f32 VMEM accumulator, constant index)
+      db_l += sum_rows(g_l)
+      g_{l-1} = (g_l @ W_l^T) * relu'(Y_{l-1})
+      dA_k   = (g_0 @ W_0^T)[:, k*d_pad:(k+1)*d_pad]   (anchor operands)
+
+    The layer-0 one-hot rows of dW_0 carry the variable-table gradient;
+    :func:`fused_tgt_backward` maps dW/db back to the parameter pytree by
+    ``jax.vjp`` through :func:`_layer_matrices` (its assembly is linear in
+    the params, so the transpose is exact).
+
+    ``wire=jnp.float32`` disables the bf16 operand casts (testing only:
+    separates structural correctness from MXU-operand rounding).
+    """
+    f32, bf16 = jnp.float32, wire
+
+    def kernel(*refs):
+        a_refs = refs[:n_a]
+        m_refs = refs[n_a:n_a + n_v]
+        w_refs = refs[n_a + n_v:n_a + n_v + steps]
+        b_refs = refs[n_a + n_v + steps:n_a + n_v + 2 * steps]
+        g_ref = refs[n_a + n_v + 2 * steps]
+        da_refs = refs[n_a + n_v + 2 * steps + 1:
+                       n_a + n_v + 2 * steps + 1 + n_a]
+        dw_refs = refs[-2 * steps:-steps]
+        db_refs = refs[-steps:]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for r in dw_refs:
+                r[...] = jnp.zeros_like(r)
+            for r in db_refs:
+                r[...] = jnp.zeros_like(r)
+
+        bb = g_ref.shape[0]
+        # ---- recompute the forward, keeping X_l (bf16) and pre-relu Y_l
+        pieces = [a_refs[k][...] for k in range(n_a)]
+        if n_v:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (bb, d_pad), 1)
+            if packed:
+                oh = (m_refs[0][:] == iota)
+                for k in range(1, n_v):
+                    oh = jnp.logical_or(oh, m_refs[k][:] + k * m8 == iota)
+                pieces.append(oh.astype(bf16))
+            else:
+                for k in range(n_v):
+                    pieces.append((m_refs[k][:] == iota).astype(bf16))
+        x = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=1)
+        xs, ys = [x], []
+        for li in range(steps):
+            y = jnp.dot(x, w_refs[li][...], preferred_element_type=f32)
+            y = y + b_refs[li][0:1, :]
+            ys.append(y)
+            if li < steps - 1:
+                x = jnp.maximum(y, 0.0).astype(bf16)
+                xs.append(x)
+
+        # ---- reverse sweep
+        g = g_ref[...]  # [bb, d_pad] f32
+        for li in range(steps - 1, -1, -1):
+            gb = g.astype(bf16)
+            # X_l^T @ g_l: contract the row (batch) dim of both operands
+            dw_refs[li][...] += jax.lax.dot_general(
+                xs[li], gb, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            db_refs[li][0:1, :] += jnp.sum(g, axis=0, keepdims=True)
+            # g_l @ W_l^T: contract the out dim of g with W's columns
+            dx = jax.lax.dot_general(
+                gb, w_refs[li][...], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)  # [bb, k_l]
+            if li > 0:
+                g = dx * (ys[li - 1] > 0.0).astype(f32)
+            else:
+                for k in range(n_a):
+                    da_refs[k][...] = dx[:, k * d_pad:(k + 1) * d_pad]
+
+    return kernel
+
+
+def fused_tgt_backward(
+    params: Dict[str, Any],
+    cfg,
+    structure: str,  # static
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    edge_rel: jax.Array,  # [n_edges] int32
+    edge_norm: jax.Array,  # [n_edges] float32
+    anchor_rows,  # None | [B, A, d] | tuple of per-slot [B, d]
+    g: jax.Array,  # [B, d] output cotangent
+    *,
+    block: int = 1024,
+    interpret: bool = False,
+    vmem_limit_mb: Optional[int] = None,
+    f32_wire: bool = False,
+):
+    """Pallas backward for :func:`fused_tgt_forward`.
+
+    Returns ``(dparams, dedge_norm, danchor_rows)`` — the cotangents of
+    the differentiable inputs.  Anchor-row cotangents from the kernel
+    feed the ordinary gather transpose (an XLA scatter-add into the
+    entity table) when ``anchor_rows is None``; parameter and edge-norm
+    cotangents come from ``jax.vjp`` through the (linear) weight-matrix
+    assembly, so they are exact transposes of what the forward computed.
+
+    Numerics: bf16 MXU operands with f32 accumulation — the same class
+    as the XLA path's default-precision backward; parity is tolerance-
+    tested, not bit-exact (the XLA-recompute backward in
+    ``models.mpqe._encode_dense_fused_bwd`` remains the bit-exact-to-
+    ``encode_dense`` option).
+
+    Reference behavior: the autograd backward of mpqe/model.py's forward
+    (SURVEY.md §3.3; mount empty — built from the behavioral spec).
+    """
+    if cfg.readout != "tgt":
+        raise ValueError("fused_tgt_backward requires readout='tgt'")
+    spec, steps, plan, a_slots, v_slots = _plan(cfg, structure)
+    d = cfg.embed_dim
+    d_pad = _round_up(d, 128)
+    B = node_mode.shape[0]
+    bb = _round_up(min(block, B), 8)
+    B_pad = _round_up(B, bb)
+    packed, m8 = _var_layout(cfg, len(v_slots), d_pad)
+
+    def pad_rows(x, rows):
+        if x.shape[0] == rows:
+            return x
+        return jnp.zeros((rows,) + x.shape[1:], x.dtype).at[:x.shape[0]].set(x)
+
+    def pad2(x, r, c):
+        if x.shape == (r, c):
+            return x
+        return jnp.zeros((r, c), x.dtype).at[:x.shape[0], :x.shape[1]].set(x)
+
+    is_seq = isinstance(anchor_rows, (tuple, list))
+
+    def assemble(p, en, ar):
+        """Differentiable input assembly (f32, no kernel-wire casts):
+        per-anchor [B, d] columns + layer matrices/biases."""
+        if ar is None:
+            cols = tuple(p["emb"]["ent"][node_entity[:, s]].astype(
+                jnp.float32) for s in a_slots)
+        elif is_seq:
+            cols = tuple(c.astype(jnp.float32) for c in ar)
+        else:
+            cols = tuple(ar[:, k, :].astype(jnp.float32)
+                         for k in range(len(a_slots)))
+        Ws, biases = _layer_matrices(
+            p, cfg, spec, steps, plan, a_slots, v_slots, edge_rel, en,
+            d_pad)
+        return cols, tuple(Ws), tuple(biases)
+
+    (cols, Ws, biases), vjp_assemble = jax.vjp(
+        assemble, params, edge_norm, anchor_rows)
+
+    wire = jnp.float32 if f32_wire else jnp.bfloat16
+    inputs = [pad2(pad_rows(c.astype(wire), B_pad), B_pad, d_pad)
+              for c in cols]
+    for s in v_slots:
+        inputs.append(pad_rows(node_mode[:, s:s + 1].astype(jnp.int32),
+                               B_pad))
+    inputs += [W.astype(wire) for W in Ws]
+    inputs += list(biases)
+    g_pad = pad2(pad_rows(g.astype(jnp.float32), B_pad), B_pad, d_pad)
+    inputs.append(g_pad)
+
+    in_specs = (
+        [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM) for _ in a_slots]
+        + [pl.BlockSpec((bb, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for _ in v_slots]
+        + [pl.BlockSpec(W.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for W in Ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for b in biases]
+        + [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_specs = (
+        [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM) for _ in a_slots]
+        + [pl.BlockSpec(W.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for W in Ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for b in biases]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((B_pad, d_pad), jnp.float32) for _ in a_slots]
+        + [jax.ShapeDtypeStruct(W.shape, jnp.float32) for W in Ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in biases]
+    )
+    compiler_params = None
+    if vmem_limit_mb is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
+    outs = pl.pallas_call(
+        _make_bwd_kernel(steps, len(a_slots), len(v_slots), d_pad, packed,
+                         m8, wire=wire),
+        grid=(B_pad // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(*inputs)
+
+    n_a = len(a_slots)
+    d_cols = tuple(outs[k][:B, :d] for k in range(n_a))
+    d_Ws = tuple(outs[n_a:n_a + steps])
+    d_biases = tuple(outs[n_a + steps:])
+    dparams, dedge_norm, danchor_rows = vjp_assemble(
+        (d_cols, d_Ws, d_biases))
+    return dparams, dedge_norm, danchor_rows
+
+
 def fused_tgt_forward(
     params: Dict[str, Any],
     cfg,
@@ -229,10 +457,15 @@ def fused_tgt_forward(
     """
     if cfg.readout != "tgt":
         raise ValueError("fused_tgt_forward requires readout='tgt'")
-    if cfg.dtype != jnp.float32:
-        # the XLA path casts activations to cfg.dtype between layers;
-        # the kernel keeps f32 accumulators, so only f32 configs match
-        raise ValueError("fused_tgt_forward requires cfg.dtype=float32")
+    if cfg.dtype not in (jnp.float32, jnp.bfloat16):
+        # f32: kernel keeps f32 accumulators and bf16 MXU operands —
+        # the XLA path's own default matmul numerics.  bf16: the kernel
+        # ALREADY casts inter-layer activations to bf16 (relu-then-cast
+        # == cast-then-relu: monotone, 0 exact), which is exactly what
+        # cfg.dtype=bfloat16 means on the XLA path — parity pinned in
+        # tests/test_pallas_fused_fwd.py::test_fused_fwd_bf16_config
+        raise ValueError(
+            "fused_tgt_forward requires cfg.dtype in {float32, bfloat16}")
     spec, steps, plan, a_slots, v_slots = _plan(cfg, structure)
     d = cfg.embed_dim
     d_pad = _round_up(d, 128)
@@ -290,6 +523,7 @@ def fused_tgt_forward(
     Ws, biases = _layer_matrices(
         params, cfg, spec, steps, plan, a_slots, v_slots, edge_rel,
         edge_norm, d_pad)
+    Ws = [W.astype(jnp.bfloat16) for W in Ws]
     inputs += Ws + biases
 
     in_specs = (

@@ -18,13 +18,20 @@ bullet 4; round-1 VERDICT item 9).  One ``pallas_call`` per device, under
   * ``rdma.wait()`` lands AFTER the step's aggregation, so transfer and
     compute overlap by construction rather than by scheduler goodwill.
 
-Flow control follows the pallas_guide ring pattern (start / compute /
-wait per hop, alternating slots).  A slot is re-sent only after the
-owning device's wait on the PREVIOUS hop into that slot completed, which
-orders reuse on each edge of the ring; a fully general ack-semaphore
-protocol is noted for real-hardware hardening.  Interpret-mode tested on
-the virtual CPU mesh (remote DMAs are emulated by the Pallas
-interpreter); compiled multi-chip validation needs a pod slice.
+Flow control (ack tokens, round 4): the hop-``s+1`` send overwrites the
+right neighbor's slot ``cur`` — the slot it aggregates from at hop ``s``
+— and the double buffer alone gives NO ordering between my send and the
+neighbor's aggregate: a slow receiver could be overrun.  Each device
+therefore posts a token to its LEFT neighbor after finishing
+``aggregate(cur)``, and a sender consumes that token before re-sending
+into the slot ("your slot is free").  The token is a tiny remote DMA
+into a scratch ack buffer whose RECEIVE semaphore is the token count
+(the Pallas interpreter implements remote DMAs but not remote
+``semaphore_signal``, and on hardware a 512 B RDMA is as cheap as a
+remote signal).  Tokens pair 1:1 per hop per slot — a miscount
+deadlocks, which the interpret-mode tests would hang on.
+Interpret-mode tested on the virtual CPU mesh; compiled multi-chip
+validation needs a pod slice.
 """
 
 from __future__ import annotations
@@ -56,6 +63,10 @@ def _ring_kernel(
     comm_ref,  # scratch [2, block, d_pad]
     send_sem,  # DMA sems [2]
     recv_sem,
+    ack_buf,  # scratch [2, 8, 128]: payload for the ack-token DMAs
+    ack_send,  # DMA sems [2] (outgoing-token send side)
+    ack_recv,  # DMA sems [2]: token count — incremented by the RIGHT
+    #            neighbor's ack DMA, decremented by our pre-send wait
     *,
     axis: str,
     n_parts: int,
@@ -63,6 +74,7 @@ def _ring_kernel(
 ):
     my = jax.lax.axis_index(axis)
     right = jax.lax.rem(my + 1, n_parts)
+    left = jax.lax.rem(my - 1 + n_parts, n_parts)
     block = x_ref.shape[0]
     r_pad = coeff_ref.shape[0]
     bb = basis_ref.shape[0]
@@ -96,12 +108,33 @@ def _ring_kernel(
         out_ref[:] += jnp.dot(onehot_dst.T, acc,
                               preferred_element_type=f32, precision=hp)
 
-    # static unroll over ring hops; slot alternation is static too
+    def ack_dma(slot, dev):
+        return pltpu.make_async_remote_copy(
+            src_ref=ack_buf.at[slot],
+            dst_ref=ack_buf.at[slot],
+            send_sem=ack_send.at[slot],
+            recv_sem=ack_recv.at[slot],
+            device_id=dev,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    # static unroll over ring hops; slot alternation is static too.
+    # Ack protocol: the hop-s send targets the right neighbor's slot
+    # nxt=(s+1)%2, which that neighbor last reads in aggregate() at hop
+    # s-1 — so for s >= 1 the sender first consumes the "slot free"
+    # token the neighbor posted after that aggregate.  Hop 0's send
+    # into slot 1 needs no token (the slot was never used).  Tokens at
+    # hops 0..n_parts-3 pair exactly with waits at hops 1..n_parts-2.
     for s in range(n_parts):
         cur = s % 2
         nxt = (s + 1) % 2
         src_blk = jax.lax.rem(my - s + n_parts, n_parts)
         if s + 1 < n_parts:
+            if s > 0:
+                # right's slot nxt is free only once it finished its
+                # hop-(s-1) aggregate — consume its token (the recv
+                # side of the ack DMA the right neighbor posted)
+                ack_dma(nxt, right).wait_recv()
             rdma = pltpu.make_async_remote_copy(
                 src_ref=comm_ref.at[cur],
                 dst_ref=comm_ref.at[nxt],
@@ -112,6 +145,12 @@ def _ring_kernel(
             )
             rdma.start()
             aggregate(cur, src_blk)  # overlaps the in-flight hop
+            if s + 1 < n_parts - 1:
+                # my slot cur gets overwritten by left's hop-(s+1) send;
+                # now that aggregate(cur) is done, hand left the token
+                tok = ack_dma(cur, left)
+                tok.start()
+                tok.wait_send()  # 512 B — negligible stall
             rdma.wait()
         else:
             aggregate(cur, src_blk)
@@ -171,6 +210,9 @@ def rgcn_ring_halo_rdma(
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, block, d_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 8, 128), jnp.float32),  # ack payload
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -49,8 +49,10 @@ def test_fused_fwd_matches_encode_dense(rng, structure):
 
 
 def test_fused_fwd_full_weight_model(rng):
-    # num_bases=0 -> per-relation full weights (w_rel path in _edge_weights)
-    cfg = _cfg(num_bases=0)
+    # num_bases=None -> per-relation full weights (w_rel path in
+    # _edge_weights).  NOT 0: init_rgcn_layer(num_bases=0) builds a
+    # degenerate empty-basis model whose edge messages are all zero.
+    cfg = _cfg(num_bases=None)
     params = mpqe_mod.init_mpqe(jax.random.PRNGKey(2), cfg)
     ne, nm, er, en = _inputs(rng, "3-chain_inter")
     with jax.default_matmul_precision("highest"):
@@ -214,6 +216,199 @@ def test_fused_fwd_split_gemm_matches_concat(rng, structure, oh_operand):
     sg = ff.fused_tgt_forward(
         params, cfg, structure, ne, nm, er, en, block=8, interpret=True,
         onehot_operand=oh_operand, split_gemm=True)
+    # relative per-element plus a scaled absolute floor — dividing both
+    # sides by the global max would give small-magnitude elements a
+    # tolerance proportional to the LARGEST element (ADVICE r3)
     scale = float(jnp.max(jnp.abs(base))) + 1e-9
-    np.testing.assert_allclose(np.asarray(sg) / scale,
-                               np.asarray(base) / scale, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(base),
+                               rtol=1e-5, atol=1e-6 * scale)
+
+
+def _tree_rel_err(a, b):
+    """max over leaves of max|a-b| / (max|b| + eps)."""
+    errs = jax.tree_util.tree_map(
+        lambda x, y: 0.0 if x.size == 0 else float(
+            jnp.max(jnp.abs(x.astype(jnp.float32)
+                            - y.astype(jnp.float32)))
+            / (jnp.max(jnp.abs(y.astype(jnp.float32))) + 1e-9)),
+        a, b)
+    return max(jax.tree_util.tree_leaves(errs), default=0.0)
+
+
+@pytest.mark.parametrize("structure", list(STRUCTURES))
+def test_fused_pallas_backward_matches_xla_grads(rng, structure):
+    # backward="pallas" runs the reverse-sweep kernel; grads must match
+    # the XLA path's to bf16-matmul tolerance (same numerics class)
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(7), cfg)
+    ne, nm, er, en = _inputs(rng, structure)
+    g = jnp.asarray(rng.normal(size=(ne.shape[0], D)).astype(np.float32))
+
+    _, vjp_p = jax.vjp(lambda p, e: mpqe_mod.encode_dense_fused(
+        p, cfg, structure, ne, nm, er, e, None, 8, True,
+        False, False, None, "pallas", 8), params, en)
+    _, vjp_x = jax.vjp(lambda p, e: mpqe_mod.encode_dense(
+        p, cfg, structure, ne, nm, er, e), params, en)
+    (dp_p, den_p), (dp_x, den_x) = vjp_p(g), vjp_x(g)
+    # bf16 operand rounding compounds once per backward layer against the
+    # exact-f32 CPU oracle (layer-2 grads match at ~0.5%, layer-0 at ~7%
+    # for the diameter-3 chain at D=16); on TPU the XLA path itself runs
+    # bf16 matmuls, so the compiled-mode parity bar lives in
+    # tools/tpu_smoke.py — here the tolerance scales with depth
+    # measured at D=16: depth-1/2 structures land under 3e-2, the
+    # diameter-3 chain at ~0.15 (the structural-exactness test below
+    # pins that this is rounding, not a transpose bug)
+    tol = {1: 3e-2, 2: 8e-2, 3: 2.5e-1}[mpqe_mod.num_steps(cfg, structure)]
+    assert _tree_rel_err(dp_p, dp_x) < tol, structure
+    assert _tree_rel_err(den_p, den_x) < tol, structure
+
+
+def test_fused_pallas_backward_f32_wire_structurally_exact(rng):
+    # with the bf16 operand casts disabled (f32_wire) the backward kernel
+    # is the exact transpose of the forward computation: parity vs the
+    # XLA VJP must be at f32 noise level, proving the reverse sweep and
+    # the _layer_matrices vjp mapping are structurally right (the bf16
+    # test above then only certifies rounding behavior)
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(12), cfg)
+    for structure in STRUCTURES:
+        ne, nm, er, en = _inputs(rng, structure)
+        g = jnp.asarray(rng.normal(size=(ne.shape[0], D)).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            dp_p, den_p, _ = ff.fused_tgt_backward(
+                params, cfg, structure, ne, nm, er, en, None, g,
+                block=8, interpret=True, f32_wire=True)
+            _, vjp_x = jax.vjp(lambda p, e: mpqe_mod.encode_dense(
+                p, cfg, structure, ne, nm, er, e), params, en)
+            dp_x, den_x = vjp_x(g)
+        assert _tree_rel_err(dp_p, dp_x) < 1e-4, structure
+        assert _tree_rel_err(den_p, den_x) < 1e-4, structure
+
+
+def test_fused_pallas_backward_full_weight_model(rng):
+    cfg = _cfg(num_bases=None)
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(8), cfg)
+    ne, nm, er, en = _inputs(rng, "3-chain_inter")
+    g = jnp.asarray(rng.normal(size=(ne.shape[0], D)).astype(np.float32))
+    _, vjp_p = jax.vjp(lambda p: mpqe_mod.encode_dense_fused(
+        p, cfg, "3-chain_inter", ne, nm, er, en, None, 8, True,
+        False, False, None, "pallas", 8), params)
+    _, vjp_x = jax.vjp(lambda p: mpqe_mod.encode_dense(
+        p, cfg, "3-chain_inter", ne, nm, er, en), params)
+    (dp_p,), (dp_x,) = vjp_p(g), vjp_x(g)
+    assert _tree_rel_err(dp_p, dp_x) < 3e-2
+
+
+def test_fused_pallas_backward_anchor_rows_forms(rng):
+    # tuple and stacked anchor_rows cotangents must agree with the XLA
+    # path's (per-slot columns == stacked slices)
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(9), cfg)
+    structure = "3-chain_inter"
+    ne, nm, er, en = _inputs(rng, structure)
+    slots = mpqe_mod.anchor_gather_slots(cfg, structure)
+    cols = tuple(params["emb"]["ent"][ne[:, s]] for s in slots)
+    stacked = jnp.stack(cols, axis=1)
+    g = jnp.asarray(rng.normal(size=(ne.shape[0], D)).astype(np.float32))
+
+    _, vjp_t = jax.vjp(lambda ar: mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, ar, 8, True,
+        False, False, None, "pallas", 8), cols)
+    _, vjp_s = jax.vjp(lambda ar: mpqe_mod.encode_dense_fused(
+        params, cfg, structure, ne, nm, er, en, ar, 8, True,
+        False, False, None, "pallas", 8), stacked)
+    _, vjp_x = jax.vjp(lambda ar: mpqe_mod.encode_dense(
+        params, cfg, structure, ne, nm, er, en, anchor_rows=ar), stacked)
+    (d_t,), (d_s,), (d_x,) = vjp_t(g), vjp_s(g), vjp_x(g)
+    assert _tree_rel_err(d_s, d_x) < 3e-2
+    for k in range(len(slots)):
+        np.testing.assert_allclose(np.asarray(d_t[k]),
+                                   np.asarray(d_s[:, k, :]),
+                                   rtol=0, atol=0)
+
+
+def test_fused_pallas_backward_in_train_loss(rng):
+    # end-to-end: dense_batch_loss_kernel_fused_fwd(backward="pallas")
+    # value+grads vs the plain dense loss
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(10), cfg)
+    structure = "2-inter"
+    ne, nm, er, en = _inputs(rng, structure)
+    B = ne.shape[0]
+    tgt = jnp.asarray(rng.integers(0, N_ENT, (B,)).astype(np.int32))
+    neg = jnp.asarray(rng.integers(0, N_ENT, (B, 3)).astype(np.int32))
+    nmask = jnp.ones((B, 3), jnp.float32)
+    qmask = jnp.ones((B,), jnp.float32)
+
+    def loss_pb(p):
+        return mpqe_mod.dense_batch_loss_kernel_fused_fwd(
+            p, cfg, structure, ne, nm, er, en, tgt, neg, nmask, qmask,
+            block=8, interpret=True, backward="pallas", bwd_block=8)
+
+    def loss_x(p):
+        return mpqe_mod.dense_batch_loss(
+            p, cfg, structure, ne, nm, er, en, tgt, neg, nmask, qmask)
+
+    (vp, gp) = jax.value_and_grad(loss_pb)(params)
+    (vx, gx) = jax.value_and_grad(loss_x)(params)
+    assert abs(float(vp) - float(vx)) < 3e-2 * max(abs(float(vx)), 1e-3)
+    assert _tree_rel_err(gp, gx) < 5e-2
+
+
+def test_fused_fwd_bf16_config(rng):
+    # cfg.dtype=bfloat16: the kernel's inter-layer bf16 casts ARE the
+    # bf16 pipeline's numerics (relu-then-cast == cast-then-relu), so
+    # the round-3 f32-only guard is gone; parity vs the bf16 XLA path
+    cfg = _cfg(dtype=jnp.bfloat16)
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(13), cfg)
+    for structure in ["3-chain_inter", "2-inter", "3-chain"]:
+        ne, nm, er, en = _inputs(rng, structure)
+        want = mpqe_mod.encode_dense(params, cfg, structure, ne, nm, er, en)
+        got = mpqe_mod.encode_dense_fused(
+            params, cfg, structure, ne, nm, er, en, block=8, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - want.astype(jnp.float32)))
+                    / (jnp.max(jnp.abs(want.astype(jnp.float32))) + 1e-9))
+        assert err < 3e-2, (structure, err)
+
+
+def test_shared_negs_fused_fwd_composes(rng):
+    # --shared_negatives x --kernel fused_fwd: the composed loss matches
+    # the dense-encoder shared-negs loss to kernel tolerance, with both
+    # backward modes
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(14), cfg)
+    structure = "3-chain_inter"
+    ne, nm, er, en = _inputs(rng, structure)
+    B = ne.shape[0]
+    tgt = jnp.asarray(rng.integers(0, N_ENT, (B,)).astype(np.int32))
+    sneg = jnp.asarray(rng.integers(0, N_ENT, (7,)).astype(np.int32))
+    qmask = jnp.ones((B,), jnp.float32)
+
+    base = mpqe_mod.dense_batch_loss_shared_negs(
+        params, cfg, structure, ne, nm, er, en, tgt, sneg, qmask)
+    for bwd in ("xla", "pallas"):
+        got = mpqe_mod.dense_batch_loss_shared_negs(
+            params, cfg, structure, ne, nm, er, en, tgt, sneg, qmask,
+            encoder="fused_fwd", fused_block=8, fused_backward=bwd,
+            fused_bwd_block=8, interpret=True)
+        assert abs(float(got) - float(base)) < 3e-2 * max(
+            abs(float(base)), 1e-3), bwd
+
+        def loss(p):
+            return mpqe_mod.dense_batch_loss_shared_negs(
+                p, cfg, structure, ne, nm, er, en, tgt, sneg, qmask,
+                encoder="fused_fwd", fused_block=8, fused_backward=bwd,
+                fused_bwd_block=8, interpret=True)
+
+        g = jax.grad(loss)(params)
+
+        def loss_base(p):
+            return mpqe_mod.dense_batch_loss_shared_negs(
+                p, cfg, structure, ne, nm, er, en, tgt, sneg, qmask)
+
+        gb = jax.grad(loss_base)(params)
+        assert _tree_rel_err(g, gb) < 8e-2, bwd

@@ -85,3 +85,29 @@ def test_rdma_ring_requires_basis(mesh4, rng):
             jnp.asarray(pr.rel), jnp.asarray(pr.norm), N_RELS,
             interpret=True,
         )
+
+
+@pytest.mark.parametrize("n_parts", [2, 8])
+def test_rdma_ring_ack_tokens_all_ring_sizes(rng, n_parts):
+    # the ack-token protocol's signal/wait pairing depends on ring size
+    # (tokens at hops 0..P-3 pair with waits at hops 1..P-2; P=2 has
+    # neither) — a miscount deadlocks (the test would hang) and a
+    # wrong-slot token corrupts the result (parity would fail)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_parts]), ("data",))
+    st = _graph(rng, n_nodes=16 * n_parts, n_e=60 * n_parts)
+    p = rgcn_ops.init_rgcn_layer(jax.random.PRNGKey(3), D, D, N_RELS, 3)
+    x = rng.normal(size=(st.n_nodes, D)).astype(np.float32)
+    want = np.asarray(rgcn_ops.rgcn_sparse(
+        jnp.asarray(x), p, st.src, st.dst, st.rel,
+        jnp.asarray(st.norm), N_RELS))
+    pr = halo.partition_edges_ring(st, n_parts=n_parts)
+    x_pad = np.zeros((pr.n_nodes_padded, D), np.float32)
+    x_pad[: st.n_nodes] = x
+    got = np.asarray(pallas_ring.rgcn_ring_halo_rdma(
+        mesh, p, jnp.asarray(x_pad),
+        jnp.asarray(pr.src_local), jnp.asarray(pr.dst_local),
+        jnp.asarray(pr.rel), jnp.asarray(pr.norm), N_RELS,
+        interpret=True))[: st.n_nodes]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

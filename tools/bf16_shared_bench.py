@@ -112,12 +112,19 @@ def measure(dtype: str, shared: bool) -> dict:
     return row
 
 
+KNOWN_COMBOS = ("f32", "bf16", "f32_shared", "bf16_shared")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--combos", default="f32,bf16,f32_shared,bf16_shared")
+    ap.add_argument("--combos", default=",".join(KNOWN_COMBOS))
     args = ap.parse_args(argv)
+    combos = [c.strip() for c in args.combos.split(",") if c.strip()]
+    bad = [c for c in combos if c not in KNOWN_COMBOS]
+    if bad:
+        ap.error(f"unknown combo(s) {bad}; known: {list(KNOWN_COMBOS)}")
     log(f"backend={jax.default_backend()} B={B}")
-    for c in args.combos.split(","):
+    for c in combos:
         dtype = "bfloat16" if c.startswith("bf16") else "float32"
         measure(dtype, c.endswith("_shared"))
 

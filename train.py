@@ -106,7 +106,20 @@ def parse_args(argv=None):
                    help="train with K batch-shared negative candidates "
                         "instead of per-query negatives (protocol "
                         "variant, ~1.6x faster step at the flagship "
-                        "shape; rgcn + --kernel dense only). 0 = off")
+                        "shape; rgcn, --kernel dense or fused_fwd). "
+                        "0 = off")
+    p.add_argument("--fused_backward", default="xla",
+                   choices=["xla", "pallas"],
+                   help="gradient path for --kernel fused_fwd: xla = "
+                        "recompute through the XLA forward (grads bit-"
+                        "identical to --kernel dense); pallas = fused "
+                        "Pallas backward kernel (VMEM-resident reverse "
+                        "sweep, tolerance-parity grads)")
+    p.add_argument("--fused_block", type=int, default=2048,
+                   help="fused_fwd forward block rows (4096 measured "
+                        "fastest at the flagship shape, BASELINE.md)")
+    p.add_argument("--fused_bwd_block", type=int, default=1024,
+                   help="fused_fwd Pallas-backward block rows")
     p.add_argument("--parallel", default="none",
                    choices=["none", "spmd", "halo_ring", "halo_gather"],
                    help="distributed train step: spmd = GSPMD DP+TP+EP; "
@@ -237,6 +250,7 @@ def main(argv=None):
             dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
         )
         init_fn, batch_loss_fn = None, None
+        on_cpu = jax.default_backend() == "cpu"
         if args.kernel != "dense":
             import functools
 
@@ -244,27 +258,40 @@ def main(argv=None):
                 raise SystemExit("--kernel blocked requires --num_bases")
             if args.kernel == "fused_fwd" and args.readout != "tgt":
                 raise SystemExit("--kernel fused_fwd requires --readout tgt")
-            if args.kernel == "fused_fwd" and args.dtype != "float32":
-                raise SystemExit(
-                    "--kernel fused_fwd requires --dtype float32 (the "
-                    "kernel keeps f32 accumulators; the XLA path casts "
-                    "activations to cfg.dtype between layers)")
-            on_cpu = jax.default_backend() == "cpu"
+            # (the round-3 f32-only guard is gone: the kernel already
+            # runs bf16 inter-layer activations, which IS the bf16
+            # pipeline's numerics — parity pinned in
+            # tests/test_pallas_fused_fwd.py)
             kernel_losses = {
                 "fused": mpqe_mod.dense_batch_loss_kernel_fused,
                 "blocked": mpqe_mod.dense_batch_loss_kernel_blocked,
-                "fused_fwd": mpqe_mod.dense_batch_loss_kernel_fused_fwd,
             }
-            batch_loss_fn = functools.partial(
-                kernel_losses[args.kernel],
-                interpret=on_cpu,  # Pallas kernels compile on TPU only
-            )
+            if args.kernel == "fused_fwd":
+                batch_loss_fn = functools.partial(
+                    mpqe_mod.dense_batch_loss_kernel_fused_fwd,
+                    block=args.fused_block,
+                    backward=args.fused_backward,
+                    bwd_block=args.fused_bwd_block,
+                    interpret=on_cpu,  # Pallas kernels compile on TPU only
+                )
+            else:
+                batch_loss_fn = functools.partial(
+                    kernel_losses[args.kernel],
+                    interpret=on_cpu,
+                )
         if args.shared_negatives:
-            if args.kernel != "dense":
+            if args.kernel not in ("dense", "fused_fwd"):
                 raise SystemExit(
-                    "--shared_negatives requires --kernel dense")
+                    "--shared_negatives requires --kernel dense or "
+                    "fused_fwd")
             batch_loss_fn = mpqe_mod.make_shared_negs_batch_loss(
-                args.shared_negatives)
+                args.shared_negatives,
+                encoder="fused_fwd" if args.kernel == "fused_fwd"
+                else "dense",
+                fused_block=args.fused_block,
+                fused_backward=args.fused_backward,
+                fused_bwd_block=args.fused_bwd_block,
+                interpret=on_cpu)
     else:
         if args.kernel != "dense":
             raise SystemExit("--kernel applies to --model rgcn only")
