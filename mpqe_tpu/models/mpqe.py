@@ -456,6 +456,55 @@ def encode_dense_multi(
     )
 
 
+def multi_kernel_eligible(cfg: MPQEConfig, structure: str) -> bool:
+    """True when the per-query-relation Pallas kernel
+    (:func:`ops.pallas_fused_fwd.fused_tgt_forward_multi`) can encode
+    this (model, structure) on the current backend: TGT readout, basis
+    decomposition, packed variable one-hot, and a compiled (non-CPU)
+    backend.  ``MPQE_NO_MULTI_KERNEL=1`` is the escape hatch back to the
+    XLA path."""
+    import os
+
+    if os.environ.get("MPQE_NO_MULTI_KERNEL"):
+        return False
+    if cfg.readout != "tgt" or cfg.num_bases is None:
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    spec = STRUCTURES[structure]
+    plan = _live_slot_plan(spec, num_steps(cfg, structure))
+    anchors = set(spec.anchor_slots)
+    n_var = sum(1 for s in plan[0][0] if s not in anchors)
+    d_pad = -(-cfg.embed_dim // 128) * 128
+    m8 = -(-max(cfg.n_modes, 1) // 8) * 8
+    return cfg.n_modes <= d_pad and n_var * m8 <= d_pad
+
+
+def encode_dense_multi_auto(
+    params: Dict[str, Any],
+    cfg: MPQEConfig,
+    structure: str,  # static
+    node_entity: jax.Array,
+    node_mode: jax.Array,
+    edge_rel_q: jax.Array,
+    edge_norm_q: jax.Array,
+) -> jax.Array:
+    """Per-query-relation encode, routed through the fused Pallas multi
+    kernel when the model qualifies (see :func:`multi_kernel_eligible`),
+    else :func:`encode_dense_multi`.  The production eval/serve surfaces
+    call this so the kernel's VMEM-resident forward carries the encode-
+    bound paths on TPU (VERDICT r3 item 4); backend dispatch happens at
+    trace time (one compiled program per (structure, bucket) either way).
+    """
+    if multi_kernel_eligible(cfg, structure):
+        return fused_fwd_ops.fused_tgt_forward_multi(
+            params, cfg, structure, node_entity, node_mode, edge_rel_q,
+            edge_norm_q)
+    return encode_dense_multi(
+        params, cfg, structure, node_entity, node_mode, edge_rel_q,
+        edge_norm_q)
+
+
 def dense_batch_loss_shared_negs(
     params: Dict[str, Any],
     cfg: MPQEConfig,

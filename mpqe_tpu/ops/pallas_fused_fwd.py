@@ -209,6 +209,249 @@ def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False,
     return kernel
 
 
+def _make_multi_kernel(cfg, spec, steps, plan, a_slots, v_slots, d_pad,
+                       m8, n_bases, r_pad):
+    """Per-query-relation kernel closure (basis models only).
+
+    Per block: the SELF transforms of every layer are still one shared
+    GEMM against the edge-free ``_layer_matrices`` block (per-query
+    relations change only the edge messages); each layer's messages run
+    basis-first — per source slot ONE wide GEMM ``X_src @ [V_1|..|V_Bb]``
+    ([bb, Bb*d_pad], bf16), then per edge a one-hot coefficient select
+    ``onehot(rel_q) @ coeff`` (HIGHEST: selection of f32 rows is exact)
+    and a Bb-pass VPU combine.  Layer-0 variable sources read the
+    pre-multiplied ``var_table @ V_b`` operand through their mode
+    one-hot, so no variable rows ever materialize.
+    """
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    n_a, n_v = len(a_slots), len(v_slots)
+    anchors = set(spec.anchor_slots)
+    a_idx = {s: k for k, s in enumerate(a_slots)}
+    v_idx = {s: k for k, s in enumerate(v_slots)}
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        a_refs = refs[:n_a]
+        m_refs = refs[n_a:n_a + n_v]
+        rel_ref = refs[n_a + n_v]  # [bb, n_edges] int32
+        norm_ref = refs[n_a + n_v + 1]  # [bb, n_edges] f32
+        base = n_a + n_v + 2
+        w_refs = refs[base:base + steps]  # self/bias blocks
+        b_refs = refs[base + steps:base + 2 * steps]
+        vw_refs = refs[base + 2 * steps:base + 3 * steps]  # [d_pad, Bb*d_pad]
+        co_refs = refs[base + 3 * steps:base + 4 * steps]  # [r_pad, Bb]
+        varv_ref = refs[base + 4 * steps]  # [d_pad, Bb*d_pad] (layer 0 vars)
+        out_ref = refs[-1]
+        bb = out_ref.shape[0]
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (bb, d_pad), 1)
+        # packed one-hot (self-GEMM operand, matches _layer_matrices
+        # row layout) + per-var full-width one-hots (message operands)
+        var_oh_full = {}
+        pieces = [a_refs[k][...] for k in range(n_a)]
+        if n_v:
+            oh = (m_refs[0][:] == iota)
+            var_oh_full[v_slots[0]] = oh.astype(bf16)
+            for k in range(1, n_v):
+                ohk = (m_refs[k][:] == iota)
+                var_oh_full[v_slots[k]] = ohk.astype(bf16)
+                oh = jnp.logical_or(oh, m_refs[k][:] + k * m8 == iota)
+            pieces.append(oh.astype(bf16))
+        x = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=1)
+
+        rel_iota = jax.lax.broadcasted_iota(jnp.int32, (bb, r_pad), 1)
+        y = None
+        for li, (in_slots, out_slots, edges) in enumerate(plan):
+            icol = {s: k for k, s in enumerate(in_slots)}
+            y = jnp.dot(x, w_refs[li][...], preferred_element_type=f32)
+            y = y + b_refs[li][0:1, :]
+            # messages, grouped by source slot (one wide GEMM each);
+            # accumulated per DEST slot and concatenated once — an
+            # in-place .at[].add on a column range would lower to a
+            # scatter whose empty index constant pallas rejects
+            acc = {s: None for s in out_slots}
+            srcs = sorted({spec.edge_src[j] for j in edges})
+            for s_src in srcs:
+                if li == 0 and s_src not in anchors:
+                    h = jnp.dot(var_oh_full[s_src], varv_ref[...],
+                                preferred_element_type=f32)
+                elif li == 0:
+                    xs = pieces[a_idx[s_src]]
+                    h = jnp.dot(xs, vw_refs[li][...],
+                                preferred_element_type=f32)
+                else:
+                    c = icol[s_src] * d_pad
+                    xs = x[:, c:c + d_pad]
+                    h = jnp.dot(xs, vw_refs[li][...],
+                                preferred_element_type=f32)
+                # h: [bb, Bb*d_pad] f32
+                for j in edges:
+                    if spec.edge_src[j] != s_src:
+                        continue
+                    oh_rel = (rel_ref[:, j:j + 1] == rel_iota).astype(f32)
+                    ce = jax.lax.dot(oh_rel, co_refs[li][...],
+                                     precision=hp,
+                                     preferred_element_type=f32)  # [bb, Bb]
+                    msg = ce[:, 0:1] * h[:, 0:d_pad]
+                    for b in range(1, n_bases):
+                        msg = msg + ce[:, b:b + 1] * h[:, b * d_pad:
+                                                       (b + 1) * d_pad]
+                    msg = msg * norm_ref[:, j:j + 1]
+                    s_dst = spec.edge_dst[j]
+                    acc[s_dst] = msg if acc[s_dst] is None else \
+                        acc[s_dst] + msg
+            if any(a is not None for a in acc.values()):
+                zeros = jnp.zeros((bb, d_pad), f32)
+                m = jnp.concatenate(
+                    [acc[s] if acc[s] is not None else zeros
+                     for s in out_slots], axis=1)
+                y = y + m
+            if li < steps - 1:
+                x = jnp.maximum(y, 0.0).astype(bf16)
+        out_ref[...] = y
+
+    return kernel
+
+
+def fused_tgt_forward_multi(
+    params: Dict[str, Any],
+    cfg,
+    structure: str,  # static
+    node_entity: jax.Array,  # [B, n] int32
+    node_mode: jax.Array,  # [B, n] int32
+    edge_rel_q: jax.Array,  # [B, n_edges] int32 — PER-QUERY relations
+    edge_norm_q: jax.Array,  # [B, n_edges] float32
+    *,
+    block: int = 1024,
+    interpret: bool = False,
+    vmem_limit_mb: Optional[int] = None,
+) -> jax.Array:
+    """Per-query-relation fused forward → ``[B, d]`` (the Pallas
+    counterpart of :func:`models.mpqe.encode_dense_multi`): one device
+    call encodes queries of MANY formulas of the same structure, with
+    the whole multi-layer plan in VMEM.  The production surfaces that
+    encode with per-query relations (``evaluate_batched``, ``serve.py``
+    bulk answering) route here on TPU.
+
+    Basis-decomposed layers only (the per-query full-weight gather
+    ``w_rel[rel] -> [B, d, do]`` cannot live in VMEM blocks); forward
+    only (eval/serve surfaces do not differentiate).
+
+    Reference behavior: per-formula eval scoring loop (SURVEY.md §3.4),
+    batched across formulas; mount empty — built from the spec.
+    """
+    if cfg.readout != "tgt":
+        raise ValueError("fused_tgt_forward_multi requires readout='tgt'")
+    if cfg.num_bases is None:
+        raise ValueError(
+            "fused_tgt_forward_multi requires basis decomposition "
+            "(use encode_dense_multi for full-weight models)")
+    spec, steps, plan, a_slots, v_slots = _plan(cfg, structure)
+    d = cfg.embed_dim
+    d_pad = _round_up(d, 128)
+    if cfg.n_modes > d_pad:
+        raise ValueError("n_modes must fit the one-hot width (<= d_pad)")
+    packed, m8 = _var_layout(cfg, len(v_slots), d_pad)
+    if not packed:
+        raise ValueError("variable slots exceed the packed one-hot block")
+    B = node_mode.shape[0]
+    bb = _round_up(min(block, B), 8)
+    B_pad = _round_up(B, bb)
+    n_bases = int(cfg.num_bases)
+    r_pad = _round_up(cfg.n_rels, 128)
+
+    def pad_rows(x, rows):
+        if x.shape[0] == rows:
+            return x
+        return jnp.zeros((rows,) + x.shape[1:], x.dtype).at[:x.shape[0]].set(x)
+
+    def pad2(x, r, c):
+        if x.shape == (r, c):
+            return x
+        return jnp.zeros((r, c), x.dtype).at[:x.shape[0], :x.shape[1]].set(x)
+
+    inputs = []
+    for s in a_slots:
+        col = params["emb"]["ent"][node_entity[:, s]]
+        inputs.append(pad2(pad_rows(col.astype(jnp.bfloat16), B_pad),
+                           B_pad, d_pad))
+    for s in v_slots:
+        inputs.append(pad_rows(node_mode[:, s:s + 1].astype(jnp.int32),
+                               B_pad))
+    inputs.append(pad_rows(edge_rel_q.astype(jnp.int32), B_pad))
+    inputs.append(pad_rows(edge_norm_q.astype(jnp.float32), B_pad))
+
+    # self/bias blocks: _layer_matrices with edge-free plans (per-query
+    # relations change only the messages)
+    plan_self = [(ins, outs, ()) for ins, outs, _ in plan]
+    Ws, biases = _layer_matrices(
+        params, cfg, spec, steps, plan_self, a_slots, v_slots,
+        jnp.zeros((spec.n_edges,), jnp.int32),
+        jnp.ones((spec.n_edges,), jnp.float32), d_pad)
+    inputs += [W.astype(jnp.bfloat16) for W in Ws]
+    inputs += list(biases)
+
+    # wide basis operands [d_pad, Bb*d_pad] per layer + coeff tables
+    vw_list, co_list = [], []
+    for li in range(steps):
+        lp = params["layers"][li]
+        basis = lp["basis"].astype(jnp.float32)  # [Bb, d, d_out]
+        vw = jnp.zeros((d_pad, n_bases * d_pad), jnp.float32)
+        for b in range(n_bases):
+            vw = vw.at[:d, b * d_pad:b * d_pad + basis.shape[2]].set(basis[b])
+        vw_list.append(vw.astype(jnp.bfloat16))
+        co = jnp.zeros((r_pad, n_bases), jnp.float32)
+        co = co.at[:cfg.n_rels].set(lp["coeff"].astype(jnp.float32))
+        co_list.append(co)
+    inputs += vw_list + co_list
+
+    # layer-0 variable-source operand: var_table premultiplied into the
+    # wide basis block (rows = modes at full one-hot width)
+    var_f32 = params["emb"]["var"].astype(jnp.float32)  # [n_modes, d]
+    varv = jnp.zeros((d_pad, n_bases * d_pad), jnp.float32)
+    b0 = params["layers"][0]["basis"].astype(jnp.float32)
+    for b in range(n_bases):
+        varv = varv.at[:cfg.n_modes, b * d_pad:b * d_pad + b0.shape[2]].set(
+            jnp.dot(var_f32, b0[b], preferred_element_type=jnp.float32))
+    inputs.append(varv.astype(jnp.bfloat16))
+
+    in_specs = (
+        [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM) for _ in a_slots]
+        + [pl.BlockSpec((bb, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for _ in v_slots]
+        + [pl.BlockSpec((bb, spec.n_edges), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(W.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for W in Ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for b in biases]
+        + [pl.BlockSpec(v.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for v in vw_list]
+        + [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM) for c in co_list]
+        + [pl.BlockSpec(varv.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    compiler_params = None
+    if vmem_limit_mb is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_multi_kernel(cfg, spec, steps, plan, a_slots, v_slots,
+                           d_pad, m8, n_bases, r_pad),
+        grid=(B_pad // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, d_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(*inputs)
+    return out[:B, :d].astype(cfg.dtype)
+
+
 def _make_bwd_kernel(steps, n_a, n_v, d_pad, packed, m8,
                      wire=jnp.bfloat16):
     """Backward kernel closure (default concat layout only).

@@ -130,7 +130,8 @@ class QueryServer:
         def fn(params, ent_norm_t, mode_arr, ne, nm, er, en, tgt_mode,
                nbr=None):
             if isinstance(cfg, mpqe_mod.MPQEConfig):
-                q = mpqe_mod.encode_dense_multi(
+                # _auto: fused Pallas multi kernel on TPU when eligible
+                q = mpqe_mod.encode_dense_multi_auto(
                     params, cfg, structure, ne, nm, er, en)
                 scores = all_scores(q, ent_norm_t)
             else:  # GQE baselines
@@ -297,7 +298,7 @@ class ShardedQueryServer(QueryServer):
             self.mesh, cfg, k, table_dtype=self.table_dtype)
 
         def fn(params, ent_s, mode_s, ne, nm, er, en, tgt_mode, nbr=None):
-            q = mpqe_mod.encode_dense_multi(
+            q = mpqe_mod.encode_dense_multi_auto(
                 params, cfg, structure, ne, nm, er, en)
             return topk(ent_s, mode_s, q.astype(jnp.float32), tgt_mode)
 

@@ -246,7 +246,8 @@ def _sample_csr(pool, ptr, n_neg, rng):
 
 @functools.lru_cache(maxsize=None)
 def _multi_encode_fn():
-    return jax.jit(mpqe_mod.encode_dense_multi, static_argnums=(1, 2))
+    # _auto: fused Pallas multi kernel on TPU when the model qualifies
+    return jax.jit(mpqe_mod.encode_dense_multi_auto, static_argnums=(1, 2))
 
 
 @functools.lru_cache(maxsize=None)
@@ -258,7 +259,8 @@ def _score_batch_fn():
             return gqe_mod.score_pos_neg(
                 params, cfg, structure, ne, er, tgt, neg,
                 neighbor_table=nbr)
-        q = mpqe_mod.encode_dense_multi(params, cfg, structure, ne, nm, er, en)
+        q = mpqe_mod.encode_dense_multi_auto(
+            params, cfg, structure, ne, nm, er, en)
         ent = params["emb"]["ent"]
         pos_s = mpqe_mod.score(cfg, q, ent[tgt])
         neg_s = mpqe_mod.score(cfg, q[:, None, :], ent[neg])
@@ -443,7 +445,7 @@ def _rank_all_impl(params, cfg, structure, ne, nm, er, en, nbr=None):
     """[B, n_entities] scoring sweep; dispatches per config type like
     _score_batch_fn (SoftAnd GQE ranks by conjunct-min scores)."""
     if isinstance(cfg, mpqe_mod.MPQEConfig):
-        q = mpqe_mod.encode_dense_multi(
+        q = mpqe_mod.encode_dense_multi_auto(
             params, cfg, structure, ne, nm, er, en)
         return mpqe_mod.score_all_entities(params, cfg, q)
     from mpqe_tpu.models import gqe as gqe_mod
@@ -589,7 +591,8 @@ def full_ranking_sharded(
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def fn(p, ent_sh, mode_sh, structure, ne, nm, er, en, target):
-        q = mpqe_mod.encode_dense_multi(p, cfg, structure, ne, nm, er, en)
+        q = mpqe_mod.encode_dense_multi_auto(
+            p, cfg, structure, ne, nm, er, en)
         return rank_fn(ent_sh, mode_sh, q.astype(jnp.float32), target)
 
     n_shards = mesh.shape[mesh_lib.model_axis(mesh)]

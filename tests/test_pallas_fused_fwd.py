@@ -412,3 +412,64 @@ def test_shared_negs_fused_fwd_composes(rng):
 
         gb = jax.grad(loss_base)(params)
         assert _tree_rel_err(g, gb) < 8e-2, bwd
+
+
+@pytest.mark.parametrize("structure", list(STRUCTURES))
+def test_fused_multi_matches_encode_dense_multi(rng, structure):
+    # per-query-relation fused forward vs the XLA multi path
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(15), cfg)
+    spec = STRUCTURES[structure]
+    B = 20
+    ne = jnp.asarray(rng.integers(0, N_ENT, (B, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    erq = jnp.asarray(rng.integers(0, N_RELS, (B, spec.n_edges)).astype(np.int32))
+    enq = jnp.asarray(rng.uniform(0.5, 1.5, (B, spec.n_edges)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        want = mpqe_mod.encode_dense_multi(params, cfg, structure,
+                                           ne, nm, erq, enq)
+        got = ff.fused_tgt_forward_multi(params, cfg, structure,
+                                         ne, nm, erq, enq,
+                                         block=8, interpret=True)
+    err = float(jnp.max(jnp.abs(got - want))
+                / (jnp.max(jnp.abs(want)) + 1e-9))
+    assert err < 3e-2, (structure, err)
+
+
+def test_fused_multi_consistent_with_shared_rel_kernel(rng):
+    # when every query shares the same relations, multi == the shared
+    # kernel's forward (same numerics class; not bit-equal: different
+    # GEMM groupings)
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(16), cfg)
+    structure = "3-chain_inter"
+    ne, nm, er, en = _inputs(rng, structure)
+    B = ne.shape[0]
+    erq = jnp.tile(er[None, :], (B, 1))
+    enq = jnp.tile(en[None, :], (B, 1))
+    a = ff.fused_tgt_forward_multi(params, cfg, structure, ne, nm,
+                                   erq, enq, block=8, interpret=True)
+    b = ff.fused_tgt_forward(params, cfg, structure, ne, nm, er, en,
+                             block=8, interpret=True)
+    err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+    assert err < 3e-2, err
+
+
+def test_fused_multi_rejects_full_weight(rng):
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg(num_bases=None)
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(17), cfg)
+    spec = STRUCTURES["2-chain"]
+    B = 8
+    ne = jnp.zeros((B, spec.n_nodes), jnp.int32)
+    nm = jnp.zeros((B, spec.n_nodes), jnp.int32)
+    erq = jnp.zeros((B, spec.n_edges), jnp.int32)
+    enq = jnp.ones((B, spec.n_edges), jnp.float32)
+    with pytest.raises(ValueError):
+        ff.fused_tgt_forward_multi(params, cfg, "2-chain", ne, nm, erq, enq,
+                                   block=8, interpret=True)

@@ -50,7 +50,10 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def measure(dtype: str, shared: bool) -> dict:
+def measure(dtype: str, shared: bool, fused: str = "") -> dict:
+    """fused: '' = dense encoder; 'xla'/'pallas' = fused_fwd kernel with
+    that backward (block 4096, bwd_block 1024 — the measured-best fwd
+    config, BASELINE.md)."""
     spec = STRUCTURES[STRUCTURE]
     cfg = mpqe_mod.MPQEConfig(
         n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
@@ -71,7 +74,19 @@ def measure(dtype: str, shared: bool) -> dict:
 
         def loss_fn(p):
             return mpqe_mod.dense_batch_loss_shared_negs(
-                p, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask)
+                p, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask,
+                encoder="fused_fwd" if fused else "dense",
+                fused_block=4096, fused_backward=fused or "xla",
+                fused_bwd_block=1024)
+    elif fused:
+        neg = jnp.asarray(
+            rng.integers(0, N_ENTITIES, (B, N_NEG)).astype(np.int32))
+        nmask = jnp.asarray(np.ones((B, N_NEG), np.float32))
+
+        def loss_fn(p):
+            return mpqe_mod.dense_batch_loss_kernel_fused_fwd(
+                p, cfg, STRUCTURE, ne, nm, er, en, tgt, neg, nmask, qmask,
+                block=4096, backward=fused, bwd_block=1024)
     else:
         neg = jnp.asarray(
             rng.integers(0, N_ENTITIES, (B, N_NEG)).astype(np.int32))
@@ -96,7 +111,8 @@ def measure(dtype: str, shared: bool) -> dict:
             0, n, body, (params, opt_state, jnp.float32(0)))
         return loss
 
-    name = f"{dtype}{'_shared' if shared else ''}"
+    name = f"{dtype}{'_shared' if shared else ''}" + (
+        f"_fused[{fused}]" if fused else "")
     log(f"[{name}] compiling train step...")
     dt = profiling.loop_time(lambda n: step_loop(params, opt_state, n),
                              log=log)
@@ -104,6 +120,7 @@ def measure(dtype: str, shared: bool) -> dict:
         "combo": name, "dtype": dtype,
         "protocol": ("shared_negatives_variant" if shared
                      else "per_query_negatives"),
+        "encoder": f"fused_fwd/{fused}" if fused else "dense",
         "n_negatives": K_SHARED if shared else N_NEG,
         "train_step_ms": dt * 1e3,
         "train_queries_per_s": B / dt,
@@ -112,12 +129,23 @@ def measure(dtype: str, shared: bool) -> dict:
     return row
 
 
-KNOWN_COMBOS = ("f32", "bf16", "f32_shared", "bf16_shared")
+# combo name -> (dtype, shared, fused_backward)
+KNOWN_COMBOS = {
+    "f32": ("float32", False, ""),
+    "bf16": ("bfloat16", False, ""),
+    "f32_shared": ("float32", True, ""),
+    "bf16_shared": ("bfloat16", True, ""),
+    "f32_fused": ("float32", False, "pallas"),
+    "bf16_fused": ("bfloat16", False, "pallas"),
+    "f32_shared_fused": ("float32", True, "pallas"),
+    "bf16_shared_fused": ("bfloat16", True, "pallas"),
+    "f32_fused_xlabwd": ("float32", False, "xla"),
+}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--combos", default=",".join(KNOWN_COMBOS))
+    ap.add_argument("--combos", default="f32,bf16,f32_shared,bf16_shared")
     args = ap.parse_args(argv)
     combos = [c.strip() for c in args.combos.split(",") if c.strip()]
     bad = [c for c in combos if c not in KNOWN_COMBOS]
@@ -125,8 +153,8 @@ def main(argv=None):
         ap.error(f"unknown combo(s) {bad}; known: {list(KNOWN_COMBOS)}")
     log(f"backend={jax.default_backend()} B={B}")
     for c in combos:
-        dtype = "bfloat16" if c.startswith("bf16") else "float32"
-        measure(dtype, c.endswith("_shared"))
+        dtype, shared, fused = KNOWN_COMBOS[c]
+        measure(dtype, shared, fused)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,17 @@ def main(argv=None):
                     help="skip the XLA + default-fused timings (each is "
                          "a multi-minute relay compile) and only time "
                          "the requested variants")
+    ap.add_argument("--train_bwd", action="store_true",
+                    help="time full train steps (fwd+bwd+Adam): dense vs "
+                         "fused_fwd backward=xla vs backward=pallas at "
+                         "each --bwd_blocks size")
+    ap.add_argument("--bwd_blocks", default="512,1024,2048")
+    ap.add_argument("--skip_train_base", action="store_true",
+                    help="with --train_bwd: skip the dense + backward="
+                         "xla baselines (use BASELINE.md's 42.0/42.6 ms)")
+    ap.add_argument("--multi", action="store_true",
+                    help="time the per-query-relation fused multi kernel "
+                         "vs encode_dense_multi (the eval/serve encode)")
     args = ap.parse_args(argv)
 
     import jax
@@ -138,6 +149,86 @@ def main(argv=None):
                 dt = _timed_loop(fl, params, edge_norm)
                 log(f"fused+{tag} {blk}: {dt*1e3:.3f} ms  "
                     f"{msgs/dt:.3e} msgs/s")
+
+    if args.train_bwd:
+        import optax
+        target = jnp.asarray(
+            rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+        negatives = jnp.asarray(
+            rng.integers(0, N_ENTITIES, (B, 4)).astype(np.int32))
+        neg_mask = jnp.asarray(np.ones((B, 4), np.float32))
+        query_mask = jnp.asarray(np.ones((B,), np.float32))
+        opt = optax.adam(0.01)
+
+        def make_step_loop(loss_fn):
+            opt_state = opt.init(params)
+
+            @jax.jit
+            def step_loop(params, opt_state, n):
+                def body(i, carry):
+                    p, o, _ = carry
+                    loss, grads = jax.value_and_grad(
+                        lambda pp: loss_fn(pp))(p)
+                    up, o = opt.update(grads, o, p)
+                    return optax.apply_updates(p, up), o, loss
+                _, _, loss = jax.lax.fori_loop(
+                    0, n, body, (params, opt_state, jnp.float32(0)))
+                return loss
+            return step_loop, opt_state
+
+        def run_step(tag, loss_fn):
+            loop, opt_state = make_step_loop(loss_fn)
+            log(f"compiling train step [{tag}]...")
+            dt = _timed_loop(loop, params, opt_state, n_small=5, n_large=55)
+            log(f"step {tag}: {dt*1e3:.3f} ms  {B/dt:.3e} queries/s")
+
+        if not args.skip_train_base:
+            run_step("dense", lambda p: mpqe_mod.dense_batch_loss(
+                p, cfg, STRUCTURE, node_entity, node_mode, edge_rel,
+                edge_norm, target, negatives, neg_mask, query_mask))
+            run_step("fused_fwd/xla-bwd",
+                     lambda p: mpqe_mod.dense_batch_loss_kernel_fused_fwd(
+                         p, cfg, STRUCTURE, node_entity, node_mode,
+                         edge_rel, edge_norm, target, negatives, neg_mask,
+                         query_mask, block=4096, backward="xla"))
+        for bb in [int(b) for b in args.bwd_blocks.split(",")]:
+            run_step(
+                f"fused_fwd/pallas-bwd b{bb}",
+                lambda p, bb=bb: mpqe_mod.dense_batch_loss_kernel_fused_fwd(
+                    p, cfg, STRUCTURE, node_entity, node_mode, edge_rel,
+                    edge_norm, target, negatives, neg_mask, query_mask,
+                    block=4096, backward="pallas", bwd_block=bb))
+
+    if args.multi:
+        from mpqe_tpu.ops import pallas_fused_fwd as ff
+        erq = jnp.asarray(
+            rng.integers(0, N_RELS, (B, spec.n_edges)).astype(np.int32))
+        enq = jnp.asarray(np.ones((B, spec.n_edges), np.float32))
+
+        def make_mloop(encode):
+            @jax.jit
+            def loop(params, enq0, n):
+                def body(i, carry):
+                    en, acc = carry
+                    q = encode(params, en)
+                    return en + q[0:1, 0:spec.n_edges] * 1e-20, acc + q[0, 0]
+                _, acc = jax.lax.fori_loop(0, n, body, (enq0, 0.0))
+                return acc
+            return loop
+
+        log("compiling XLA multi encode...")
+        dt = _timed_loop(make_mloop(
+            lambda p, en: mpqe_mod.encode_dense_multi(
+                p, cfg, STRUCTURE, node_entity, node_mode, erq, en)),
+            params, enq)
+        log(f"multi xla   : {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
+        for blk in [int(b) for b in args.blocks.split(",")]:
+            log(f"compiling fused multi block={blk}...")
+            dt = _timed_loop(make_mloop(
+                lambda p, en, blk=blk: ff.fused_tgt_forward_multi(
+                    p, cfg, STRUCTURE, node_entity, node_mode, erq, en,
+                    block=blk)), params, enq)
+            log(f"multi fused {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
 
     # compiled-mode parity at a small batch (same programs, tiny shapes)
     Bs = 1024

@@ -149,6 +149,54 @@ def main():
     ok &= check("fused_whole_forward", got / s, want / s,
                 rtol=5e-3, atol=5e-3)
 
+    # fused Pallas BACKWARD vs the XLA VJP (round 4) — same cotangent,
+    # full param tree compared leaf-wise at bf16 tolerance
+    stage("compiling fused pallas backward...")
+    g_ct = jnp.asarray(rng.normal(size=(Bq, 128)).astype(np.float32))
+
+    def _vjp_tree(backward):
+        def enc(p, e):
+            return mpqe_mod.encode_dense_fused(
+                p, cfg, "3-chain_inter", ne, nm, er, e, None, 512, False,
+                False, False, None, backward, 512)
+        _, vjp = jax.vjp(enc, params, en)
+        return vjp(g_ct)
+
+    dp_p, den_p = jax.jit(lambda: _vjp_tree("pallas"))()
+    stage("compiling xla-recompute backward (oracle)...")
+    dp_x, den_x = jax.jit(lambda: _vjp_tree("xla"))()
+    leaves_p, tree = jax.tree_util.tree_flatten(dp_p)
+    leaves_x, _ = jax.tree_util.tree_flatten(dp_x)
+    worst = 0.0
+    for a, b in zip(leaves_p, leaves_x):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        s = np.max(np.abs(b)) + 1e-9
+        worst = max(worst, float(np.max(np.abs(a - b)) / s))
+    ok &= check("fused_pallas_backward_params",
+                np.asarray([worst]), np.asarray([0.0]),
+                rtol=0, atol=3e-2)
+    s = np.max(np.abs(np.asarray(den_x))) + 1e-9
+    ok &= check("fused_pallas_backward_edge_norm",
+                np.asarray(den_p) / s, np.asarray(den_x) / s,
+                rtol=0, atol=3e-2)
+
+    # per-query-relation fused multi kernel vs encode_dense_multi
+    stage("compiling fused multi kernel...")
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+    erq = jnp.asarray(rng.integers(0, 12, (Bq, spec.n_edges)).astype(np.int32))
+    enq = jnp.asarray(rng.uniform(0.5, 1.5, (Bq, spec.n_edges)).astype(np.float32))
+    got = np.asarray(jax.jit(
+        lambda p: ff.fused_tgt_forward_multi(
+            p, cfg, "3-chain_inter", ne, nm, erq, enq, block=512)
+    )(params))
+    want = np.asarray(jax.jit(
+        lambda p: mpqe_mod.encode_dense_multi(
+            p, cfg, "3-chain_inter", ne, nm, erq, enq)
+    )(params))
+    s = np.max(np.abs(want)) + 1e-9
+    ok &= check("fused_multi_forward", got / s, want / s,
+                rtol=5e-3, atol=5e-3)
+
     sys.exit(0 if ok else 1)
 
 
