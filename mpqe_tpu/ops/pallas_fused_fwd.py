@@ -72,7 +72,7 @@ def _var_layout(cfg, n_var: int, d_pad: int):
 
 
 def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
-                    edge_rel, edge_norm, d_pad):
+                    edge_rel, edge_norm, d_pad, fold_bias0=False):
     """Per-layer block weight matrix [k_l, n_l] (f32 — callers cast to
     bf16 for the kernel wire) + bias row [8, n_l] (f32), with edge_norm
     folded in and the variable-mode table pre-multiplied into layer-0
@@ -80,6 +80,12 @@ def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
     the Pallas backward can ``jax.vjp`` through this assembly to recover
     exact dw_self/dbasis/dcoeff/dbias/dvar/dedge_norm from the kernel's
     f32 dW/db accumulators.
+
+    ``fold_bias0``: layer 0's bias moves into W_0 at the packed one-hot
+    block's first UNUSED column (the kernel sets that column to constant
+    1), killing the widest per-block VPU bias add; layer 0's bias row is
+    then zero.  Trades exact-f32 bias addition for a bf16-rounded bias
+    (the W wire is bf16) — a measured-variant knob, off by default.
 
     Layer-0 row layout: one d_pad block per anchor slot (in ``a_slots``
     order), then the packed variable block (or one block per variable
@@ -131,18 +137,26 @@ def _layer_matrices(params, cfg, spec, steps, plan, a_slots, v_slots,
             W = put(W, s, s, w_self)
         for j in edges:
             W = put(W, spec.edge_src[j], spec.edge_dst[j], w_e[j])
+        fold = fold_bias0 and li == 0
+        if fold:
+            ones_row = n_a * d_pad + len(v_slots) * m8  # first unused col
+            b_val = lp["bias"].astype(jnp.float32)
+            for s in out_slots:
+                W = W.at[ones_row,
+                         ocol[s] * d_pad:ocol[s] * d_pad + d].add(b_val)
         Ws.append(W)
 
         bias = jnp.zeros((8, len(out_slots) * d_pad), jnp.float32)
-        for s in out_slots:
-            bias = bias.at[0, ocol[s] * d_pad:ocol[s] * d_pad + d].set(
-                lp["bias"].astype(jnp.float32))
+        if not fold:
+            for s in out_slots:
+                bias = bias.at[0, ocol[s] * d_pad:ocol[s] * d_pad + d].set(
+                    lp["bias"].astype(jnp.float32))
         biases.append(bias)
     return Ws, biases
 
 
 def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False,
-                 split_gemm=False):
+                 split_gemm=False, fold_bias=False, out_dtype=None):
     """Kernel closure; slot layout and the layer loop unroll at trace
     time.  refs: a_refs..., m_refs..., W_0..W_{L-1}, b_0..b_{L-1}, out.
     With ``oh_operand`` the packed variable one-hot block arrives as ONE
@@ -177,6 +191,9 @@ def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False,
                 oh = (m_refs[0][:] == iota)
                 for k in range(1, n_v):
                     oh = jnp.logical_or(oh, m_refs[k][:] + k * m8 == iota)
+                if fold_bias:
+                    # constant-1 column feeding W_0's folded bias row
+                    oh = jnp.logical_or(oh, iota == n_v * m8)
                 pieces.append(oh.astype(bf16))
             else:
                 for k in range(n_v):
@@ -197,14 +214,15 @@ def _make_kernel(steps, n_a, n_v, d_pad, packed, m8, oh_operand=False,
                 pieces, axis=1)
             y = jnp.dot(x, w_refs[0][...], preferred_element_type=f32)
             start = 1
-        y = y + b_refs[0][0:1, :]
+        if not fold_bias:  # folded: bias rides W_0's ones-column row
+            y = y + b_refs[0][0:1, :]
         for li in range(start, steps):
             x = jnp.maximum(y, 0.0).astype(bf16)
             y = jnp.dot(x, w_refs[li][...], preferred_element_type=f32)
             y = y + b_refs[li][0:1, :]
         # the final layer's out_slots is exactly (target,) by plan
         # construction, so y is already the [bb, d_pad] target block
-        out_ref[...] = y
+        out_ref[...] = y if out_dtype is None else y.astype(out_dtype)
 
     return kernel
 
@@ -528,10 +546,17 @@ def _make_bwd_kernel(steps, n_a, n_v, d_pad, packed, m8,
                 xs[li], gb, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             db_refs[li][0:1, :] += jnp.sum(g, axis=0, keepdims=True)
-            # g_l @ W_l^T: contract the out dim of g with W's columns
-            dx = jax.lax.dot_general(
-                gb, w_refs[li][...], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)  # [bb, k_l]
+            # g_l @ W_l^T ([bb, k_l]).  Numerics note (measured round 4,
+            # tools/fused_bwd_diag.py): early-layer grads of this model
+            # are relu-mask-sensitive — Y_0 elements near zero flip the
+            # mask under different matmul precisions, so ANY two
+            # precision variants differ by ~0.15 in max-element norm on
+            # layer-0 grads (the on-chip XLA VJP at HIGHEST vs DEFAULT
+            # precision differs from ITSELF by that much).  Compiled
+            # parity is therefore gated against the oracle's own
+            # precision envelope (tools/tpu_smoke.py), not a fixed atol.
+            dx = jnp.dot(gb, w_refs[li][...].T,
+                         preferred_element_type=f32)  # [bb, k_l]
             if li > 0:
                 g = dx * (ys[li - 1] > 0.0).astype(f32)
             else:
@@ -691,12 +716,21 @@ def fused_tgt_forward(
     onehot_operand: bool = False,
     split_gemm: bool = False,
     vmem_limit_mb: Optional[int] = None,
+    fold_bias: bool = False,
+    out_bf16: bool = False,
 ) -> jax.Array:
     """Whole pruned TGT forward as one Pallas kernel → ``[B, d]`` f32.
 
     Forward only — wrap via :func:`models.mpqe.encode_dense_fused` for a
     differentiable version (its backward recomputes through the XLA
     path, so gradients are bit-identical to ``encode_dense``'s).
+
+    Measured-variant knobs (roofline hunt, BASELINE.md): ``fold_bias``
+    moves layer-0's bias into W_0 through a constant-1 column of the
+    packed one-hot block (kills the widest VPU bias add; bias rounds to
+    the bf16 wire); ``out_bf16`` writes the output block in bf16
+    (halves the final-write HBM traffic; for cfg.dtype=bfloat16 the
+    result is identical to casting after).
     """
     if cfg.readout != "tgt":
         raise ValueError("fused_tgt_forward requires readout='tgt'")
@@ -744,6 +778,11 @@ def fused_tgt_forward(
         # kernel's dominant HBM traffic
         inputs.append(pad2(pad_rows(col.astype(jnp.bfloat16), B_pad),
                            B_pad, d_pad))
+    if fold_bias and not (packed and v_slots
+                          and len(v_slots) * m8 < d_pad):
+        raise ValueError(
+            "fold_bias needs a free column in the packed one-hot block "
+            "(packed layout with n_var * round_up(n_modes, 8) < d_pad)")
     oh_operand = bool(onehot_operand and packed and v_slots)
     if oh_operand:
         # build the packed one-hot block OUTSIDE (XLA): column
@@ -754,6 +793,8 @@ def fused_tgt_forward(
         pos = ids + jnp.arange(len(v_slots), dtype=jnp.int32)[None, :] * m8
         iota = jnp.arange(d_pad, dtype=jnp.int32)
         oh = (pos[:, :, None] == iota[None, None, :]).any(axis=1)
+        if fold_bias:
+            oh = jnp.logical_or(oh, iota[None, :] == len(v_slots) * m8)
         inputs.append(pad_rows(oh.astype(jnp.bfloat16), B_pad))
         var_specs = [pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
@@ -765,7 +806,7 @@ def fused_tgt_forward(
                                   memory_space=pltpu.VMEM) for _ in v_slots]
     Ws, biases = _layer_matrices(
         params, cfg, spec, steps, plan, a_slots, v_slots, edge_rel,
-        edge_norm, d_pad)
+        edge_norm, d_pad, fold_bias0=fold_bias)
     Ws = [W.astype(jnp.bfloat16) for W in Ws]
     inputs += Ws + biases
 
@@ -786,14 +827,17 @@ def fused_tgt_forward(
     if vmem_limit_mb is not None and not interpret:
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
     out = pl.pallas_call(
         _make_kernel(steps, len(a_slots), len(v_slots), d_pad, packed, m8,
-                     oh_operand=oh_operand, split_gemm=split_gemm),
+                     oh_operand=oh_operand, split_gemm=split_gemm,
+                     fold_bias=fold_bias,
+                     out_dtype=jnp.bfloat16 if out_bf16 else None),
         grid=(B_pad // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, d_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_pad, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B_pad, d_pad), out_dtype),
         interpret=interpret,
         compiler_params=compiler_params,
     )(*inputs)

@@ -473,3 +473,46 @@ def test_fused_multi_rejects_full_weight(rng):
     with pytest.raises(ValueError):
         ff.fused_tgt_forward_multi(params, cfg, "2-chain", ne, nm, erq, enq,
                                    block=8, interpret=True)
+
+
+@pytest.mark.parametrize("oh_operand", [False, True])
+def test_fused_fwd_fold_bias_parity(rng, oh_operand):
+    # fold_bias moves layer-0's bias into W_0 through a constant-1
+    # one-hot column; parity to bf16-of-bias tolerance
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(18), cfg)
+    # make biases non-zero (init is zeros)
+    for lp in params["layers"]:
+        lp["bias"] = jnp.asarray(
+            rng.normal(size=lp["bias"].shape).astype(np.float32))
+    for structure in ["3-chain_inter", "2-inter"]:
+        ne, nm, er, en = _inputs(rng, structure)
+        base = ff.fused_tgt_forward(
+            params, cfg, structure, ne, nm, er, en, block=8, interpret=True)
+        got = ff.fused_tgt_forward(
+            params, cfg, structure, ne, nm, er, en, block=8, interpret=True,
+            fold_bias=True, onehot_operand=oh_operand)
+        err = float(jnp.max(jnp.abs(got - base))
+                    / (jnp.max(jnp.abs(base)) + 1e-9))
+        assert err < 1e-2, (structure, err)
+
+
+def test_fused_fwd_out_bf16(rng):
+    from mpqe_tpu.ops import pallas_fused_fwd as ff
+
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(19), cfg)
+    ne, nm, er, en = _inputs(rng, "3-chain_inter")
+    base = ff.fused_tgt_forward(
+        params, cfg, "3-chain_inter", ne, nm, er, en, block=8,
+        interpret=True)
+    got = ff.fused_tgt_forward(
+        params, cfg, "3-chain_inter", ne, nm, er, en, block=8,
+        interpret=True, out_bf16=True)
+    # out_bf16 == bf16-rounding of the f32 output (then cast back)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(base.astype(jnp.bfloat16).astype(jnp.float32)),
+        rtol=0, atol=0)

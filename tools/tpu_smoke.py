@@ -149,36 +149,53 @@ def main():
     ok &= check("fused_whole_forward", got / s, want / s,
                 rtol=5e-3, atol=5e-3)
 
-    # fused Pallas BACKWARD vs the XLA VJP (round 4) — same cotangent,
-    # full param tree compared leaf-wise at bf16 tolerance
+    # fused Pallas BACKWARD vs the XLA VJP (round 4).  Early-layer grads
+    # of this model are relu-mask-sensitive: Y_0 elements near zero flip
+    # the mask under different matmul precisions, so the XLA VJP at
+    # HIGHEST vs DEFAULT precision differs from ITSELF by ~0.15 in
+    # max-element norm on layer-0 leaves (tools/fused_bwd_diag.py,
+    # round 4).  The principled compiled-parity gate is therefore the
+    # ORACLE'S OWN precision envelope: per leaf, pallas-vs-default must
+    # be within 1.5x of HIGHEST-vs-default (+ a 3e-2 floor for leaves
+    # where the envelope is tiny).
     stage("compiling fused pallas backward...")
     g_ct = jnp.asarray(rng.normal(size=(Bq, 128)).astype(np.float32))
 
-    def _vjp_tree(backward):
+    def _vjp_tree(backward, highest=False):
         def enc(p, e):
             return mpqe_mod.encode_dense_fused(
                 p, cfg, "3-chain_inter", ne, nm, er, e, None, 512, False,
                 False, False, None, backward, 512)
-        _, vjp = jax.vjp(enc, params, en)
-        return vjp(g_ct)
+        def run(p, e):
+            _, vjp = jax.vjp(enc, p, e)
+            return vjp(g_ct)
+        if highest:
+            with jax.default_matmul_precision("highest"):
+                return jax.jit(run)(params, en)
+        return jax.jit(run)(params, en)
 
-    dp_p, den_p = jax.jit(lambda: _vjp_tree("pallas"))()
-    stage("compiling xla-recompute backward (oracle)...")
-    dp_x, den_x = jax.jit(lambda: _vjp_tree("xla"))()
-    leaves_p, tree = jax.tree_util.tree_flatten(dp_p)
-    leaves_x, _ = jax.tree_util.tree_flatten(dp_x)
-    worst = 0.0
-    for a, b in zip(leaves_p, leaves_x):
-        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    dp_p, den_p = _vjp_tree("pallas")
+    stage("compiling xla-recompute backward (default precision)...")
+    dp_x, den_x = _vjp_tree("xla")
+    stage("compiling xla-recompute backward (HIGHEST — envelope)...")
+    dp_h, den_h = _vjp_tree("xla", highest=True)
+    leaves_p = jax.tree_util.tree_leaves(dp_p) + [den_p]
+    leaves_x = jax.tree_util.tree_leaves(dp_x) + [den_x]
+    leaves_h = jax.tree_util.tree_leaves(dp_h) + [den_h]
+    worst_ratio = 0.0
+    for a, b, h in zip(leaves_p, leaves_x, leaves_h):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        h = np.asarray(h, np.float32)
+        if a.size == 0:
+            continue
         s = np.max(np.abs(b)) + 1e-9
-        worst = max(worst, float(np.max(np.abs(a - b)) / s))
-    ok &= check("fused_pallas_backward_params",
-                np.asarray([worst]), np.asarray([0.0]),
-                rtol=0, atol=3e-2)
-    s = np.max(np.abs(np.asarray(den_x))) + 1e-9
-    ok &= check("fused_pallas_backward_edge_norm",
-                np.asarray(den_p) / s, np.asarray(den_x) / s,
-                rtol=0, atol=3e-2)
+        err = float(np.max(np.abs(a - b)) / s)
+        env = max(float(np.max(np.abs(h - b)) / s), 2e-2)  # oracle noise
+        worst_ratio = max(worst_ratio, err / (1.5 * env))
+    ok &= check("fused_pallas_backward_vs_precision_envelope",
+                np.asarray([worst_ratio]), np.asarray([0.0]),
+                rtol=0, atol=1.0)
 
     # per-query-relation fused multi kernel vs encode_dense_multi
     stage("compiling fused multi kernel...")
