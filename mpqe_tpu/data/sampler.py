@@ -335,6 +335,7 @@ def make_rule_kg(
     seed: int = 0,
     variant: str = "torus",
     noise: float = 0.0,
+    seg_width: int = 8,
 ) -> KnowledgeGraph:
     """A rule-structured KG with LEARNABLE deterministic relations.
 
@@ -367,6 +368,15 @@ def make_rule_kg(
       (out-degree g).  Single chains are maximally ambiguous (g
       answers); a row x column intersection pins ONE cell — the regime
       where encoder-side intersection expressiveness dominates.
+    * ``"band_seg"`` — band's set-valued character at BOUNDED
+      out-degree (``seg_width``), so it scales to AM-size entity counts
+      without band's g^3 edge blowup (1M entities under full band would
+      need ~1e11 edges): even relations map p=(i, j) to the column
+      SEGMENT {(i + a_r, j + t) : t < seg_width}, odd relations to the
+      row segment {(i + t, j + b_r)}.  Chains stay ambiguous
+      (seg_width answers per hop); a column x row segment intersection
+      pins ~one cell.  This is the high-ceiling substrate for the
+      AM-scale north-star quality run (round-4 VERDICT item 3).
 
     ``noise`` rewires that fraction of tails uniformly within the range
     mode (incompressible edges; hurts every model's ceiling, but chained
@@ -424,6 +434,15 @@ def make_rule_kg(
             else:  # whole row j + off
                 for line in range(g):
                     emit(r, np.full(per_mode, line), gj + off)
+        elif variant == "band_seg":
+            w = min(seg_width, g)
+            off = int(rng.integers(0, g))
+            if (r // n_modes) % 2 == 0:  # column segment at i + off
+                for t in range(w):
+                    emit(r, gi + off, gj + t)
+            else:  # row segment at j + off
+                for t in range(w):
+                    emit(r, gi + t, gj + off)
         else:
             raise ValueError(f"unknown rule-KG variant {variant!r}")
     triples = np.stack(

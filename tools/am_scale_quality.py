@@ -39,6 +39,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mpqe_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()  # honor JAX_PLATFORMS=cpu in-process (CLAUDE.md)
+
 import numpy as np
 
 
@@ -56,6 +60,95 @@ def dedup_against(train_ents, train_rels, val_ents, val_rels):
     return ~np.isin(keys(val_ents, val_rels), seen)
 
 
+class RuleOracle:
+    """Exact query answer sets from the KG's forward adjacency — the
+    measured APR ceiling + hard negatives for rule-structured KGs
+    (round-4 VERDICT items 3/9).
+
+    Works on ANY KnowledgeGraph: builds a sorted (rel, head) -> tails
+    index over the base (forward) triples and runs the query DAG's
+    closure per eval query.  Hard negatives follow the reference
+    convention (SURVEY.md §A.4): entities satisfying a strict subset of
+    the query's conjuncts — computed as the union of answer sets with
+    one edge dropped (drops that disconnect the target are skipped),
+    minus the true answer set.
+    """
+
+    def __init__(self, kg):
+        heads = np.asarray(kg.heads, np.int64)
+        rels = np.asarray(kg.rels, np.int64)
+        tails = np.asarray(kg.tails, np.int64)
+        # DIRECTED relation ids, matching the native sampler's CSR
+        # convention (cpp build_incoming_csr): forward (h, r, t) is rel
+        # 2r from h; inverse is 2r+1 from t
+        k_fwd = (2 * rels) * np.int64(kg.n_entities) + heads
+        k_inv = (2 * rels + 1) * np.int64(kg.n_entities) + tails
+        key = np.concatenate([k_fwd, k_inv])
+        dst = np.concatenate([tails, heads]).astype(np.int32)
+        order = np.argsort(key, kind="stable")
+        self.key = key[order]
+        self.tails = dst[order]
+        self.n_ent = kg.n_entities
+        self.entity_mode = np.asarray(kg.entity_mode)
+
+    def out(self, h: int, r: int) -> np.ndarray:
+        k = np.int64(r) * self.n_ent + np.int64(h)
+        lo = np.searchsorted(self.key, k, side="left")
+        hi = np.searchsorted(self.key, k, side="right")
+        return self.tails[lo:hi]
+
+    def outs(self, hs: np.ndarray, r: int) -> np.ndarray:
+        if hs.size == 0:
+            return hs.astype(np.int32)
+        return np.unique(np.concatenate([self.out(int(h), r)
+                                         for h in hs]))
+
+    def answers(self, spec, ents: np.ndarray, rels: np.ndarray,
+                drop_edge: int = -1) -> np.ndarray:
+        """Closure answer set at the target (base-relation ids only:
+        the samplers emit forward relations for these structures)."""
+        cand = {}
+        for s in spec.anchor_slots:
+            cand[s] = np.asarray([ents[s]], np.int32)
+        pending = [j for j in range(spec.n_edges) if j != drop_edge]
+        while pending:
+            nxt = []
+            for j in pending:
+                s, d = spec.edge_src[j], spec.edge_dst[j]
+                if s not in cand:
+                    nxt.append(j)
+                    continue
+                reach = self.outs(cand[s], int(rels[j]))
+                cand[d] = (reach if d not in cand
+                           else np.intersect1d(cand[d], reach))
+            if len(nxt) == len(pending):
+                break  # remaining edges disconnected from anchors
+            pending = nxt
+        return cand.get(spec.target_slot,
+                        np.empty(0, np.int32)).astype(np.int32)
+
+    def hard_negatives(self, spec, ents, rels, n_hard: int,
+                       rng) -> np.ndarray:
+        """Up to n_hard entities satisfying a strict subset of the
+        conjuncts (one-edge-dropped closures minus the full answers);
+        -1-padded."""
+        full = self.answers(spec, ents, rels)
+        pool = []
+        for j in range(spec.n_edges):
+            a = self.answers(spec, ents, rels, drop_edge=j)
+            if a.size:
+                pool.append(a)
+        out = np.full(n_hard, -1, np.int32)
+        if not pool:
+            return out
+        cand = np.setdiff1d(np.unique(np.concatenate(pool)), full)
+        if cand.size == 0:
+            return out
+        take = min(n_hard, cand.size)
+        out[:take] = rng.choice(cand, size=take, replace=False)
+        return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=2_000_000)
@@ -63,6 +156,19 @@ def main():
     ap.add_argument("--base_rels", type=int, default=16)
     ap.add_argument("--triples", type=int, default=10_000_000,
                     help="undirected triples (directed edges = 2x)")
+    ap.add_argument("--kg", default="random", choices=["random", "band_seg"],
+                    help="random = schema-respecting synthetic (the r3 "
+                         "row; random-KG ceiling applies); band_seg = "
+                         "rule-structured segment-band KG (high, "
+                         "MEASURED ceiling — the rules determine exact "
+                         "answer sets)")
+    ap.add_argument("--seg_width", type=int, default=8)
+    ap.add_argument("--eval_oracle", action="store_true",
+                    help="compute exact answer sets for the held-out "
+                         "queries: APR ceiling under the sampled "
+                         "negatives + hard negatives (reference "
+                         "strict-subset convention)")
+    ap.add_argument("--n_hard_eval", type=int, default=32)
     ap.add_argument("--train_queries", type=int, default=1_000_000)
     ap.add_argument("--val_queries", type=int, default=16_384)
     ap.add_argument("--edge_bank", type=int, default=4_000_000,
@@ -89,10 +195,20 @@ def main():
         raise SystemExit("C++ host library unavailable")
 
     t0 = time.perf_counter()
-    kg = native.make_synthetic_kg_native(
-        args.entities, args.modes, args.base_rels, args.triples,
-        seed=args.seed)
-    print(json.dumps({"phase": "kg_gen", "triples": int(kg.n_triples),
+    if args.kg == "band_seg":
+        from mpqe_tpu.data.sampler import make_rule_kg
+
+        kg = make_rule_kg(
+            n_entities=args.entities, n_modes=args.modes,
+            n_base_rels=args.base_rels, seed=args.seed,
+            variant="band_seg", seg_width=args.seg_width)
+    else:
+        kg = native.make_synthetic_kg_native(
+            args.entities, args.modes, args.base_rels, args.triples,
+            seed=args.seed)
+    print(json.dumps({"phase": "kg_gen", "kg": args.kg,
+                      "entities": int(kg.n_entities),
+                      "triples": int(kg.n_triples),
                       "directed_edges": int(2 * kg.n_triples),
                       "seconds": time.perf_counter() - t0}), flush=True)
 
@@ -280,13 +396,60 @@ def main():
     # pooled Mann-Whitney for continuity with the small-scale tables
     from mpqe_tpu.train.evaluation import roc_auc
     auc = float(roc_auc(pos_all, neg_all))
+
+    extra = {}
+    if args.eval_oracle:
+        # exact answer sets from the KG closure: (a) APR ceiling under
+        # THESE sampled negatives — an ideal model ties negatives that
+        # are true answers (0.5 credit each); (b) hard negatives by the
+        # reference strict-subset convention, scored with the trained
+        # model (hard APR ceiling is ~100 by construction)
+        t0 = time.perf_counter()
+        oracle = RuleOracle(kg)
+        orng = np.random.default_rng(args.seed + 11)
+        ve_i, vr_i, vn_i = va["entities"], va["rels"], va["negatives"]
+        ceil_pcts = np.zeros(n_v, np.float64)
+        hard = np.full((n_v, args.n_hard_eval), -1, np.int32)
+        n_ans = np.zeros(n_v, np.int64)
+        for i in range(n_v):
+            A = oracle.answers(spec, ve_i[i], vr_i[i])
+            n_ans[i] = A.size
+            c = float(np.isin(vn_i[i], A).sum())
+            n = vn_i.shape[1]
+            ceil_pcts[i] = 100.0 * (1.0 - 0.5 * c / n)
+            hard[i] = oracle.hard_negatives(
+                spec, ve_i[i], vr_i[i], args.n_hard_eval, orng)
+        extra["apr_ceiling"] = float(np.mean(ceil_pcts))
+        extra["mean_answer_set"] = float(np.mean(n_ans))
+        extra["apr_vs_ceiling"] = apr / extra["apr_ceiling"]
+
+        hpos = np.zeros(n_v, np.float32)
+        hneg = np.zeros((n_v, args.n_hard_eval), np.float32)
+        hp = np.pad(hard, ((0, pad), (0, 0)))
+        hpj = np.where(hp < 0, 0, hp)
+        for lo in range(0, n_v, CH):
+            ps, ns = eval_chunk(
+                params, jnp.asarray(ve[lo:lo + CH]),
+                jnp.asarray(em_np[ve[lo:lo + CH]]),
+                jnp.asarray(vr[lo:lo + CH]),
+                jnp.asarray(ve[lo:lo + CH, spec.target_slot]),
+                jnp.asarray(hpj[lo:lo + CH]))
+            hi = min(lo + CH, n_v)
+            hpos[lo:hi] = np.asarray(ps)[: hi - lo]
+            hneg[lo:hi] = np.asarray(ns)[: hi - lo]
+        hmask = (hard >= 0).astype(np.float32)
+        hpct = _apr_percentiles(hpos, hneg, hmask)
+        extra["hard_apr"] = float(np.mean(hpct)) if hpct.size else None
+        extra["hard_queries"] = int((hmask.sum(axis=1) > 0).sum())
+        extra["oracle_seconds"] = time.perf_counter() - t0
+
     print(json.dumps({
         "phase": "result", "model": args.model,
-        "structure": args.structure,
+        "structure": args.structure, "kg": args.kg,
         "entities": kg.n_entities, "directed_edges": int(2 * kg.n_triples),
         "train_queries": N_q, "val_heldout": n_v,
         "steps": args.steps, "burn_in_steps": args.burn_in_steps,
-        "batch": B, "apr": apr, "auc_pooled": auc,
+        "batch": B, "apr": apr, "auc_pooled": auc, **extra,
         "backend": __import__("jax").default_backend(),
     }), flush=True)
 

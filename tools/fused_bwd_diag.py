@@ -46,7 +46,9 @@ def walk(a, b, path=""):
         if x.size == 0:
             return rows
         s = np.max(np.abs(y)) + 1e-9
-        rows.append((path, float(np.max(np.abs(x - y)) / s)))
+        mx = float(np.max(np.abs(x - y)) / s)
+        mean = float(np.mean(np.abs(x - y)) / (np.mean(np.abs(y)) + 1e-9))
+        rows.append((path, mx, mean))
     return rows
 
 
@@ -80,6 +82,21 @@ def main(argv=None):
 
     dp_x, den_x = jax.device_get(xla_vjp(params, en))
 
+    log("compiling xla vjp at HIGHEST (oracle self-envelope)...")
+
+    @jax.jit
+    def xla_vjp_hi(p, e):
+        with jax.default_matmul_precision("highest"):
+            _, vjp = jax.vjp(lambda pp, ee: mpqe_mod.encode_dense(
+                pp, cfg, args.structure, ne, nm, er, ee), p, e)
+            return vjp(g)
+
+    dp_h, den_h = jax.device_get(xla_vjp_hi(params, en))
+    print("--- oracle self-envelope (HIGHEST vs default)")
+    for path, mx, mean in walk(dp_h, dp_x) + walk(den_h, den_x,
+                                                  "edge_norm"):
+        print(f"  {path}: max {mx:.4e}  mean {mean:.4e}", flush=True)
+
     for f32w in (False, True):
         log(f"compiling pallas backward f32_wire={f32w}...")
 
@@ -90,15 +107,12 @@ def main(argv=None):
                 block=args.bwd_block, f32_wire=f32w)
 
         dp_p, den_p, _ = jax.device_get(pb(params, en))
-        rows = walk(dp_p, dp_x)
-        s = np.max(np.abs(np.asarray(den_x))) + 1e-9
-        rows.append(("edge_norm",
-                     float(np.max(np.abs(np.asarray(den_p)
-                                         - np.asarray(den_x))) / s)))
+        rows = walk(dp_p, dp_x) + walk(den_p, den_x, "edge_norm")
         print(f"--- f32_wire={f32w} bwd_block={args.bwd_block}")
-        for path, err in rows:
-            flag = " <-- BAD" if err > 3e-2 else ""
-            print(f"  {path}: {err:.4e}{flag}", flush=True)
+        for path, mx, mean in rows:
+            flag = " <-- BAD(mean)" if mean > 3e-2 else ""
+            print(f"  {path}: max {mx:.4e}  mean {mean:.4e}{flag}",
+                  flush=True)
 
 
 if __name__ == "__main__":
