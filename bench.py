@@ -367,6 +367,74 @@ def bench_matrix():
     return rows
 
 
+def bench_best_stack():
+    """The measured-best composed train-step configuration at the
+    flagship shape: bfloat16 pipeline x batch-shared negatives
+    (tools/bf16_shared_bench.py, round 4: the two levers compose —
+    17.8 ms = 7.3e6 queries/s vs the 42 ms f32 per-query headline).
+    Reported in extras as a clearly-labeled VARIANT (reduced precision +
+    shared-candidates protocol); the reference-protocol f32 step stays
+    the headline queries/s."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mpqe_tpu.models import mpqe as mpqe_mod
+    from mpqe_tpu.queries import STRUCTURES
+
+    if jax.default_backend() == "cpu":
+        return {"skipped": "cpu backend (flagship-shape bf16 step)"}
+    spec = STRUCTURES[STRUCTURE]
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=N_ENTITIES, n_modes=N_MODES, n_rels=N_RELS,
+        embed_dim=D, n_layers=N_LAYERS, num_bases=NUM_BASES, readout="tgt",
+        dtype=jnp.bfloat16,
+    )
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, K = BATCH, 512
+    ne = jnp.asarray(rng.integers(
+        0, N_ENTITIES, (B, spec.n_nodes)).astype(np.int32))
+    nm = jnp.asarray(rng.integers(
+        0, N_MODES, (B, spec.n_nodes)).astype(np.int32))
+    er = jnp.asarray(rng.integers(0, N_RELS, (spec.n_edges,)).astype(np.int32))
+    en = jnp.asarray(np.ones((spec.n_edges,), np.float32))
+    tgt = jnp.asarray(rng.integers(0, N_ENTITIES, (B,)).astype(np.int32))
+    sneg = jnp.asarray(rng.integers(0, N_ENTITIES, (K,)).astype(np.int32))
+    qmask = jnp.asarray(np.ones((B,), np.float32))
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_loop(params, opt_state, n):
+        def body(i, carry):
+            p, o, _ = carry
+
+            def loss_fn(pp):
+                return mpqe_mod.dense_batch_loss_shared_negs(
+                    pp, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            up, o = opt.update(grads, o, p)
+            return optax.apply_updates(p, up), o, loss
+
+        _, _, loss = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, jnp.float32(0)))
+        return loss
+
+    log("[best-stack] compiling bf16 x shared-negs train step...")
+    dt = _timed_loop(step_loop, params, opt_state, n_small=3, n_large=28)
+    log(f"[best-stack] train step: {dt*1e3:.3f} ms")
+    return {
+        "config": "dtype=bfloat16 shared_negatives=512 kernel=dense",
+        "train_step_ms": dt * 1e3,
+        "train_queries_per_s": BATCH / dt,
+        "protocol_note": ("VARIANT: reduced precision + batch-shared "
+                          "candidates (quality-parity rows in "
+                          "BASELINE.md); headline stays the f32 "
+                          "per-query-negatives step"),
+    }
+
+
 def bench_shared_negatives():
     """Train-step time with batch-shared negatives (protocol VARIANT,
     clearly labeled — the per-query-negatives number stays the headline).
@@ -659,6 +727,10 @@ def main():
     extra = dict(jx)
     if tb:
         extra.update(tb)
+    if relay_down:
+        extra["best_stack"] = "skipped: relay down (CPU fallback)"
+    else:
+        extra["best_stack"] = bench_best_stack()
     # the opt-in extras size their loops for the chip; on the relay-down
     # CPU fallback they'd blow the driver timeout — skip them (noted)
     if os.environ.get("MPQE_BENCH_MATRIX"):

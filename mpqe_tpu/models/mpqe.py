@@ -520,6 +520,7 @@ def dense_batch_loss_shared_negs(
     fused_block: int = 2048,
     fused_backward: str = "xla",
     fused_bwd_block: int = 1024,
+    fused_vmem_limit_mb: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Margin loss with batch-shared negatives (protocol VARIANT).
@@ -548,7 +549,7 @@ def dense_batch_loss_shared_negs(
         q = encode_dense_fused(
             params, cfg, structure, node_entity, node_mode, edge_rel,
             edge_norm, anchor_rows, fused_block, interpret, False, False,
-            None, fused_backward, fused_bwd_block)
+            fused_vmem_limit_mb, fused_backward, fused_bwd_block)
     elif encoder == "dense":
         q = encode_dense(
             params, cfg, structure, node_entity, node_mode, edge_rel,
@@ -576,6 +577,7 @@ def make_shared_negs_batch_loss(n_shared: int, encoder: str = "dense",
                                 fused_block: int = 2048,
                                 fused_backward: str = "xla",
                                 fused_bwd_block: int = 1024,
+                                fused_vmem_limit_mb: Optional[int] = None,
                                 interpret: bool = False):
     """Adapt ``dense_batch_loss_shared_negs`` to the train loop's
     standard ``batch_loss_fn`` signature (``train/loop.py
@@ -610,7 +612,8 @@ def make_shared_negs_batch_loss(n_shared: int, encoder: str = "dense",
             params, cfg, structure, node_entity, node_mode, edge_rel,
             edge_norm, target, shared, query_mask, encoder=encoder,
             fused_block=fused_block, fused_backward=fused_backward,
-            fused_bwd_block=fused_bwd_block, interpret=interpret)
+            fused_bwd_block=fused_bwd_block,
+            fused_vmem_limit_mb=fused_vmem_limit_mb, interpret=interpret)
 
     return fn
 

@@ -77,7 +77,7 @@ def measure(dtype: str, shared: bool, fused: str = "") -> dict:
                 p, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask,
                 encoder="fused_fwd" if fused else "dense",
                 fused_block=4096, fused_backward=fused or "xla",
-                fused_bwd_block=1024)
+                fused_bwd_block=1024, fused_vmem_limit_mb=24)
     elif fused:
         neg = jnp.asarray(
             rng.integers(0, N_ENTITIES, (B, N_NEG)).astype(np.int32))
@@ -86,7 +86,8 @@ def measure(dtype: str, shared: bool, fused: str = "") -> dict:
         def loss_fn(p):
             return mpqe_mod.dense_batch_loss_kernel_fused_fwd(
                 p, cfg, STRUCTURE, ne, nm, er, en, tgt, neg, nmask, qmask,
-                block=4096, backward=fused, bwd_block=1024)
+                block=4096, backward=fused, bwd_block=1024,
+                vmem_limit_mb=24)
     else:
         neg = jnp.asarray(
             rng.integers(0, N_ENTITIES, (B, N_NEG)).astype(np.int32))

@@ -190,14 +190,16 @@ def main(argv=None):
                      lambda p: mpqe_mod.dense_batch_loss_kernel_fused_fwd(
                          p, cfg, STRUCTURE, node_entity, node_mode,
                          edge_rel, edge_norm, target, negatives, neg_mask,
-                         query_mask, block=4096, backward="xla"))
+                         query_mask, block=4096, backward="xla",
+                         vmem_limit_mb=24))
         for bb in [int(b) for b in args.bwd_blocks.split(",")]:
             run_step(
                 f"fused_fwd/pallas-bwd b{bb}",
                 lambda p, bb=bb: mpqe_mod.dense_batch_loss_kernel_fused_fwd(
                     p, cfg, STRUCTURE, node_entity, node_mode, edge_rel,
                     edge_norm, target, negatives, neg_mask, query_mask,
-                    block=4096, backward="pallas", bwd_block=bb))
+                    block=4096, backward="pallas", bwd_block=bb,
+                    vmem_limit_mb=24))
 
     if args.multi:
         from mpqe_tpu.ops import pallas_fused_fwd as ff

@@ -154,7 +154,7 @@ def main(argv=None):
                     help="comma list of structures excluded from training "
                          "and evaluated zero-shot")
     ap.add_argument("--kg_variant", default="torus",
-                    choices=["torus", "warp", "band"],
+                    choices=["torus", "warp", "band", "band_seg"],
                     help="rule family (data.sampler.make_rule_kg): torus "
                          "= translations (linear maps, GQE-friendly); "
                          "warp = piecewise translations; band = "
