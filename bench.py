@@ -369,12 +369,13 @@ def bench_matrix():
 
 def bench_best_stack():
     """The measured-best composed train-step configuration at the
-    flagship shape: bfloat16 pipeline x batch-shared negatives
-    (tools/bf16_shared_bench.py, round 4: the two levers compose —
-    17.8 ms = 7.3e6 queries/s vs the 42 ms f32 per-query headline).
-    Reported in extras as a clearly-labeled VARIANT (reduced precision +
-    shared-candidates protocol); the reference-protocol f32 step stays
-    the headline queries/s."""
+    flagship shape: bfloat16 pipeline x batch-shared negatives x the
+    fused whole-forward kernel with its Pallas backward
+    (tools/bf16_shared_bench.py, round 4: 16.4 ms = 8.0e6 queries/s vs
+    the 42 ms f32 per-query headline).  Reported in extras as a
+    clearly-labeled VARIANT (reduced precision + shared-candidates
+    protocol); the reference-protocol f32 step stays the headline
+    queries/s."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -411,7 +412,10 @@ def bench_best_stack():
 
             def loss_fn(pp):
                 return mpqe_mod.dense_batch_loss_shared_negs(
-                    pp, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask)
+                    pp, cfg, STRUCTURE, ne, nm, er, en, tgt, sneg, qmask,
+                    encoder="fused_fwd", fused_block=4096,
+                    fused_backward="pallas", fused_bwd_block=1024,
+                    fused_vmem_limit_mb=24)
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
             up, o = opt.update(grads, o, p)
@@ -421,11 +425,13 @@ def bench_best_stack():
             0, n, body, (params, opt_state, jnp.float32(0)))
         return loss
 
-    log("[best-stack] compiling bf16 x shared-negs train step...")
+    log("[best-stack] compiling bf16 x shared-negs x fused/pallas step...")
     dt = _timed_loop(step_loop, params, opt_state, n_small=3, n_large=28)
     log(f"[best-stack] train step: {dt*1e3:.3f} ms")
     return {
-        "config": "dtype=bfloat16 shared_negatives=512 kernel=dense",
+        "config": ("dtype=bfloat16 shared_negatives=512 kernel=fused_fwd "
+                   "fused_backward=pallas fused_block=4096 "
+                   "fused_bwd_block=1024"),
         "train_step_ms": dt * 1e3,
         "train_queries_per_s": BATCH / dt,
         "protocol_note": ("VARIANT: reduced precision + batch-shared "
@@ -536,7 +542,8 @@ def bench_kernel_paths():
             mpqe_mod.dense_batch_loss_kernel_blocked,
             queries_per_block=qpb, chunk=512),
         "fused_fwd": functools.partial(
-            mpqe_mod.dense_batch_loss_kernel_fused_fwd, block=2048),
+            mpqe_mod.dense_batch_loss_kernel_fused_fwd, block=4096,
+            backward="pallas", bwd_block=1024, vmem_limit_mb=24),
     }
     rows = []
     for name, loss_fn in loss_fns.items():

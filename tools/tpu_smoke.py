@@ -189,7 +189,7 @@ def main():
     # leaf, mean|Δ|/mean|oracle| within 1.5x the envelope's own mean
     # (3e-2 floor for leaves whose envelope is ~0).
     worst_ratio = 0.0
-    for a, b, h in zip(leaves_p, leaves_x, leaves_h):
+    for i, (a, b, h) in enumerate(zip(leaves_p, leaves_x, leaves_h)):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         h = np.asarray(h, np.float32)
@@ -198,6 +198,8 @@ def main():
         s = np.mean(np.abs(b)) + 1e-9
         err = float(np.mean(np.abs(a - b)) / s)
         env = max(1.5 * float(np.mean(np.abs(h - b)) / s), 3e-2)
+        stage(f"  bwd leaf {i} shape={a.shape}: mean_err {err:.4f} "
+              f"gate {env:.4f} ratio {err/env:.2f}")
         worst_ratio = max(worst_ratio, err / env)
     ok &= check("fused_pallas_backward_vs_precision_envelope",
                 np.asarray([worst_ratio]), np.asarray([0.0]),
