@@ -169,6 +169,15 @@ def main():
                          "negatives + hard negatives (reference "
                          "strict-subset convention)")
     ap.add_argument("--n_hard_eval", type=int, default=32)
+    ap.add_argument("--train_shared_negs", type=int, default=0,
+                    metavar="K",
+                    help="full phase scores each query against K batch-"
+                         "shared uniform candidates (one [B,d]@[d,K] "
+                         "matmul) IN ADDITION to its per-query "
+                         "negatives — with 4 uniform negatives of 2M "
+                         "entities the margin saturates by step 500 "
+                         "(loss ~1e-5, measured round 4) and training "
+                         "signal dies; 0 = off")
     ap.add_argument("--train_queries", type=int, default=1_000_000)
     ap.add_argument("--val_queries", type=int, default=16_384)
     ap.add_argument("--edge_bank", type=int, default=4_000_000,
@@ -297,9 +306,31 @@ def main():
     def _margin_pn(pos, neg):  # all-real masks
         return jnp.mean(jax.nn.relu(cfg.margin - pos[:, None] + neg))
 
-    def multi_loss(p, ne, nm, er, tgt, neg):
-        return _margin_pn(*pos_neg(p, args.structure, ne, nm, er,
-                                   tgt, neg))
+    def multi_loss(p, ne, nm, er, tgt, neg, shared=None):
+        pos, ng = pos_neg(p, args.structure, ne, nm, er, tgt, neg)
+        loss = _margin_pn(pos, ng)
+        if shared is not None:
+            # batch-shared candidate sweep: one [B, d] @ [d, K] matmul;
+            # mask candidates that ARE some query's positive target
+            if args.model == "gqe":
+                raise SystemExit("--train_shared_negs supports rgcn only")
+            en = jnp.ones(er.shape, jnp.float32)
+            q = mpqe_mod.encode_dense_multi(p, cfg, args.structure,
+                                            ne, nm, er, en)
+            rows = p["emb"]["ent"][shared]
+            qf = q.astype(jnp.float32)
+            rf = rows.astype(jnp.float32)
+            if cfg.scale_scores:
+                qf = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True)
+                           + 1e-12)
+                rf = rf / (jnp.linalg.norm(rf, axis=-1, keepdims=True)
+                           + 1e-12)
+            pos2 = pos[:, None]
+            sc = jnp.dot(qf, rf.T, preferred_element_type=jnp.float32)
+            viol = jax.nn.relu(cfg.margin - pos2 + sc)
+            w = (shared[None, :] != tgt[:, None]).astype(viol.dtype)
+            loss = loss + jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss
 
     def chain_loss(p, emode, anchor, r, tgt, neg):
         ne = jnp.stack([anchor, tgt], axis=1)
@@ -319,12 +350,18 @@ def main():
                 if loss_kind == "multi":
                     idx = jax.random.randint(k_idx, (B,), 0, N_q)
                     ne = data["ents"][idx]
+                    shared = None
+                    if args.train_shared_negs:
+                        shared = jax.random.randint(
+                            k_neg, (args.train_shared_negs,), 0,
+                            cfg.n_entities)
 
                     def loss_fn(pp):
                         return multi_loss(pp, ne, emode[ne],
                                           data["rels"][idx],
                                           ne[:, spec.target_slot],
-                                          data["negs"][idx])
+                                          data["negs"][idx],
+                                          shared=shared)
                 else:
                     idx = jax.random.randint(k_idx, (B,), 0, N_e)
                     tgt = data["dst"][idx]

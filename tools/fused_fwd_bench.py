@@ -66,6 +66,11 @@ def main(argv=None):
     ap.add_argument("--multi", action="store_true",
                     help="time the per-query-relation fused multi kernel "
                          "vs encode_dense_multi (the eval/serve encode)")
+    ap.add_argument("--variants", action="store_true",
+                    help="time the round-4 roofline-hunt variants at each "
+                         "--blocks size: fold_bias (layer-0 bias folded "
+                         "into W_0 via a constant-1 one-hot column) and "
+                         "out_bf16 (bf16 output block write)")
     args = ap.parse_args(argv)
 
     import jax
@@ -148,6 +153,22 @@ def main(argv=None):
                 log(f"compiling fused+{tag} block={blk}...")
                 dt = _timed_loop(fl, params, edge_norm)
                 log(f"fused+{tag} {blk}: {dt*1e3:.3f} ms  "
+                    f"{msgs/dt:.3e} msgs/s")
+
+    if args.variants:
+        from mpqe_tpu.ops import pallas_fused_fwd as ff
+        for fold, ob in [(True, False), (False, True), (True, True)]:
+            for blk in [int(b) for b in args.blocks.split(",")]:
+                fl = make_loop(
+                    lambda p, en, blk=blk, fold=fold, ob=ob:
+                    ff.fused_tgt_forward(
+                        p, cfg, STRUCTURE, node_entity, node_mode,
+                        edge_rel, en, block=blk, fold_bias=fold,
+                        out_bf16=ob, vmem_limit_mb=24))
+                tag = ("fold" if fold else "") + ("+obf16" if ob else "")
+                log(f"compiling fused {tag} block={blk}...")
+                dt = _timed_loop(fl, params, edge_norm)
+                log(f"fused {tag} {blk}: {dt*1e3:.3f} ms  "
                     f"{msgs/dt:.3e} msgs/s")
 
     if args.train_bwd:
