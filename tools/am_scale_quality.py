@@ -294,6 +294,15 @@ def main():
         def pos_neg(p, structure, ne, nm, er, tgt, neg):
             return gqe_mod.score_pos_neg(p, cfg, structure, ne, er,
                                          tgt, neg)
+
+        if args.train_shared_negs and cfg.soft_and:
+            raise SystemExit("--train_shared_negs: SoftAnd's conjunct-"
+                             "min scoring has no single query vector "
+                             "to sweep")
+
+        def encode_for_sweep(p, ne, nm, er):
+            return gqe_mod.encode_dense_multi(p, cfg, args.structure,
+                                              ne, nm, er, None)
     else:
         def pos_neg(p, structure, ne, nm, er, tgt, neg):
             en = jnp.ones(er.shape, jnp.float32)
@@ -302,6 +311,11 @@ def main():
             ent = p["emb"]["ent"]
             return (mpqe_mod.score(cfg, q, ent[tgt]),
                     mpqe_mod.score(cfg, q[:, None, :], ent[neg]))
+
+        def encode_for_sweep(p, ne, nm, er):
+            en = jnp.ones(er.shape, jnp.float32)
+            return mpqe_mod.encode_dense_multi(p, cfg, args.structure,
+                                               ne, nm, er, en)
 
     def _margin_pn(pos, neg):  # all-real masks
         return jnp.mean(jax.nn.relu(cfg.margin - pos[:, None] + neg))
@@ -312,11 +326,7 @@ def main():
         if shared is not None:
             # batch-shared candidate sweep: one [B, d] @ [d, K] matmul;
             # mask candidates that ARE some query's positive target
-            if args.model == "gqe":
-                raise SystemExit("--train_shared_negs supports rgcn only")
-            en = jnp.ones(er.shape, jnp.float32)
-            q = mpqe_mod.encode_dense_multi(p, cfg, args.structure,
-                                            ne, nm, er, en)
+            q = encode_for_sweep(p, ne, nm, er)
             rows = p["emb"]["ent"][shared]
             qf = q.astype(jnp.float32)
             rf = rows.astype(jnp.float32)
