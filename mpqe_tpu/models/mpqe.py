@@ -522,6 +522,7 @@ def dense_batch_loss_shared_negs(
     fused_bwd_block: int = 1024,
     fused_vmem_limit_mb: Optional[int] = None,
     interpret: bool = False,
+    self_adv_tau: float = 0.0,
 ) -> jax.Array:
     """Margin loss with batch-shared negatives (protocol VARIANT).
 
@@ -536,6 +537,15 @@ def dense_batch_loss_shared_negs(
     ``encoder="fused_fwd"`` routes the encode through the fused
     whole-forward Pallas kernel (with ``fused_backward`` selecting its
     gradient path) so the two train-step levers compose.
+
+    ``self_adv_tau > 0`` switches the candidate reduction from a
+    uniform mean to self-adversarial weighting (RotatE convention,
+    arXiv:1902.10197 §3.1): each query's violations are weighted by
+    ``softmax(tau * score)`` over its live candidates, with the weights
+    stop-gradiented — the margin push concentrates on the candidates
+    the model currently ranks highest (at convergence, the hard
+    negatives), at zero extra FLOPs beyond the softmax over the
+    already-computed [B, K] score matrix.
     """
     a_slots = list(anchor_gather_slots(cfg, structure))
     n_a = len(a_slots)
@@ -570,6 +580,20 @@ def dense_batch_loss_shared_negs(
     # negative) — mask those (query, candidate) pairs out of the loss
     not_self = (shared_negatives[None, :] != target[:, None])
     w = query_mask[:, None] * not_self.astype(viol.dtype)
+    if self_adv_tau > 0.0:
+        # per-query softmax over live candidates ((query, cand) pairs
+        # with w == 0 sit at -inf); rows with no live candidate (padded
+        # queries) would softmax to NaN — zero them via the outer
+        # query_mask weighting instead of feeding them forward
+        logits = jnp.where(w > 0, self_adv_tau * neg, -jnp.inf)
+        has_live = jnp.sum(w, axis=1) > 0
+        p_adv = jax.lax.stop_gradient(
+            jax.nn.softmax(jnp.where(has_live[:, None], logits, 0.0),
+                           axis=1))
+        per_q = jnp.sum(jnp.where(w > 0, p_adv * viol, 0.0), axis=1)
+        live_q = has_live.astype(viol.dtype) * query_mask
+        return (jnp.sum(per_q * live_q)
+                / jnp.maximum(jnp.sum(live_q), 1.0))
     return jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
@@ -578,7 +602,8 @@ def make_shared_negs_batch_loss(n_shared: int, encoder: str = "dense",
                                 fused_backward: str = "xla",
                                 fused_bwd_block: int = 1024,
                                 fused_vmem_limit_mb: Optional[int] = None,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                self_adv_tau: float = 0.0):
     """Adapt ``dense_batch_loss_shared_negs`` to the train loop's
     standard ``batch_loss_fn`` signature (``train/loop.py
     make_train_step``), so ``train.py --shared_negatives K`` can select
@@ -613,7 +638,8 @@ def make_shared_negs_batch_loss(n_shared: int, encoder: str = "dense",
             edge_norm, target, shared, query_mask, encoder=encoder,
             fused_block=fused_block, fused_backward=fused_backward,
             fused_bwd_block=fused_bwd_block,
-            fused_vmem_limit_mb=fused_vmem_limit_mb, interpret=interpret)
+            fused_vmem_limit_mb=fused_vmem_limit_mb, interpret=interpret,
+            self_adv_tau=self_adv_tau)
 
     return fn
 

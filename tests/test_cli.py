@@ -225,7 +225,7 @@ def test_train_shared_negatives_cli(tmp_path):
         "--structures", "1-chain,2-inter",
         "--syn_entities", "150", "--syn_triples", "400",
         "--syn_train_queries", "300", "--syn_val_queries", "60",
-        "--shared_negatives", "32",
+        "--shared_negatives", "32", "--self_adv_tau", "1.0",
         "--run_dir", run_dir,
     ])
     assert state.step == 300
@@ -244,6 +244,16 @@ def test_train_shared_negatives_cli(tmp_path):
             train_mod.main([
                 "--data", "synthetic", "--steps", "5",
                 "--shared_negatives", "8",
+                "--syn_entities", "60", "--syn_triples", "150",
+                "--syn_train_queries", "40", "--syn_val_queries", "10",
+                "--run_dir", str(tmp_path / "guard"),
+            ] + extra)
+    # --self_adv_tau without --shared_negatives refuses too
+    for extra in (["--self_adv_tau", "1.0"],
+                  ["--model", "gqe", "--self_adv_tau", "1.0"]):
+        with pytest.raises(SystemExit):
+            train_mod.main([
+                "--data", "synthetic", "--steps", "5",
                 "--syn_entities", "60", "--syn_triples", "150",
                 "--syn_train_queries", "40", "--syn_val_queries", "10",
                 "--run_dir", str(tmp_path / "guard"),

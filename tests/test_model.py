@@ -152,6 +152,66 @@ def test_shared_negatives_loss_matches_expanded(kg):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_shared_negs_self_adv_matches_numpy(kg):
+    """self_adv_tau > 0 reweights each query's candidate violations by
+    softmax(tau * score) with masked pairs excluded — checked against a
+    direct numpy computation from the same scores, including a padded
+    query row (query_mask == 0) and a candidate that IS some query's
+    target (not_self mask)."""
+    cfg = _cfg(kg, readout="tgt")
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(4), cfg)
+    b = _batch(kg, "2-chain", B=8, n_neg=4)
+    K, tau = 6, 1.7
+    rng = np.random.default_rng(12)
+    sneg = rng.integers(0, kg.n_entities, K).astype(np.int32)
+    sneg[2] = int(b.target[1])  # force a not_self-masked pair
+    qmask = np.asarray(b.query_mask).copy()
+    qmask[-1] = 0.0  # force a padded query
+    arrays = (
+        jnp.asarray(b.node_entity), jnp.asarray(b.node_mode),
+        jnp.asarray(b.edge_rel), jnp.asarray(b.edge_norm),
+        jnp.asarray(b.target),
+    )
+    got = float(mpqe_mod.dense_batch_loss_shared_negs(
+        params, cfg, "2-chain", *arrays, jnp.asarray(sneg),
+        jnp.asarray(qmask), self_adv_tau=tau))
+
+    # numpy oracle from the model's own scores
+    q = np.asarray(mpqe_mod.encode_dense(
+        params, cfg, "2-chain", *arrays[:4]), np.float64)
+    ent = np.asarray(params["emb"]["ent"], np.float64)
+    pos_rows, neg_rows = ent[np.asarray(b.target)], ent[sneg]
+    if cfg.scale_scores:
+        qn = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        nn_ = neg_rows / (np.linalg.norm(neg_rows, axis=-1,
+                                         keepdims=True) + 1e-12)
+        pn = pos_rows / (np.linalg.norm(pos_rows, axis=-1,
+                                        keepdims=True) + 1e-12)
+    else:
+        qn, nn_, pn = q, neg_rows, pos_rows
+    pos = np.sum(qn * pn, axis=-1)
+    sc = qn @ nn_.T
+    viol = np.maximum(cfg.margin - pos[:, None] + sc, 0.0)
+    w = (sneg[None, :] != np.asarray(b.target)[:, None]).astype(float)
+    w *= qmask[:, None]
+    total, n_live = 0.0, 0.0
+    for i in range(8):
+        live = w[i] > 0
+        if not live.any():
+            continue
+        z = np.exp(tau * sc[i][live] - np.max(tau * sc[i][live]))
+        total += float(np.sum(z / z.sum() * viol[i][live]))
+        n_live += 1.0
+    want = total / max(n_live, 1.0)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    # gradient must exist and be finite (stop_gradient on the weights)
+    g = jax.grad(lambda p: mpqe_mod.dense_batch_loss_shared_negs(
+        p, cfg, "2-chain", *arrays, jnp.asarray(sneg),
+        jnp.asarray(qmask), self_adv_tau=tau))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_tgt_depth_equals_diameter(kg):
     cfg = _cfg(kg, readout="tgt", n_layers=3)
     assert mpqe_mod.num_steps(cfg, "1-chain") == 1

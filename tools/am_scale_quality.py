@@ -178,6 +178,20 @@ def main():
                          "entities the margin saturates by step 500 "
                          "(loss ~1e-5, measured round 4) and training "
                          "signal dies; 0 = off")
+    ap.add_argument("--train_self_adv", type=float, default=0.0,
+                    metavar="TAU",
+                    help="self-adversarial weighting of the shared "
+                         "candidate sweep (RotatE convention, "
+                         "arXiv:1902.10197 §3.1): each query's "
+                         "candidate violations are weighted by "
+                         "softmax(TAU * score) with stop_gradient, so "
+                         "the margin push concentrates on the "
+                         "candidates the model currently ranks "
+                         "highest — which, once mode/reachability "
+                         "structure is learned, are exactly the "
+                         "strict-subset hard negatives the uniform "
+                         "sweep dilutes (BASELINE.md hard-APR row); "
+                         "0 = uniform weighting (round-4 baseline)")
     ap.add_argument("--train_queries", type=int, default=1_000_000)
     ap.add_argument("--val_queries", type=int, default=16_384)
     ap.add_argument("--edge_bank", type=int, default=4_000_000,
@@ -339,7 +353,19 @@ def main():
             sc = jnp.dot(qf, rf.T, preferred_element_type=jnp.float32)
             viol = jax.nn.relu(cfg.margin - pos2 + sc)
             w = (shared[None, :] != tgt[:, None]).astype(viol.dtype)
-            loss = loss + jnp.sum(viol * w) / jnp.maximum(jnp.sum(w), 1.0)
+            if args.train_self_adv > 0.0:
+                # per-query softmax over candidates (masked pairs at
+                # -inf), weights stop-gradiented per the RotatE recipe
+                logits = jnp.where(w > 0, args.train_self_adv * sc,
+                                   -jnp.inf)
+                p_adv = jax.lax.stop_gradient(
+                    jax.nn.softmax(logits, axis=1))
+                per_q = jnp.sum(jnp.where(w > 0, p_adv * viol, 0.0),
+                                axis=1)
+                loss = loss + jnp.mean(per_q)
+            else:
+                loss = loss + (jnp.sum(viol * w)
+                               / jnp.maximum(jnp.sum(w), 1.0))
         return loss
 
     def chain_loss(p, emode, anchor, r, tgt, neg):

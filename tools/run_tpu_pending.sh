@@ -1,13 +1,15 @@
 #!/usr/bin/env bash
 # Pending on-chip measurements queued while the relay was down (late
-# round 3).  Run when `timeout 100 python -c "<small jit>"` succeeds
-# again; each step is independent — rerun any that fail.  Record
-# results in BASELINE.md (sections noted per step).
+# round 3; round-4 additions at the end).  Run when `timeout 100
+# python -c "<small jit>"` succeeds again; each step is independent —
+# rerun any that fail.  Record results in BASELINE.md (sections noted
+# per step).
 #
 # Usage: bash tools/run_tpu_pending.sh [step...]   (default: all)
 set -u
 cd "$(dirname "$0")/.."
-steps=${*:-probe smoke oh_operand bf16_shared serve_int8 serve_http bench}
+steps=${*:-probe smoke oh_operand bf16_shared serve_int8 serve_http \
+fused_variants fused_multi self_adv_2m gqe_2m bench}
 
 run() { echo "=== $* ==="; timeout 1200 "$@"; echo "=== rc=$? ==="; }
 
@@ -79,6 +81,34 @@ serve_http)
   # HTTP + micro-batching over the chip: requests/s + coalescing
   run python tools/serve_bench.py --requests 20 --http_clients 8 \
       --http_batch 32
+  ;;
+fused_variants)
+  # round 4: fold_bias / out_bf16 kernel-variant timings at the
+  # flagship shape -> BASELINE.md fused whole-forward row (parity is
+  # already pinned in tests; this decides whether either becomes the
+  # default)
+  run python tools/fused_fwd_bench.py --variants --skip_base
+  ;;
+fused_multi)
+  # round 4: per-query-relation fused forward (fused_tgt_forward_multi)
+  # vs encode_dense_multi at the eval/serve shape -> BASELINE.md
+  run python tools/fused_fwd_bench.py --multi --skip_base
+  ;;
+self_adv_2m)
+  # round 4: self-adversarial shared-candidate sweep at AM scale —
+  # CPU ablation (docs/quality/quality4_hard_negs.md) showed the
+  # hard-negative APR lever; this is the 2M-entity confirmation
+  # -> BASELINE.md AM-scale row + docs/quality/quality4_hard_negs.md
+  run python tools/am_scale_quality.py --kg band_seg \
+      --edge_bank 64000000 --burn_in_steps 8000 \
+      --train_shared_negs 512 --train_self_adv 1.0 --eval_oracle
+  ;;
+gqe_2m)
+  # round 4: the GQE baseline arm of the AM-scale protocol (built +
+  # smoke-tested, unmeasured at 2M) -> BASELINE.md AM-scale contrast
+  run python tools/am_scale_quality.py --kg band_seg --model gqe \
+      --edge_bank 64000000 --burn_in_steps 8000 \
+      --train_shared_negs 512 --eval_oracle
   ;;
 bench)
   # headline JSON line (driver format) — also confirms nothing regressed

@@ -108,6 +108,15 @@ def parse_args(argv=None):
                         "variant, ~1.6x faster step at the flagship "
                         "shape; rgcn, --kernel dense or fused_fwd). "
                         "0 = off")
+    p.add_argument("--self_adv_tau", type=float, default=0.0,
+                   metavar="TAU",
+                   help="with --shared_negatives: weight each query's "
+                        "candidate violations by softmax(TAU * score) "
+                        "with stop_gradient (RotatE self-adversarial "
+                        "sampling) instead of the uniform mean — "
+                        "concentrates the margin push on hard "
+                        "negatives at no extra table traffic. 0 = "
+                        "uniform (default)")
     p.add_argument("--fused_backward", default="xla",
                    choices=["xla", "pallas"],
                    help="gradient path for --kernel fused_fwd: xla = "
@@ -291,12 +300,18 @@ def main(argv=None):
                 fused_block=args.fused_block,
                 fused_backward=args.fused_backward,
                 fused_bwd_block=args.fused_bwd_block,
-                interpret=on_cpu)
+                interpret=on_cpu,
+                self_adv_tau=args.self_adv_tau)
+        elif args.self_adv_tau:
+            raise SystemExit("--self_adv_tau requires --shared_negatives")
     else:
         if args.kernel != "dense":
             raise SystemExit("--kernel applies to --model rgcn only")
         if args.shared_negatives:
             raise SystemExit("--shared_negatives requires --model rgcn")
+        if args.self_adv_tau:
+            raise SystemExit("--self_adv_tau requires --model rgcn "
+                             "--shared_negatives")
         from mpqe_tpu.models import gqe as gqe_mod
         cfg = gqe_mod.GQEConfig(
             n_entities=kg.n_entities,
