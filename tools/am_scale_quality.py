@@ -178,6 +178,15 @@ def main():
                          "entities the margin saturates by step 500 "
                          "(loss ~1e-5, measured round 4) and training "
                          "signal dies; 0 = off")
+    ap.add_argument("--train_shared_strat", action="store_true",
+                    help="draw the shared candidates stratified over "
+                         "mode blocks (K/n_modes per mode) instead of "
+                         "uniform over all entities — at 2M entities / "
+                         "8 modes a uniform draw is ~7/8 cross-mode "
+                         "(trivially easy once mode structure is "
+                         "learned), so stratification concentrates the "
+                         "sweep where margin signal lives; composes "
+                         "with --train_self_adv")
     ap.add_argument("--train_self_adv", type=float, default=0.0,
                     metavar="TAU",
                     help="self-adversarial weighting of the shared "
@@ -388,9 +397,18 @@ def main():
                     ne = data["ents"][idx]
                     shared = None
                     if args.train_shared_negs:
-                        shared = jax.random.randint(
-                            k_neg, (args.train_shared_negs,), 0,
-                            cfg.n_entities)
+                        if args.train_shared_strat:
+                            kk = args.train_shared_negs
+                            u = jax.random.randint(
+                                k_neg, (kk,), 0, 1 << 30)
+                            sm = jnp.arange(kk) % cfg.n_modes
+                            lo = mstart[sm]
+                            width = mstart[sm + 1] - lo
+                            shared = lo + u % width
+                        else:
+                            shared = jax.random.randint(
+                                k_neg, (args.train_shared_negs,), 0,
+                                cfg.n_entities)
 
                     def loss_fn(pp):
                         return multi_loss(pp, ne, emode[ne],

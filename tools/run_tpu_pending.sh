@@ -9,7 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 steps=${*:-probe smoke oh_operand bf16_shared serve_int8 serve_http \
-fused_variants fused_multi self_adv_2m gqe_2m bench}
+fused_variants fused_multi self_adv_2m strat_2m gqe_2m bench}
 
 run() { echo "=== $* ==="; timeout 1200 "$@"; echo "=== rc=$? ==="; }
 
@@ -102,6 +102,15 @@ self_adv_2m)
   run python tools/am_scale_quality.py --kg band_seg \
       --edge_bank 64000000 --burn_in_steps 8000 \
       --train_shared_negs 512 --train_self_adv 1.0 --eval_oracle
+  ;;
+strat_2m)
+  # round 4: mode-stratified shared candidates (at 2M/8 modes a
+  # uniform draw is ~7/8 cross-mode) composed with self-adv — the
+  # next hard-APR lever if self_adv_2m alone does not close the gap
+  run python tools/am_scale_quality.py --kg band_seg \
+      --edge_bank 64000000 --burn_in_steps 8000 \
+      --train_shared_negs 512 --train_shared_strat \
+      --train_self_adv 1.0 --eval_oracle
   ;;
 gqe_2m)
   # round 4: the GQE baseline arm of the AM-scale protocol (built +
