@@ -1,0 +1,70 @@
+"""Pin the AM-scale quality protocol tool (tools/am_scale_quality.py) —
+the driver's north-star-metric harness (BASELINE.json "3-chain_inter
+APR on AM") — at a miniature scale: it must run end-to-end on CPU for
+every lever combination and emit a well-formed result line with the
+oracle fields.
+
+The tool is subprocess-driven (it pins its backend via
+pin_platform_from_env at import time) exactly as a user runs it.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(ROOT, "tools", "am_scale_quality.py")
+
+BASE = [
+    sys.executable, TOOL, "--kg", "band_seg", "--entities", "4000",
+    "--edge_bank", "50000", "--batch_size", "128",
+    "--burn_in_steps", "60", "--steps", "120", "--steps_per_call", "60",
+    "--train_queries", "8000", "--val_queries", "256",
+    "--n_neg_eval", "16", "--n_hard_eval", "8", "--eval_oracle",
+]
+
+
+def run_tool(extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(BASE + extra, capture_output=True, text=True,
+                         env=env, timeout=900, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(ln) for ln in out.stdout.splitlines()
+             if ln.startswith("{")]
+    phases = [ln["phase"] for ln in lines]
+    assert phases[0] == "kg_gen" and phases[-1] == "result"
+    return lines[-1]
+
+
+@pytest.mark.parametrize("extra,label", [
+    ([], "per-query negatives only"),
+    (["--train_shared_negs", "64"], "uniform shared sweep"),
+    (["--train_shared_negs", "64", "--train_self_adv", "1.0",
+      "--train_shared_strat"], "stratified + self-adv sweep"),
+    (["--model", "gqe", "--train_shared_negs", "64"], "gqe arm"),
+])
+def test_am_scale_protocol_runs(extra, label):
+    res = run_tool(extra)
+    assert res["kg"] == "band_seg"
+    assert res["val_heldout"] > 0
+    assert np.isfinite(res["apr"]) and 0.0 <= res["apr"] <= 100.0
+    assert np.isfinite(res["auc_pooled"])
+    # oracle fields: measured ceiling + strict-subset hard negatives
+    assert 0.0 < res["apr_ceiling"] <= 100.0
+    assert res["mean_answer_set"] >= 1.0
+    assert res["hard_queries"] > 0
+    assert np.isfinite(res["hard_apr"])
+
+
+def test_am_scale_guard_gqe_softand():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        BASE + ["--model", "gqe", "--train_shared_negs", "8"],
+        capture_output=True, text=True, env=env, timeout=900, cwd=ROOT)
+    # plain gqe (no SoftAnd) accepts the sweep — sanity that the guard
+    # does NOT fire for the default decoder
+    assert out.returncode == 0, out.stderr[-2000:]
