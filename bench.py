@@ -138,6 +138,7 @@ def bench_jax():
     # Compiled mode is TPU-only; on a CPU backend the XLA path is the
     # headline.
     fwd_dt_fused = None
+    fused_variant = "base"
     if jax.default_backend() != "cpu":
         # the id arrays are CLOSURE CONSTANTS here, deliberately:
         # measured A/B (same kernel, same shapes) shows 0.32 ms with
@@ -172,6 +173,34 @@ def bench_jax():
         fwd_dt_fused = _timed_loop(fwd_loop_fused, params, edge_norm,
                                    n_large=N_LARGE_FWD)
         log(f"fwd (fused kernel): {fwd_dt_fused*1e3:.3f} ms")
+
+        # out_bf16 variant (round-5 measured lever: bf16 output block
+        # halves the final HBM write — 0.290 vs 0.317 ms at this shape,
+        # parity in the same bf16-GEMM class as the base kernel)
+        @jax.jit
+        def fwd_loop_obf16(params, en0, n):
+            def body(i, carry):
+                en, acc = carry
+                q = mpqe_mod.encode_dense_fused(
+                    params, cfg, STRUCTURE, node_entity, node_mode,
+                    edge_rel, en, None, 4096, False, False, False, _vmem,
+                    "xla", 1024, True,
+                )
+                return (en + q[0, :spec.n_edges].astype(jnp.float32)
+                        * 1e-20, acc + q[0, 0].astype(jnp.float32))
+            _, acc = jax.lax.fori_loop(0, n, body, (en0, 0.0))
+            return acc
+
+        log("compiling fused forward (out_bf16)...")
+        fwd_dt_obf16 = _timed_loop(fwd_loop_obf16, params, edge_norm,
+                                   n_large=N_LARGE_FWD)
+        log(f"fwd (fused kernel, out_bf16): {fwd_dt_obf16*1e3:.3f} ms")
+        import math as _math
+        if not _math.isnan(fwd_dt_obf16) and (
+                _math.isnan(fwd_dt_fused) or fwd_dt_obf16 < fwd_dt_fused):
+            fwd_dt_fused, fused_variant = fwd_dt_obf16, "out_bf16"
+        else:
+            fused_variant = "base"
 
     import math
     fused_ok = fwd_dt_fused is not None and not math.isnan(fwd_dt_fused)
@@ -221,7 +250,10 @@ def bench_jax():
         "backend": jax.default_backend(),
         "fwd_seconds": fwd_dt,
         "fwd_seconds_xla": fwd_dt_xla,
-        "fwd_impl": "pallas_fused_fwd" if fused_ok else "xla_dense",
+        "fwd_impl": (("pallas_fused_fwd_obf16"
+                      if fused_variant == "out_bf16"
+                      else "pallas_fused_fwd")
+                     if fused_ok else "xla_dense"),
         "fwd_edges_per_s": fwd_edges_s,
         "train_step_seconds": step_dt,
         "train_queries_per_s": queries_s,
@@ -727,13 +759,21 @@ def main():
     tb = bench_torch_baseline()  # run first: clean CPU, no tunnel interference
     relay_down = _guard_relay()
     jx = bench_jax()
-    vs = (
-        jx["fwd_edges_per_s"] / tb["torch_fwd_edges_per_s"]
-        if tb else float("nan")
-    )
+    # vs_baseline uses a PINNED denominator (VERDICT r4 weak item 5): the
+    # fresh in-image torch baseline jitters ±15% run-to-run (32.6-38.0 ms
+    # across rounds 1-4), which made the ratio drift for ambient reasons.
+    # Pinned value = the FASTEST torch fwd measured (round 3, 32.6 ms =
+    # 1.5077e6 edge-msgs/s at batch 8192) — conservative for this repo.
+    # The fresh measurement still runs and is reported beside it.
+    PINNED_TORCH_FWD_EDGES_PER_S = 1507657.6752865089
+    vs = jx["fwd_edges_per_s"] / PINNED_TORCH_FWD_EDGES_PER_S
     extra = dict(jx)
+    extra["pinned_torch_fwd_edges_per_s"] = PINNED_TORCH_FWD_EDGES_PER_S
+    extra["vs_baseline_denominator"] = "pinned (round-3 torch fwd, the fastest measured; fresh run in torch_* fields)"
     if tb:
         extra.update(tb)
+        extra["vs_baseline_fresh"] = (
+            jx["fwd_edges_per_s"] / tb["torch_fwd_edges_per_s"])
     if relay_down:
         extra["best_stack"] = "skipped: relay down (CPU fallback)"
     else:

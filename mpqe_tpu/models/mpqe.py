@@ -246,7 +246,7 @@ def encode_dense(
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(1, 2, 8, 9, 10, 11, 12, 13, 14, 15))
 def encode_dense_fused(
     params: Dict[str, Any],
     cfg: MPQEConfig,
@@ -263,6 +263,7 @@ def encode_dense_fused(
     vmem_limit_mb: Optional[int] = None,
     backward: str = "xla",
     bwd_block: int = 1024,
+    out_bf16: bool = False,
 ) -> jax.Array:
     """:func:`encode_dense` with the forward pass run as ONE Pallas
     kernel (ops/pallas_fused_fwd): the whole multi-layer pruned TGT plan
@@ -290,19 +291,19 @@ def encode_dense_fused(
         params, cfg, structure, node_entity, node_mode, edge_rel,
         edge_norm, anchor_rows, block=block, interpret=interpret,
         onehot_operand=onehot_operand, split_gemm=split_gemm,
-        vmem_limit_mb=vmem_limit_mb,
+        vmem_limit_mb=vmem_limit_mb, out_bf16=out_bf16,
     )
 
 
 def _encode_dense_fused_fwd(params, cfg, structure, node_entity, node_mode,
                             edge_rel, edge_norm, anchor_rows, block,
                             interpret, onehot_operand, split_gemm,
-                            vmem_limit_mb, backward, bwd_block):
+                            vmem_limit_mb, backward, bwd_block, out_bf16):
     out = fused_fwd_ops.fused_tgt_forward(
         params, cfg, structure, node_entity, node_mode, edge_rel,
         edge_norm, anchor_rows, block=block, interpret=interpret,
         onehot_operand=onehot_operand, split_gemm=split_gemm,
-        vmem_limit_mb=vmem_limit_mb,
+        vmem_limit_mb=vmem_limit_mb, out_bf16=out_bf16,
     )
     return out, (params, node_entity, node_mode, edge_rel, edge_norm,
                  anchor_rows)
@@ -310,8 +311,10 @@ def _encode_dense_fused_fwd(params, cfg, structure, node_entity, node_mode,
 
 def _encode_dense_fused_bwd(cfg, structure, block, interpret, onehot_operand,
                             split_gemm, vmem_limit_mb, backward, bwd_block,
-                            res, g):
+                            out_bf16, res, g):
     params, node_entity, node_mode, edge_rel, edge_norm, anchor_rows = res
+    if g.dtype != jnp.float32:  # out_bf16 forward: upcast the cotangent
+        g = g.astype(jnp.float32)
     if backward == "pallas":
         dp, den, dar = fused_fwd_ops.fused_tgt_backward(
             params, cfg, structure, node_entity, node_mode, edge_rel,
@@ -497,9 +500,17 @@ def encode_dense_multi_auto(
     trace time (one compiled program per (structure, bucket) either way).
     """
     if multi_kernel_eligible(cfg, structure):
+        import os
+
+        # the kernel's wide [bb, Bb*d_pad] f32 message operands need
+        # ~55 MB scoped VMEM at block=1024 — over Mosaic's 16 MB default,
+        # so the limit MUST be raised or the TPU compile fails (measured
+        # round 5; with it, 4.62 ms vs 5.40 ms XLA at B=131072).
+        # block=2048 OOMs even at 100 MB.
+        vl = int(os.environ.get("MPQE_MULTI_VMEM_MB", "100"))
         return fused_fwd_ops.fused_tgt_forward_multi(
             params, cfg, structure, node_entity, node_mode, edge_rel_q,
-            edge_norm_q)
+            edge_norm_q, block=1024, vmem_limit_mb=vl)
     return encode_dense_multi(
         params, cfg, structure, node_entity, node_mode, edge_rel_q,
         edge_norm_q)

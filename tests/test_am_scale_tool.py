@@ -68,3 +68,34 @@ def test_am_scale_guard_gqe_softand():
     # plain gqe (no SoftAnd) accepts the sweep — sanity that the guard
     # does NOT fire for the default decoder
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_am_scale_hard_negatives_arm():
+    # round 5: sampled strict-subset hard negatives in TRAINING
+    # (--train_hard_negs) — the lever round 4 proved necessary
+    # (docs/quality/quality4_hard_negs.md); pins the hard-bank build
+    # (fork-parallel oracle), the -1-pad masking, and the curriculum
+    # gate end-to-end
+    res = run_tool(["--train_shared_negs", "64", "--train_hard_negs",
+                    "4", "--hard_bank", "2048", "--hard_margin", "0.2",
+                    "--hard_start", "0.25"])
+    assert np.isfinite(res["apr"]) and np.isfinite(res["hard_apr"])
+    assert res["hard_queries"] > 0
+
+
+def test_am_scale_multi_structure_mix():
+    # round 5: mixed-structure protocol (--structure list / "all"):
+    # round-robin full phase, per-structure oracle eval, macro summary
+    res = run_tool(["--structure", "2-chain,2-inter",
+                    "--train_shared_negs", "64", "--train_hard_negs",
+                    "4", "--hard_bank", "1024", "--hard_margin", "0.2"])
+    ps = res["per_structure"]
+    assert set(ps) == {"2-chain", "2-inter"}
+    for s, r in ps.items():
+        assert np.isfinite(r["apr"]) and 0.0 <= r["apr"] <= 100.0
+        assert 0.0 < r["apr_ceiling"] <= 100.0
+    # chains have no strict-subset satisfiers; intersections do
+    assert ps["2-chain"]["hard_queries"] == 0
+    assert ps["2-inter"]["hard_queries"] > 0
+    assert np.isfinite(res["apr"])  # macro
+    assert res["hard_apr"] is not None

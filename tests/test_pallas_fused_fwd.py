@@ -516,3 +516,33 @@ def test_fused_fwd_out_bf16(rng):
         np.asarray(got),
         np.asarray(base.astype(jnp.bfloat16).astype(jnp.float32)),
         rtol=0, atol=0)
+
+
+def test_fused_fwd_wrapper_out_bf16_fwd_and_grad(rng):
+    # out_bf16 through the custom-VJP wrapper (the bench headline path,
+    # round 5): forward == bf16-rounded base kernel, and the backward
+    # still runs (XLA recompute; cotangent upcast if the caller fed a
+    # bf16 one)
+    cfg = _cfg()
+    params = mpqe_mod.init_mpqe(jax.random.PRNGKey(21), cfg)
+    ne, nm, er, en = _inputs(rng, "3-chain_inter")
+    base = mpqe_mod.encode_dense_fused(
+        params, cfg, "3-chain_inter", ne, nm, er, en, None, 8, True)
+    got = mpqe_mod.encode_dense_fused(
+        params, cfg, "3-chain_inter", ne, nm, er, en, None, 8, True,
+        False, False, None, "xla", 1024, True)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(base.astype(jnp.bfloat16).astype(jnp.float32)),
+        rtol=0, atol=0)
+
+    def loss(p):
+        q = mpqe_mod.encode_dense_fused(
+            p, cfg, "3-chain_inter", ne, nm, er, en, None, 8, True,
+            False, False, None, "xla", 1024, True)
+        return jnp.sum(jnp.sin(q))
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in leaves)

@@ -149,6 +149,45 @@ class RuleOracle:
         return out
 
 
+_POOL_CTX = {}
+
+
+def _hard_chunk(task):
+    lo, hi, n_hard, seed = task
+    oracle, spec = _POOL_CTX["oracle"], _POOL_CTX["spec"]
+    ents, rels = _POOL_CTX["ents"], _POOL_CTX["rels"]
+    rng = np.random.default_rng(seed)
+    out = np.full((hi - lo, n_hard), -1, np.int32)
+    for i in range(lo, hi):
+        out[i - lo] = oracle.hard_negatives(
+            spec, ents[i], rels[i], n_hard, rng)
+    return out
+
+
+def build_hard_bank(oracle, spec, ents, rels, n_hard, seed, procs=None):
+    """[n, n_hard] strict-subset hard negatives (-1-padded) for a block
+    of sampled queries, fork-parallel: the oracle's sorted 2x-edges
+    index (~1 GB at 64M directed edges) is COW-shared with workers, so
+    the build runs at ~n_cpus x the eval oracle's ~4 ms/query."""
+    import multiprocessing as mp
+
+    n = int(ents.shape[0])
+    _POOL_CTX.update(oracle=oracle, spec=spec, ents=ents, rels=rels)
+    procs = procs or (os.cpu_count() or 1)
+    chunk = max(256, -(-n // (procs * 8)))
+    tasks = [(lo, min(lo + chunk, n), n_hard, seed + 13 * lo)
+             for lo in range(0, n, chunk)]
+    try:
+        if procs == 1 or len(tasks) == 1:
+            parts = [_hard_chunk(t) for t in tasks]
+        else:
+            with mp.get_context("fork").Pool(procs) as pool:
+                parts = pool.map(_hard_chunk, tasks)
+    finally:
+        _POOL_CTX.clear()
+    return np.concatenate(parts, axis=0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=2_000_000)
@@ -201,6 +240,44 @@ def main():
                          "strict-subset hard negatives the uniform "
                          "sweep dilutes (BASELINE.md hard-APR row); "
                          "0 = uniform weighting (round-4 baseline)")
+    ap.add_argument("--train_hard_negs", type=int, default=0,
+                    metavar="K",
+                    help="train against K SAMPLED strict-subset hard "
+                         "negatives per query (reference convention, "
+                         "SURVEY.md §A.4 margin_loss hard_negatives): a "
+                         "[--hard_bank, K] bank of exact one-edge-"
+                         "dropped closure satisfiers is packed host-"
+                         "side (RuleOracle, fork-parallel) and a hard-"
+                         "negative margin term joins every full-phase "
+                         "step.  Round 4 MEASURED that nothing else "
+                         "closes the hard-APR gap at 2M (re-weighting / "
+                         "stratifying uniform candidates cannot "
+                         "manufacture subset satisfiers, docs/quality/"
+                         "quality4_hard_negs.md); 0 = off")
+    ap.add_argument("--hard_bank", type=int, default=131_072,
+                    help="train queries given an oracle hard-negative "
+                         "row (~4 ms/query host-side at 2M; fork-"
+                         "parallel over CPUs)")
+    ap.add_argument("--hard_weight", type=float, default=1.0,
+                    help="weight of the hard-negative margin term "
+                         "(the main loop's hard_neg_prob=0.5 coin flip "
+                         "in expectation == always-on at weight 0.5; "
+                         "1.0 trains every step at full strength)")
+    ap.add_argument("--hard_batch", type=int, default=0,
+                    help="batch for the hard term (0 = --batch_size)")
+    ap.add_argument("--hard_margin", type=float, default=0.0,
+                    help="margin for the hard-negative term (0 = "
+                         "cfg.margin).  Subset satisfiers share all-but-"
+                         "one conjunct with true answers, so demanding "
+                         "the full cosine margin (1.0 on [-1,1] scores) "
+                         "never saturates and the relu gradient distorts "
+                         "the whole encoder (measured: 20k APR 98.3 -> "
+                         "78.7 at margin 1.0 / weight 1.0); ranking only "
+                         "needs pos > neg, so a small margin suffices")
+    ap.add_argument("--hard_start", type=float, default=0.0,
+                    help="fraction of full-phase steps before the hard "
+                         "term switches on (curriculum: uniform "
+                         "structure first, subset boundary last)")
     ap.add_argument("--train_queries", type=int, default=1_000_000)
     ap.add_argument("--val_queries", type=int, default=16_384)
     ap.add_argument("--edge_bank", type=int, default=4_000_000,
@@ -244,25 +321,68 @@ def main():
                       "directed_edges": int(2 * kg.n_triples),
                       "seconds": time.perf_counter() - t0}), flush=True)
 
+    from mpqe_tpu.queries import STRUCTURES as _STRUCTURES
+
+    structures = (list(_STRUCTURES) if args.structure == "all"
+                  else [s.strip() for s in args.structure.split(",")])
+
     t0 = time.perf_counter()
     csr = native.build_incoming_csr_native(kg)
-    tr = native.sample_queries_native(
-        kg, args.structure, args.train_queries, n_neg=args.n_neg,
-        seed=args.seed + 1, csr=csr)
-    va = native.sample_queries_native(
-        kg, args.structure, 2 * args.val_queries, n_neg=args.n_neg_eval,
-        seed=args.seed + 2, csr=csr)
-    ok_t = tr["entities"][:, 0] >= 0
-    ok_v = va["entities"][:, 0] >= 0
-    tr = {k: v[ok_t] for k, v in tr.items()}
-    va = {k: v[ok_v] for k, v in va.items()}
-    keep = dedup_against(tr["entities"], tr["rels"],
-                         va["entities"], va["rels"])
-    va = {k: v[keep][: args.val_queries] for k, v in va.items()}
-    print(json.dumps({"phase": "sampling",
-                      "train": int(tr["entities"].shape[0]),
-                      "val_heldout": int(va["entities"].shape[0]),
-                      "seconds": time.perf_counter() - t0}), flush=True)
+    tr, va = {}, {}
+    for s in structures:
+        t = native.sample_queries_native(
+            kg, s, args.train_queries, n_neg=args.n_neg,
+            seed=args.seed + 1, csr=csr)
+        v = native.sample_queries_native(
+            kg, s, 2 * args.val_queries, n_neg=args.n_neg_eval,
+            seed=args.seed + 2, csr=csr)
+        t = {k: x[t["entities"][:, 0] >= 0] for k, x in t.items()}
+        v = {k: x[v["entities"][:, 0] >= 0] for k, x in v.items()}
+        keep = dedup_against(t["entities"], t["rels"],
+                             v["entities"], v["rels"])
+        v = {k: x[keep][: args.val_queries] for k, x in v.items()}
+        tr[s], va[s] = t, v
+        print(json.dumps({"phase": "sampling", "structure": s,
+                          "train": int(t["entities"].shape[0]),
+                          "val_heldout": int(v["entities"].shape[0]),
+                          "seconds": time.perf_counter() - t0}),
+              flush=True)
+
+    # oracle + hard-bank build run HERE, before the first device op:
+    # the fork-pool must not fork a live XLA backend (numpy-only work)
+    oracle = None
+    if args.eval_oracle or args.train_hard_negs:
+        t0 = time.perf_counter()
+        oracle = RuleOracle(kg)
+        print(json.dumps({"phase": "oracle_build",
+                          "seconds": time.perf_counter() - t0}),
+              flush=True)
+    hard_np = {}
+    if args.train_hard_negs:
+        for s in structures:
+            t0 = time.perf_counter()
+            spec_s = _STRUCTURES[s]
+            n_hb = min(args.hard_bank, int(tr[s]["entities"].shape[0]))
+            h = build_hard_bank(oracle, spec_s, tr[s]["entities"][:n_hb],
+                                tr[s]["rels"][:n_hb],
+                                args.train_hard_negs,
+                                seed=args.seed + 17)
+            has = (h >= 0).any(axis=1)
+            print(json.dumps({"phase": "hard_bank", "structure": s,
+                              "queries": int(has.sum()),
+                              "requested": n_hb,
+                              "n_hard": args.train_hard_negs,
+                              "fill": float((h[has] >= 0).mean())
+                              if has.any() else 0.0,
+                              "seconds": time.perf_counter() - t0}),
+                  flush=True)
+            if has.any():
+                hard_np[s] = {"ents": tr[s]["entities"][:n_hb][has],
+                              "rels": tr[s]["rels"][:n_hb][has],
+                              "hard": h[has]}
+        if not hard_np:
+            raise SystemExit("--train_hard_negs: no sampled query has "
+                             "a strict-subset satisfier on this KG")
 
     import jax
     import jax.numpy as jnp
@@ -272,7 +392,6 @@ def main():
     from mpqe_tpu.queries import STRUCTURES
     from mpqe_tpu.train.evaluation import _apr_percentiles
 
-    spec = STRUCTURES[args.structure]
     if args.model == "gqe":
         from mpqe_tpu.models import gqe as gqe_mod
 
@@ -296,11 +415,17 @@ def main():
     entity_mode = jnp.asarray(kg.entity_mode)  # [n_entities] int32
     mode_start = jnp.asarray(np.searchsorted(
         kg.entity_mode, np.arange(kg.n_modes + 1)).astype(np.int32))
-    bank = {
-        "ents": jnp.asarray(tr["entities"]),       # [N, n_nodes]
-        "rels": jnp.asarray(tr["rels"]),           # [N, n_edges]
-        "negs": jnp.asarray(tr["negatives"]),      # [N, n_neg]
-    }
+    banks = {}
+    for s in structures:
+        banks[s] = {
+            "ents": jnp.asarray(tr[s]["entities"]),   # [N, n_nodes]
+            "rels": jnp.asarray(tr[s]["rels"]),       # [N, n_edges]
+            "negs": jnp.asarray(tr[s]["negatives"]),  # [N, n_neg]
+        }
+        if s in hard_np:
+            banks[s]["h_ents"] = jnp.asarray(hard_np[s]["ents"])
+            banks[s]["h_rels"] = jnp.asarray(hard_np[s]["rels"])
+            banks[s]["h_hard"] = jnp.asarray(hard_np[s]["hard"])
     src, rel, dst = kg.directed_edges()
     rng = np.random.default_rng(args.seed + 3)
     pick = rng.choice(src.shape[0], size=min(args.edge_bank, src.shape[0]),
@@ -308,8 +433,8 @@ def main():
     ebank = {"src": jnp.asarray(src[pick]), "rel": jnp.asarray(rel[pick]),
              "dst": jnp.asarray(dst[pick])}
     B, K = args.batch_size, args.n_neg
-    N_q = int(bank["ents"].shape[0])
     N_e = int(ebank["src"].shape[0])
+    Bh = args.hard_batch or B
 
     # model-agnostic (pos [B], neg [B, K]) scores — both models train
     # and evaluate through the identical protocol/banks
@@ -323,8 +448,8 @@ def main():
                              "min scoring has no single query vector "
                              "to sweep")
 
-        def encode_for_sweep(p, ne, nm, er):
-            return gqe_mod.encode_dense_multi(p, cfg, args.structure,
+        def encode_for_sweep(p, structure, ne, nm, er):
+            return gqe_mod.encode_dense_multi(p, cfg, structure,
                                               ne, nm, er, None)
     else:
         def pos_neg(p, structure, ne, nm, er, tgt, neg):
@@ -335,21 +460,21 @@ def main():
             return (mpqe_mod.score(cfg, q, ent[tgt]),
                     mpqe_mod.score(cfg, q[:, None, :], ent[neg]))
 
-        def encode_for_sweep(p, ne, nm, er):
+        def encode_for_sweep(p, structure, ne, nm, er):
             en = jnp.ones(er.shape, jnp.float32)
-            return mpqe_mod.encode_dense_multi(p, cfg, args.structure,
+            return mpqe_mod.encode_dense_multi(p, cfg, structure,
                                                ne, nm, er, en)
 
     def _margin_pn(pos, neg):  # all-real masks
         return jnp.mean(jax.nn.relu(cfg.margin - pos[:, None] + neg))
 
-    def multi_loss(p, ne, nm, er, tgt, neg, shared=None):
-        pos, ng = pos_neg(p, args.structure, ne, nm, er, tgt, neg)
+    def multi_loss(p, structure, ne, nm, er, tgt, neg, shared=None):
+        pos, ng = pos_neg(p, structure, ne, nm, er, tgt, neg)
         loss = _margin_pn(pos, ng)
         if shared is not None:
             # batch-shared candidate sweep: one [B, d] @ [d, K] matmul;
             # mask candidates that ARE some query's positive target
-            q = encode_for_sweep(p, ne, nm, er)
+            q = encode_for_sweep(p, structure, ne, nm, er)
             rows = p["emb"]["ent"][shared]
             qf = q.astype(jnp.float32)
             rf = rows.astype(jnp.float32)
@@ -385,48 +510,24 @@ def main():
     # the banks are ARGUMENTS of the jitted phase functions, never
     # closures — closure-captured jnp arrays become HLO constants, which
     # overflows the relay compile request at this size (CLAUDE.md)
-    def make_phase(loss_kind):
+    def make_chain_phase():
         def run(p, o, data, emode, mstart, start, n):
             def body(i, carry):
                 p, o, _ = carry
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(args.seed + 7), i)
                 k_idx, k_neg = jax.random.split(key)
-                if loss_kind == "multi":
-                    idx = jax.random.randint(k_idx, (B,), 0, N_q)
-                    ne = data["ents"][idx]
-                    shared = None
-                    if args.train_shared_negs:
-                        if args.train_shared_strat:
-                            kk = args.train_shared_negs
-                            u = jax.random.randint(
-                                k_neg, (kk,), 0, 1 << 30)
-                            sm = jnp.arange(kk) % cfg.n_modes
-                            lo = mstart[sm]
-                            width = mstart[sm + 1] - lo
-                            shared = lo + u % width
-                        else:
-                            shared = jax.random.randint(
-                                k_neg, (args.train_shared_negs,), 0,
-                                cfg.n_entities)
+                idx = jax.random.randint(k_idx, (B,), 0, N_e)
+                tgt = data["dst"][idx]
+                lo = mstart[emode[tgt]]
+                width = mstart[emode[tgt] + 1] - lo
+                u = jax.random.randint(k_neg, (B, K), 0, 1 << 30)
+                neg = lo[:, None] + (u % width[:, None])
 
-                    def loss_fn(pp):
-                        return multi_loss(pp, ne, emode[ne],
-                                          data["rels"][idx],
-                                          ne[:, spec.target_slot],
-                                          data["negs"][idx],
-                                          shared=shared)
-                else:
-                    idx = jax.random.randint(k_idx, (B,), 0, N_e)
-                    tgt = data["dst"][idx]
-                    lo = mstart[emode[tgt]]
-                    width = mstart[emode[tgt] + 1] - lo
-                    u = jax.random.randint(k_neg, (B, K), 0, 1 << 30)
-                    neg = lo[:, None] + (u % width[:, None])
+                def loss_fn(pp):
+                    return chain_loss(pp, emode, data["src"][idx],
+                                      data["rel"][idx], tgt, neg)
 
-                    def loss_fn(pp):
-                        return chain_loss(pp, emode, data["src"][idx],
-                                          data["rel"][idx], tgt, neg)
                 l, g = jax.value_and_grad(loss_fn)(p)
                 up, o = opt.update(g, o, p)
                 return optax.apply_updates(p, up), o, l
@@ -436,8 +537,82 @@ def main():
 
         return jax.jit(run, static_argnums=(6,), donate_argnums=(0, 1))
 
-    burn = make_phase("chain")
-    full = make_phase("multi")
+    def make_multi_phase(s):
+        spec_s = STRUCTURES[s]
+        N_q_s = int(banks[s]["ents"].shape[0])
+        N_h_s = (int(banks[s]["h_ents"].shape[0])
+                 if "h_ents" in banks[s] else 0)
+        use_hard = bool(args.train_hard_negs and N_h_s)
+
+        def run(p, o, data, emode, mstart, start, n):
+            def body(i, carry):
+                p, o, _ = carry
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 7), i)
+                k_idx, k_neg = jax.random.split(key)
+                idx = jax.random.randint(k_idx, (B,), 0, N_q_s)
+                ne = data["ents"][idx]
+                shared = None
+                if args.train_shared_negs:
+                    if args.train_shared_strat:
+                        kk = args.train_shared_negs
+                        u = jax.random.randint(
+                            k_neg, (kk,), 0, 1 << 30)
+                        sm = jnp.arange(kk) % cfg.n_modes
+                        lo = mstart[sm]
+                        width = mstart[sm + 1] - lo
+                        shared = lo + u % width
+                    else:
+                        shared = jax.random.randint(
+                            k_neg, (args.train_shared_negs,), 0,
+                            cfg.n_entities)
+
+                hargs = None
+                if use_hard:
+                    k_h = jax.random.fold_in(key, 2)
+                    idx_h = jax.random.randint(k_h, (Bh,), 0, N_h_s)
+                    hargs = (data["h_ents"][idx_h],
+                             data["h_rels"][idx_h],
+                             data["h_hard"][idx_h])
+
+                def loss_fn(pp):
+                    loss = multi_loss(pp, s, ne, emode[ne],
+                                      data["rels"][idx],
+                                      ne[:, spec_s.target_slot],
+                                      data["negs"][idx],
+                                      shared=shared)
+                    if hargs is not None:
+                        # sampled strict-subset hard negatives
+                        # (SURVEY.md §A.4), -1-padded mask
+                        hne, hre, hng = hargs
+                        hpos, hns = pos_neg(
+                            pp, s, hne, emode[hne],
+                            hre, hne[:, spec_s.target_slot],
+                            jnp.maximum(hng, 0))
+                        m = (hng >= 0).astype(jnp.float32)
+                        hm = args.hard_margin or cfg.margin
+                        viol = jax.nn.relu(
+                            hm - hpos[:, None] + hns) * m
+                        # curriculum gate: 0 until hard_start of the
+                        # full phase has run (i counts from 0)
+                        gate = (i >= jnp.int32(
+                            args.hard_start * args.steps)
+                        ).astype(jnp.float32)
+                        loss = loss + gate * args.hard_weight * (
+                            jnp.sum(viol)
+                            / jnp.maximum(jnp.sum(m), 1.0))
+                    return loss
+
+                l, g = jax.value_and_grad(loss_fn)(p)
+                up, o = opt.update(g, o, p)
+                return optax.apply_updates(p, up), o, l
+
+            return jax.lax.fori_loop(start, start + n, body,
+                                     (p, o, jnp.float32(0)))
+
+        return jax.jit(run, static_argnums=(6,), donate_argnums=(0, 1))
+
+    burn = make_chain_phase()
 
     def drive(fn, p, o, data, total, label):
         t0 = time.perf_counter()
@@ -454,95 +629,138 @@ def main():
 
     params, opt_state = drive(burn, params, opt_state, ebank,
                               args.burn_in_steps, "burn_in")
-    params, opt_state = drive(full, params, opt_state, bank,
-                              args.steps, "full")
+
+    # full phase: round-robin over structures, one steps_per_call
+    # dispatch each (the reference curriculum trains a mixed stream
+    # after burn-in, SURVEY.md §A.4; distinct query shapes compile to
+    # distinct programs, so the mix granularity is the dispatch)
+    fulls = {s: make_multi_phase(s) for s in structures}
+    t0 = time.perf_counter()
+    step, si = 0, 0
+    while step < args.steps:
+        s = structures[si % len(structures)]
+        si += 1
+        n = min(args.steps_per_call, args.steps - step)
+        params, opt_state, l = fulls[s](
+            params, opt_state, banks[s], entity_mode, mode_start, step, n)
+        step += n
+        print(json.dumps({"phase": "full", "structure": s, "step": step,
+                          "loss": float(l),
+                          "seconds": time.perf_counter() - t0}),
+              flush=True)
 
     # ---- held-out eval ---------------------------------------------
-    @jax.jit
-    def eval_chunk(p, ne, nm, er, tgt, neg):
-        return pos_neg(p, args.structure, ne, nm, er, tgt, neg)
-
-    n_v = va["entities"].shape[0]
-    pos_all = np.zeros(n_v, np.float32)
-    neg_all = np.zeros((n_v, args.n_neg_eval), np.float32)
-    CH = 8192
-    pad = (-n_v) % CH
-    ve = np.pad(va["entities"], ((0, pad), (0, 0)))
-    vr = np.pad(va["rels"], ((0, pad), (0, 0)))
-    vn = np.pad(va["negatives"], ((0, pad), (0, 0)))
-    em_np = kg.entity_mode
-    for lo in range(0, n_v, CH):
-        ps, ns = eval_chunk(
-            params, jnp.asarray(ve[lo:lo + CH]),
-            jnp.asarray(em_np[ve[lo:lo + CH]]),
-            jnp.asarray(vr[lo:lo + CH]),
-            jnp.asarray(ve[lo:lo + CH, spec.target_slot]),
-            jnp.asarray(vn[lo:lo + CH]))
-        hi = min(lo + CH, n_v)
-        pos_all[lo:hi] = np.asarray(ps)[: hi - lo]
-        neg_all[lo:hi] = np.asarray(ns)[: hi - lo]
-    mask = np.ones_like(neg_all, np.float32)
-    apr = float(np.mean(_apr_percentiles(pos_all, neg_all, mask)))
-    # per-query AUC against its own negatives == APR/100; also report the
-    # pooled Mann-Whitney for continuity with the small-scale tables
     from mpqe_tpu.train.evaluation import roc_auc
-    auc = float(roc_auc(pos_all, neg_all))
 
-    extra = {}
-    if args.eval_oracle:
-        # exact answer sets from the KG closure: (a) APR ceiling under
-        # THESE sampled negatives — an ideal model ties negatives that
-        # are true answers (0.5 credit each); (b) hard negatives by the
-        # reference strict-subset convention, scored with the trained
-        # model (hard APR ceiling is ~100 by construction)
-        t0 = time.perf_counter()
-        oracle = RuleOracle(kg)
-        orng = np.random.default_rng(args.seed + 11)
-        ve_i, vr_i, vn_i = va["entities"], va["rels"], va["negatives"]
-        ceil_pcts = np.zeros(n_v, np.float64)
-        hard = np.full((n_v, args.n_hard_eval), -1, np.int32)
-        n_ans = np.zeros(n_v, np.int64)
-        for i in range(n_v):
-            A = oracle.answers(spec, ve_i[i], vr_i[i])
-            n_ans[i] = A.size
-            c = float(np.isin(vn_i[i], A).sum())
-            n = vn_i.shape[1]
-            ceil_pcts[i] = 100.0 * (1.0 - 0.5 * c / n)
-            hard[i] = oracle.hard_negatives(
-                spec, ve_i[i], vr_i[i], args.n_hard_eval, orng)
-        extra["apr_ceiling"] = float(np.mean(ceil_pcts))
-        extra["mean_answer_set"] = float(np.mean(n_ans))
-        extra["apr_vs_ceiling"] = apr / extra["apr_ceiling"]
+    em_np = kg.entity_mode
+    CH = 8192
 
-        hpos = np.zeros(n_v, np.float32)
-        hneg = np.zeros((n_v, args.n_hard_eval), np.float32)
-        hp = np.pad(hard, ((0, pad), (0, 0)))
-        hpj = np.where(hp < 0, 0, hp)
-        for lo in range(0, n_v, CH):
-            ps, ns = eval_chunk(
-                params, jnp.asarray(ve[lo:lo + CH]),
-                jnp.asarray(em_np[ve[lo:lo + CH]]),
-                jnp.asarray(vr[lo:lo + CH]),
-                jnp.asarray(ve[lo:lo + CH, spec.target_slot]),
-                jnp.asarray(hpj[lo:lo + CH]))
-            hi = min(lo + CH, n_v)
-            hpos[lo:hi] = np.asarray(ps)[: hi - lo]
-            hneg[lo:hi] = np.asarray(ns)[: hi - lo]
-        hmask = (hard >= 0).astype(np.float32)
-        hpct = _apr_percentiles(hpos, hneg, hmask)
-        extra["hard_apr"] = float(np.mean(hpct)) if hpct.size else None
-        extra["hard_queries"] = int((hmask.sum(axis=1) > 0).sum())
-        extra["oracle_seconds"] = time.perf_counter() - t0
+    def eval_structure(s):
+        spec_s = STRUCTURES[s]
 
-    print(json.dumps({
+        @jax.jit
+        def eval_chunk(p, ne, nm, er, tgt, neg):
+            return pos_neg(p, s, ne, nm, er, tgt, neg)
+
+        v = va[s]
+        n_v = v["entities"].shape[0]
+        pad = (-n_v) % CH
+        ve = np.pad(v["entities"], ((0, pad), (0, 0)))
+        vr = np.pad(v["rels"], ((0, pad), (0, 0)))
+
+        def score_against(neg_idx):  # [n_v+pad, K] entity ids
+            ps_a = np.zeros(n_v, np.float32)
+            ns_a = np.zeros((n_v, neg_idx.shape[1]), np.float32)
+            for lo in range(0, n_v, CH):
+                ps, ns = eval_chunk(
+                    params, jnp.asarray(ve[lo:lo + CH]),
+                    jnp.asarray(em_np[ve[lo:lo + CH]]),
+                    jnp.asarray(vr[lo:lo + CH]),
+                    jnp.asarray(ve[lo:lo + CH, spec_s.target_slot]),
+                    jnp.asarray(neg_idx[lo:lo + CH]))
+                hi = min(lo + CH, n_v)
+                ps_a[lo:hi] = np.asarray(ps)[: hi - lo]
+                ns_a[lo:hi] = np.asarray(ns)[: hi - lo]
+            return ps_a, ns_a
+
+        vn = np.pad(v["negatives"], ((0, pad), (0, 0)))
+        pos_all, neg_all = score_against(vn)
+        mask = np.ones_like(neg_all, np.float32)
+        res = {"apr": float(np.mean(
+                   _apr_percentiles(pos_all, neg_all, mask))),
+               # per-query AUC against own negatives == APR/100; pooled
+               # Mann-Whitney kept for continuity with small-scale tables
+               "auc_pooled": float(roc_auc(pos_all, neg_all)),
+               "val_heldout": int(n_v)}
+        if args.eval_oracle:
+            # exact answer sets from the KG closure: (a) APR ceiling
+            # under THESE sampled negatives — an ideal model ties
+            # negatives that are true answers (0.5 credit each);
+            # (b) hard negatives by the reference strict-subset
+            # convention, scored with the trained model (hard APR
+            # ceiling is ~100 by construction)
+            t0 = time.perf_counter()
+            orng = np.random.default_rng(args.seed + 11)
+            ve_i, vr_i, vn_i = v["entities"], v["rels"], v["negatives"]
+            ceil_pcts = np.zeros(n_v, np.float64)
+            hard = np.full((n_v, args.n_hard_eval), -1, np.int32)
+            n_ans = np.zeros(n_v, np.int64)
+            for i in range(n_v):
+                A = oracle.answers(spec_s, ve_i[i], vr_i[i])
+                n_ans[i] = A.size
+                c = float(np.isin(vn_i[i], A).sum())
+                n = vn_i.shape[1]
+                ceil_pcts[i] = 100.0 * (1.0 - 0.5 * c / n)
+                hard[i] = oracle.hard_negatives(
+                    spec_s, ve_i[i], vr_i[i], args.n_hard_eval, orng)
+            res["apr_ceiling"] = float(np.mean(ceil_pcts))
+            res["mean_answer_set"] = float(np.mean(n_ans))
+            res["apr_vs_ceiling"] = res["apr"] / res["apr_ceiling"]
+
+            hp = np.pad(hard, ((0, pad), (0, 0)))
+            hpos, hneg = score_against(np.where(hp < 0, 0, hp))
+            hmask = (hard >= 0).astype(np.float32)
+            hpct = _apr_percentiles(hpos, hneg, hmask)
+            res["hard_apr"] = (float(np.mean(hpct)) if hpct.size
+                               else None)
+            res["hard_queries"] = int((hmask.sum(axis=1) > 0).sum())
+            res["oracle_seconds"] = time.perf_counter() - t0
+        return res
+
+    per_struct = {s: eval_structure(s) for s in structures}
+
+    result = {
         "phase": "result", "model": args.model,
         "structure": args.structure, "kg": args.kg,
         "entities": kg.n_entities, "directed_edges": int(2 * kg.n_triples),
-        "train_queries": N_q, "val_heldout": n_v,
+        "train_queries": sum(int(tr[s]["entities"].shape[0])
+                             for s in structures),
         "steps": args.steps, "burn_in_steps": args.burn_in_steps,
-        "batch": B, "apr": apr, "auc_pooled": auc, **extra,
+        "batch": B,
         "backend": __import__("jax").default_backend(),
-    }), flush=True)
+    }
+    if len(structures) == 1:
+        result.update(per_struct[structures[0]])
+    else:
+        # macro averages over structures (the reference's summary
+        # convention); per-structure detail alongside
+        def macro(key):
+            vals = [per_struct[s][key] for s in structures
+                    if per_struct[s].get(key) is not None]
+            return float(np.mean(vals)) if vals else None
+        result["apr"] = macro("apr")
+        result["auc_pooled"] = macro("auc_pooled")
+        result["val_heldout"] = sum(per_struct[s]["val_heldout"]
+                                    for s in structures)
+        if args.eval_oracle:
+            result["apr_ceiling"] = macro("apr_ceiling")
+            result["apr_vs_ceiling"] = macro("apr_vs_ceiling")
+            result["hard_apr"] = macro("hard_apr")
+            result["hard_queries"] = sum(
+                per_struct[s].get("hard_queries", 0) or 0
+                for s in structures)
+        result["per_structure"] = per_struct
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,10 @@ def main(argv=None):
     ap.add_argument("--skip_train_base", action="store_true",
                     help="with --train_bwd: skip the dense + backward="
                          "xla baselines (use BASELINE.md's 42.0/42.6 ms)")
+    ap.add_argument("--multi_vmem_mb", type=int, default=100,
+                    help="scoped-vmem limit for the multi-kernel sweep "
+                         "(0 = Mosaic default 16 MB, which the kernel "
+                         "overflows at block>=512)")
     ap.add_argument("--multi", action="store_true",
                     help="time the per-query-relation fused multi kernel "
                          "vs encode_dense_multi (the eval/serve encode)")
@@ -246,11 +250,21 @@ def main(argv=None):
             params, enq)
         log(f"multi xla   : {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
         for blk in [int(b) for b in args.blocks.split(",")]:
-            log(f"compiling fused multi block={blk}...")
-            dt = _timed_loop(make_mloop(
-                lambda p, en, blk=blk: ff.fused_tgt_forward_multi(
-                    p, cfg, STRUCTURE, node_entity, node_mode, erq, en,
-                    block=blk)), params, enq)
+            # the kernel's wide [bb, Bb*d_pad] f32 message operands
+            # overflow the 16 MB default scoped-vmem budget at bb>=512
+            # (measured: 54.29M at bb=1024) — raise the limit like the
+            # backward kernel does
+            vl = args.multi_vmem_mb or None
+            log(f"compiling fused multi block={blk} vmem={vl}...")
+            try:
+                dt = _timed_loop(make_mloop(
+                    lambda p, en, blk=blk: ff.fused_tgt_forward_multi(
+                        p, cfg, STRUCTURE, node_entity, node_mode, erq, en,
+                        block=blk, vmem_limit_mb=vl)), params, enq)
+            except Exception as e:  # compile OOM: record and keep sweeping
+                log(f"multi fused {blk}: FAILED {type(e).__name__}: "
+                    f"{str(e)[:200]}")
+                continue
             log(f"multi fused {blk}: {dt*1e3:.3f} ms  {msgs/dt:.3e} msgs/s")
 
     # compiled-mode parity at a small batch (same programs, tiny shapes)
