@@ -71,6 +71,10 @@ class DenseQueryBatch:
     negatives: np.ndarray
     neg_mask: np.ndarray
     query_mask: np.ndarray
+    # True when ``negatives`` were drawn from the hard (strict-subset)
+    # pools — lets the train loop apply TrainConfig.hard_margin to hard
+    # batches (static, part of no jit key: the loop routes on it)
+    used_hard: bool = False
 
     @property
     def spec(self) -> QueryStructure:
@@ -187,6 +191,7 @@ def make_dense_batch(
         negatives=negatives,
         neg_mask=neg_mask,
         query_mask=query_mask,
+        used_hard=use_hard_negatives,
     )
 
 

@@ -180,6 +180,7 @@ def pack_dense_batch_native(
         negatives=negatives,
         neg_mask=neg_mask,
         query_mask=query_mask,
+        used_hard=use_hard,
     )
 
 

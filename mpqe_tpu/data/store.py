@@ -271,4 +271,5 @@ def pack_dense_batch_np(
         negatives=negatives,
         neg_mask=neg_mask,
         query_mask=query_mask,
+        used_hard=use_hard,
     )

@@ -50,6 +50,13 @@ class TrainConfig:
     val_every: int = 1000
     patience: int = 5  # eval rounds without val improvement -> stop
     hard_neg_prob: float = 0.5  # P(use hard negatives) on intersection batches
+    # margin for hard-negative batches (0 = use cfg.margin, the
+    # reference convention).  Measured round 5 (BASELINE.md round-5
+    # quality table): demanding the full cosine margin (1.0 on [-1,1]
+    # scores) against strict-subset satisfiers never saturates and
+    # distorts the encoder; a small ranking margin (0.2) preserves
+    # plain APR while still ordering pos > hard.
+    hard_margin: float = 0.0
     seed: int = 0
     optimizer: str = "adam"
 
@@ -344,12 +351,28 @@ def run_train(
     """
     rng = np.random.default_rng(tc.seed)
     optimizer = make_optimizer(tc)
+    hard_step = hard_multi = None
     if train_step is None:
         train_step = make_train_step(
             cfg, optimizer, batch_loss_fn, loss_consts=loss_consts)
         if steps_per_call > 1 and multi_step is None:
             multi_step = make_multistep_train_step(
                 cfg, optimizer, batch_loss_fn, loss_consts=loss_consts)
+        if tc.hard_margin > 0.0:
+            # hard-negative batches train at a reduced margin (measured
+            # round 5; TrainConfig.hard_margin doc) — one extra compiled
+            # executable per structure, same optimizer
+            hcfg = dataclasses.replace(cfg, margin=tc.hard_margin)
+            hard_step = make_train_step(
+                hcfg, optimizer, batch_loss_fn, loss_consts=loss_consts)
+            if steps_per_call > 1:
+                hard_multi = make_multistep_train_step(
+                    hcfg, optimizer, batch_loss_fn,
+                    loss_consts=loss_consts)
+    elif tc.hard_margin > 0.0:
+        raise ValueError(
+            "hard_margin needs the default train step (custom "
+            "spmd/halo steps own their loss margin)")
     elif steps_per_call > 1 and multi_step is None:
         # a supplied step (spmd/halo) owns its own jit/sharding — silently
         # running it one-dispatch-per-step would ignore the K the caller
@@ -466,10 +489,13 @@ def run_train(
                         fstore, pick, tc.batch_size, tc.n_neg, seed, use_hard
                     )
             t0 = time.perf_counter()
+            use_hard_margin = (hard_step is not None
+                               and getattr(batch, "used_hard", False))
             if multi_step is not None:
+                ms = hard_multi if use_hard_margin else multi_step
                 if pipeline is not None:
                     # the producer thread already packed + stacked K batches
-                    k_losses = run_multistep_stacked(multi_step, state, batch)
+                    k_losses = run_multistep_stacked(ms, state, batch)
                 else:
                     # pack K-1 more same-formula batches and scan them on-device
                     extra = []
@@ -483,7 +509,7 @@ def run_train(
                                 else pack_dense_batch_np)
                         extra.append(pack(fstore, pk, tc.batch_size, tc.n_neg,
                                           sd, use_hard))
-                    k_losses = run_multistep(multi_step, state, [batch] + extra)
+                    k_losses = run_multistep(ms, state, [batch] + extra)
                 dt = time.perf_counter() - t0
                 losses.extend(k_losses)
                 loss = k_losses[-1]
@@ -495,7 +521,9 @@ def run_train(
                         "k": len(k_losses),
                     })
             else:
-                loss = run_step(train_step, state, batch)
+                loss = run_step(
+                    hard_step if use_hard_margin else train_step,
+                    state, batch)
                 dt = time.perf_counter() - t0
                 losses.append(loss)
                 if log_fn:

@@ -492,3 +492,40 @@ def test_raw_edge_fallback_negatives_exclude_answer_set():
             else:  # head 1: entity 3 is the only valid negative
                 live = batch.negatives[b][batch.neg_mask[b] > 0]
                 assert live.size and set(live.tolist()) == {3}, name
+
+
+def test_hard_margin_routes_hard_batches():
+    # round 5: TrainConfig.hard_margin trains hard-negative batches at a
+    # reduced margin via a second compiled step.  Pin: (a) packers set
+    # DenseQueryBatch.used_hard, (b) run_train accepts the knob and
+    # still trains, (c) custom train_step + hard_margin is refused.
+    from mpqe_tpu.data.store import build_stores, pack_dense_batch_np
+    from mpqe_tpu.data.sampler import QuerySampler, make_random_kg
+    from mpqe_tpu.queries import group_queries_by_formula
+
+    kg = make_random_kg(n_entities=120, n_modes=2, n_base_rels=3,
+                        n_triples=200, seed=7)
+    sampler = QuerySampler(kg, seed=3)
+    train_q = group_queries_by_formula(
+        sampler.sample_queries("2-inter", 64, n_neg=8))
+    stores = build_stores(train_q, kg=kg)
+    fs = stores["2-inter"][0]
+    b_easy = pack_dense_batch_np(fs, np.arange(4), 8, 2, 0, False)
+    b_hard = pack_dense_batch_np(fs, np.arange(4), 8, 2, 0, True)
+    assert not b_easy.used_hard and b_hard.used_hard
+
+    cfg = mpqe_mod.MPQEConfig(
+        n_entities=kg.n_entities, n_modes=kg.n_modes, n_rels=kg.n_rels,
+        embed_dim=8, n_layers=1, num_bases=None, readout="tgt")
+    tc = loop_mod.TrainConfig(max_steps=6, batch_size=8, n_neg=2,
+                              val_every=1000, hard_margin=0.2,
+                              hard_neg_prob=1.0)
+    state = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state = loop_mod.run_train(state, cfg, tc, train_q, val_queries=None,
+                               kg=kg)
+    assert state.step == 6
+
+    state2 = loop_mod.init_train_state(jax.random.PRNGKey(0), cfg, tc)
+    with pytest.raises(ValueError, match="hard_margin"):
+        loop_mod.run_train(state2, cfg, tc, train_q, val_queries=None,
+                           kg=kg, train_step=lambda *a: None)

@@ -63,6 +63,10 @@ def main(argv=None):
     ap.add_argument("--skip_train_base", action="store_true",
                     help="with --train_bwd: skip the dense + backward="
                          "xla baselines (use BASELINE.md's 42.0/42.6 ms)")
+    ap.add_argument("--vmem_mb", type=int, default=24,
+                    help="scoped-vmem limit for the --variants sweep "
+                         "(raise for block>=8192: the base kernel needs "
+                         "~17.8M at 4096, ~2x per doubling)")
     ap.add_argument("--multi_vmem_mb", type=int, default=100,
                     help="scoped-vmem limit for the multi-kernel sweep "
                          "(0 = Mosaic default 16 MB, which the kernel "
@@ -168,10 +172,15 @@ def main(argv=None):
                     ff.fused_tgt_forward(
                         p, cfg, STRUCTURE, node_entity, node_mode,
                         edge_rel, en, block=blk, fold_bias=fold,
-                        out_bf16=ob, vmem_limit_mb=24))
+                        out_bf16=ob, vmem_limit_mb=args.vmem_mb))
                 tag = ("fold" if fold else "") + ("+obf16" if ob else "")
                 log(f"compiling fused {tag} block={blk}...")
-                dt = _timed_loop(fl, params, edge_norm)
+                try:
+                    dt = _timed_loop(fl, params, edge_norm)
+                except Exception as e:  # VMEM OOM: record, keep sweeping
+                    log(f"fused {tag} {blk}: FAILED {type(e).__name__}: "
+                        f"{str(e)[:200]}")
+                    continue
                 log(f"fused {tag} {blk}: {dt*1e3:.3f} ms  "
                     f"{msgs/dt:.3e} msgs/s")
 

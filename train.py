@@ -83,6 +83,13 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.0,
                    help=">0 uses adamw (decoupled decay on every param "
                         "incl. the entity table)")
+    p.add_argument("--hard_margin", type=float, default=0.0,
+                   help="margin for hard-negative (strict-subset) "
+                        "batches; 0 = the model margin (reference "
+                        "convention).  Measured round 5: the full "
+                        "cosine margin never saturates against subset "
+                        "satisfiers and distorts the encoder — 0.2 "
+                        "preserves plain APR (BASELINE.md)")
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--n_neg", type=int, default=1)
     p.add_argument("--steps", type=int, default=10_000)
@@ -343,7 +350,7 @@ def main(argv=None):
         patience=args.patience, seed=args.seed,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         optimizer=args.optimizer, grad_clip_norm=args.grad_clip,
-        weight_decay=args.weight_decay,
+        weight_decay=args.weight_decay, hard_margin=args.hard_margin,
     )
     metrics.write_config(dataclasses.asdict(cfg), "model_config.json")
 
