@@ -278,6 +278,13 @@ def main():
                     help="fraction of full-phase steps before the hard "
                          "term switches on (curriculum: uniform "
                          "structure first, subset boundary last)")
+    ap.add_argument("--eval_train_hard", action="store_true",
+                    help="also score the TRAIN hard bank in-sample "
+                         "(train_hard_apr): distinguishes 'cannot fit "
+                         "the subset boundary' (low) from 'fits but "
+                         "does not generalize' (high, eval hard_apr "
+                         "low) — the round-5 diagnostic for the "
+                         "measured null at 2M and 20k")
     ap.add_argument("--train_queries", type=int, default=1_000_000)
     ap.add_argument("--val_queries", type=int, default=16_384)
     ap.add_argument("--edge_bank", type=int, default=4_000_000,
@@ -668,6 +675,26 @@ def main():
         ve = np.pad(v["entities"], ((0, pad), (0, 0)))
         vr = np.pad(v["rels"], ((0, pad), (0, 0)))
 
+        def score_rows(ents, rels, neg_idx):  # padded [n+pad, ...]
+            n = ents.shape[0]
+            npad = (-n) % CH
+            e_ = np.pad(ents, ((0, npad), (0, 0)))
+            r_ = np.pad(rels, ((0, npad), (0, 0)))
+            g_ = np.pad(neg_idx, ((0, npad), (0, 0)))
+            ps_a = np.zeros(n, np.float32)
+            ns_a = np.zeros((n, neg_idx.shape[1]), np.float32)
+            for lo in range(0, n, CH):
+                ps, ns = eval_chunk(
+                    params, jnp.asarray(e_[lo:lo + CH]),
+                    jnp.asarray(em_np[e_[lo:lo + CH]]),
+                    jnp.asarray(r_[lo:lo + CH]),
+                    jnp.asarray(e_[lo:lo + CH, spec_s.target_slot]),
+                    jnp.asarray(g_[lo:lo + CH]))
+                hi = min(lo + CH, n)
+                ps_a[lo:hi] = np.asarray(ps)[: hi - lo]
+                ns_a[lo:hi] = np.asarray(ns)[: hi - lo]
+            return ps_a, ns_a
+
         def score_against(neg_idx):  # [n_v+pad, K] entity ids
             ps_a = np.zeros(n_v, np.float32)
             ns_a = np.zeros((n_v, neg_idx.shape[1]), np.float32)
@@ -725,6 +752,17 @@ def main():
                                else None)
             res["hard_queries"] = int((hmask.sum(axis=1) > 0).sum())
             res["oracle_seconds"] = time.perf_counter() - t0
+        if args.eval_train_hard and s in hard_np:
+            hb = hard_np[s]
+            n_t = min(16384, hb["ents"].shape[0])
+            te, trr = hb["ents"][:n_t], hb["rels"][:n_t]
+            th = hb["hard"][:n_t]
+            tps, tns = score_rows(te, trr, np.where(th < 0, 0, th))
+            tmask = (th >= 0).astype(np.float32)
+            tpct = _apr_percentiles(tps, tns, tmask)
+            res["train_hard_apr"] = (float(np.mean(tpct)) if tpct.size
+                                     else None)
+            res["train_hard_queries"] = int((tmask.sum(axis=1) > 0).sum())
         return res
 
     per_struct = {s: eval_structure(s) for s in structures}
