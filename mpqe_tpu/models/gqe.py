@@ -29,7 +29,7 @@ from mpqe_tpu.models import embeddings as emb_mod
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.queries import STRUCTURES
 
-DECODERS = ("bilinear", "transe", "distmult")
+DECODERS = ("bilinear", "transe", "distmult", "box")
 INTERSECTIONS = ("min", "mean", "deepsets")
 ENCODERS = ("direct", "neighborhood")
 
@@ -51,6 +51,11 @@ class GQEConfig:
     aggregator: str = "mean"  # mean | max | pool (neighborhood encoder)
     margin: float = 1.0
     scale_scores: bool = True
+    # box decoder (Query2Box geometry, Ren et al. 2020 — NOT in the
+    # reference; added round 5 against the measured hard-negative
+    # generalization limit of vector+cosine scoring, docs/quality/
+    # quality5_hard_train.md): weight of the inside-box distance term
+    box_alpha: float = 0.02
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -87,6 +92,28 @@ def init_gqe(key: jax.Array, cfg: GQEConfig) -> Dict[str, Any]:
         params["rel_mat"] = eye[None, :, :] + noise
     elif cfg.decoder == "transe":
         params["rel_vec"] = jax.random.normal(k_dec, (r, d), cfg.dtype) * scale
+    elif cfg.decoder == "box":
+        # Query2Box geometry: a relation hop translates the box center
+        # and widens the (nonnegative) offset; anchors are zero-volume
+        # boxes at their embedding.  Offsets init small relative to the
+        # 1/sqrt(d) embedding scale so boxes start tight (a box that
+        # covers everything has zero outside-distance gradient).
+        k_off, k_a1, k_a2, k_d1, k_d2 = jax.random.split(k_dec, 5)
+        params["rel_cen"] = jax.random.normal(
+            k_dec, (r, d), cfg.dtype) * scale
+        params["rel_off"] = jax.random.uniform(
+            k_off, (r, d), cfg.dtype, 0.0, 0.5) * scale
+        s2 = jnp.sqrt(2.0 / (2 * d)).astype(cfg.dtype)
+        # center intersection: per-dim attention over branch centers
+        params["box_att1"] = jax.random.normal(k_a1, (d, d), cfg.dtype) * s2
+        params["box_att1_b"] = jnp.zeros((d,), cfg.dtype)
+        params["box_att2"] = jax.random.normal(k_a2, (d, d), cfg.dtype) * s2
+        params["box_att2_b"] = jnp.zeros((d,), cfg.dtype)
+        # offset intersection: min(offsets) * sigmoid(DeepSets([c; o]))
+        params["box_ds1"] = jax.random.normal(k_d1, (2 * d, d), cfg.dtype) * s2
+        params["box_ds1_b"] = jnp.zeros((d,), cfg.dtype)
+        params["box_ds2"] = jax.random.normal(k_d2, (d, d), cfg.dtype) * s2
+        params["box_ds2_b"] = jnp.zeros((d,), cfg.dtype)
     else:  # distmult
         params["rel_diag"] = 1.0 + jax.random.normal(
             k_dec, (r, d), cfg.dtype
@@ -136,6 +163,83 @@ def _intersect(
     return jnp.dot(pooled, params["int_post"]) + params["int_post_b"]
 
 
+def _compose_box(cfg, params, box, rel):
+    """One relation hop on a batch of boxes: translate the center, widen
+    the offset (Query2Box projection; relu keeps offsets nonnegative
+    even if the raw parameters drift below zero)."""
+    c, o = box
+    return (c + params["rel_cen"][rel],
+            o + jax.nn.relu(params["rel_off"][rel]))
+
+
+def _intersect_box(cfg, params, boxes):
+    """Query2Box intersection: per-dim attention over branch centers;
+    offsets shrink to min(offsets) * sigmoid(DeepSets([center; offset]))
+    — the intersected box is inside every branch box."""
+    if len(boxes) == 1:
+        return boxes[0]
+    cs = jnp.stack([b[0] for b in boxes], axis=0)  # [K, B, d]
+    os_ = jnp.stack([b[1] for b in boxes], axis=0)
+    att = jax.nn.relu(
+        jnp.einsum("kbd,do->kbo", cs, params["box_att1"])
+        + params["box_att1_b"])
+    att = (jnp.einsum("kbd,do->kbo", att, params["box_att2"])
+           + params["box_att2_b"])
+    a = jax.nn.softmax(att, axis=0)
+    c = jnp.sum(a * cs, axis=0)
+    x = jnp.concatenate([cs, os_], axis=-1)  # [K, B, 2d]
+    h = jax.nn.relu(
+        jnp.einsum("kbe,eo->kbo", x, params["box_ds1"])
+        + params["box_ds1_b"])
+    g = jax.nn.sigmoid(
+        jnp.dot(jnp.mean(h, axis=0), params["box_ds2"])
+        + params["box_ds2_b"])
+    return (c, jnp.min(os_, axis=0) * g)
+
+
+def box_score(cfg: GQEConfig, c: jax.Array, o: jax.Array,
+              e: jax.Array) -> jax.Array:
+    """Query2Box affinity of entity points ``e`` to box ``(c, o)``
+    (broadcasting over leading dims): −(outside L1 + α·inside L1),
+    scaled by 1/sqrt(d) so margins stay in the cosine-score range the
+    shared protocol uses."""
+    delta = jnp.abs(e.astype(jnp.float32) - c.astype(jnp.float32))
+    off = jax.nn.relu(o).astype(jnp.float32)
+    dout = jnp.sum(jnp.maximum(delta - off, 0.0), axis=-1)
+    din = jnp.sum(jnp.minimum(delta, off), axis=-1)
+    d = c.shape[-1]
+    return -(dout + cfg.box_alpha * din) / jnp.sqrt(
+        jnp.asarray(d, jnp.float32))
+
+
+def box_score_rows(cfg: GQEConfig, box, rows: jax.Array) -> jax.Array:
+    """Scores of a box batch ``([B,d],[B,d])`` against shared candidate
+    rows ``[K, d]`` → ``[B, K]`` (the batch-shared sweep's box analog)."""
+    c, o = box
+    return box_score(cfg, c[:, None, :], o[:, None, :], rows[None, :, :])
+
+
+def box_score_all(params, cfg: GQEConfig, box, chunk: int = 8192
+                  ) -> jax.Array:
+    """``[B, n_entities]`` box affinities, scanned over entity-table
+    chunks (box distance has no matmul form — a full [B, N, d]
+    intermediate would not fit at production N)."""
+    c, o = box
+    ent = params["emb"]["ent"]
+    n = ent.shape[0]
+    pad = (-n) % chunk
+    ent_p = jnp.pad(ent, ((0, pad), (0, 0)))
+    tiles = ent_p.reshape(-1, chunk, ent.shape[1])
+
+    def body(carry, tile):
+        return carry, box_score(cfg, c[:, None, :], o[:, None, :],
+                                tile[None, :, :])
+
+    _, out = jax.lax.scan(body, 0, tiles)  # [T, B, chunk]
+    out = jnp.moveaxis(out, 0, 1).reshape(c.shape[0], -1)
+    return out[:, :n]
+
+
 def _anchor_embed(
     params: Dict[str, Any],
     cfg: GQEConfig,
@@ -174,11 +278,19 @@ def branch_vectors(
     """Per-incoming-edge composed vectors at the target node (the query's
     conjunct branches), each ``[B, d]``."""
     spec = STRUCTURES[structure]
-    # per-node list of composed branch vectors
-    node_branches: List[Optional[List[jax.Array]]] = [None] * spec.n_nodes
+    is_box = cfg.decoder == "box"
+    compose = _compose_box if is_box else _compose
+    intersect = _intersect_box if is_box else _intersect
+
+    def anchor(ids):
+        e = _anchor_embed(params, cfg, ids, neighbor_table)
+        return (e, jnp.zeros_like(e)) if is_box else e
+
+    # per-node list of composed branch representations (vectors, or
+    # (center, offset) box pairs for decoder="box")
+    node_branches: List[Optional[List[Any]]] = [None] * spec.n_nodes
     for s in spec.anchor_slots:
-        node_branches[s] = [
-            _anchor_embed(params, cfg, node_entity[:, s], neighbor_table)]
+        node_branches[s] = [anchor(node_entity[:, s])]
     for node in range(spec.n_nodes):
         in_edges = [j for j in range(spec.n_edges) if spec.edge_dst[j] == node]
         if not in_edges:
@@ -190,9 +302,9 @@ def branch_vectors(
             src_vec = (
                 src_vecs[0]
                 if len(src_vecs) == 1
-                else _intersect(cfg, params, src_vecs)
+                else intersect(cfg, params, src_vecs)
             )
-            contribs.append(_compose(cfg, params, src_vec, edge_rel[..., j]))
+            contribs.append(compose(cfg, params, src_vec, edge_rel[..., j]))
         node_branches[node] = contribs
     out = node_branches[spec.target_slot]
     assert out is not None
@@ -209,10 +321,13 @@ def encode_dense(
     edge_norm: jax.Array,  # unused
     neighbor_table: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
-    """Query vector ``[B, d]``: intersected target representation
-    (QueryEncoderDecoder semantics)."""
+    """Query representation: intersected target vector ``[B, d]``
+    (QueryEncoderDecoder semantics), or a ``(center, offset)`` box pair
+    for ``decoder='box'``."""
     branches = branch_vectors(
         params, cfg, structure, node_entity, edge_rel, neighbor_table)
+    if cfg.decoder == "box":
+        return _intersect_box(cfg, params, branches)
     return _intersect(cfg, params, branches)
 
 
@@ -252,6 +367,21 @@ def score_pos_neg(
     m_cfg = _score_cfg(cfg)
     branches = branch_vectors(
         params, cfg, structure, node_entity, edge_rel, neighbor_table)
+    if cfg.decoder == "box":
+        if cfg.soft_and:
+            def min_box(cand, expand):
+                scores = [box_score(
+                    cfg, b[0][:, None, :] if expand else b[0],
+                    b[1][:, None, :] if expand else b[1], cand)
+                    for b in branches]
+                return jnp.min(jnp.stack(scores, 0), axis=0)
+
+            return (min_box(ent[target], False),
+                    min_box(ent[negatives], True))
+        c, o = _intersect_box(cfg, params, branches)
+        return (box_score(cfg, c, o, ent[target]),
+                box_score(cfg, c[:, None, :], o[:, None, :],
+                          ent[negatives]))
     if cfg.soft_and:
         def min_score(cand, expand):
             scores = [
@@ -280,6 +410,20 @@ def score_queries(
     ent = params["emb"]["ent"]
     cand = ent[targets]
     m_cfg = _score_cfg(cfg)
+    if cfg.decoder == "box":
+        branches = branch_vectors(
+            params, cfg, structure, node_entity, edge_rel, neighbor_table)
+
+        def bscore(b):
+            c, o = b
+            if targets.ndim > 1:
+                c, o = c[:, None, :], o[:, None, :]
+            return box_score(cfg, c, o, cand)
+
+        if cfg.soft_and:
+            return jnp.min(jnp.stack([bscore(b) for b in branches], 0),
+                           axis=0)
+        return bscore(_intersect_box(cfg, params, branches))
     if cfg.soft_and:
         branches = branch_vectors(
             params, cfg, structure, node_entity, edge_rel, neighbor_table)

@@ -91,8 +91,13 @@ class QueryServer:
         self.table_dtype = table_dtype
         from mpqe_tpu.parallel.rank_shard import quantize_rows
 
+        if getattr(cfg, "decoder", None) == "box" and table_dtype != "float32":
+            raise ValueError(
+                "box-decoder serving scores L1 box distances against the "
+                "raw f32 entity table; table_dtype variants apply to the "
+                "cosine rank matmul only")
         ent = params["emb"]["ent"].astype(jnp.float32)
-        if cfg.scale_scores:
+        if cfg.scale_scores and getattr(cfg, "decoder", None) != "box":
             ent = ent / (jnp.linalg.norm(ent, axis=-1, keepdims=True) + 1e-12)
         self.params = dict(params)
         # the quantization formulas live in ONE place (rank_shard) so the
@@ -137,7 +142,18 @@ class QueryServer:
             else:  # GQE baselines
                 from mpqe_tpu.models import gqe as gqe_mod
 
-                if cfg.soft_and:
+                if getattr(cfg, "decoder", None) == "box":
+                    branches = gqe_mod.branch_vectors(
+                        params, cfg, structure, ne, er, nbr)
+                    if cfg.soft_and:
+                        scores = jnp.min(jnp.stack(
+                            [gqe_mod.box_score_all(params, cfg, b)
+                             for b in branches], 0), axis=0)
+                    else:
+                        scores = gqe_mod.box_score_all(
+                            params, cfg,
+                            gqe_mod._intersect_box(cfg, params, branches))
+                elif cfg.soft_and:
                     branches = gqe_mod.branch_vectors(
                         params, cfg, structure, ne, er, nbr)
                     scores = jnp.min(jnp.stack(

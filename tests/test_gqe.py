@@ -292,3 +292,140 @@ def test_neighborhood_encoder_trains_and_evals(kg, aggregator):
     res = evaluation.evaluate_batched(
         params, cfg, es, n_neg=16, neighbor_table=nt)
     assert 0.0 <= res.auc_by_structure["2-inter"] <= 1.0
+
+
+# ---- box decoder (Query2Box geometry; round-5 extension, not in the
+# reference — see docs/quality/quality5_hard_train.md) ----------------
+
+def test_box_semantics_containment(kg):
+    # a point inside the box scores -alpha*din; outside adds dout < 0
+    cfg = _cfg(kg, decoder="box", box_alpha=0.02)
+    d = cfg.embed_dim
+    c = jnp.zeros((1, d))
+    o = jnp.ones((1, d)) * 0.5
+    inside = jnp.ones((1, d)) * 0.25
+    outside = jnp.ones((1, d)) * 2.0
+    s_in = gqe_mod.box_score(cfg, c, o, inside)[0]
+    s_out = gqe_mod.box_score(cfg, c, o, outside)[0]
+    assert float(s_in) > float(s_out)
+    # inside score = -alpha * sum(min(|e-c|, o)) / sqrt(d)
+    want = -0.02 * (0.25 * d) / np.sqrt(d)
+    np.testing.assert_allclose(float(s_in), want, rtol=1e-5)
+
+
+def test_box_intersection_shrinks(kg):
+    cfg = _cfg(kg, decoder="box")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    d = cfg.embed_dim
+    boxes = [(jnp.asarray(rng.normal(size=(4, d)).astype(np.float32)),
+              jnp.asarray(rng.uniform(0.1, 1.0, (4, d)).astype(np.float32)))
+             for _ in range(3)]
+    c, o = gqe_mod._intersect_box(cfg, params, boxes)
+    omin = jnp.min(jnp.stack([b[1] for b in boxes], 0), axis=0)
+    assert c.shape == (4, d) and o.shape == (4, d)
+    # offsets never exceed the smallest branch box (sigmoid shrink)
+    assert bool(jnp.all(o <= omin + 1e-6))
+
+
+@pytest.mark.parametrize("structure", ["2-chain", "2-inter",
+                                       "3-chain_inter"])
+def test_box_scoring_paths_consistent(kg, structure):
+    # score_pos_neg, score_queries, and box_score_all must agree
+    cfg = _cfg(kg, decoder="box")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(1), cfg)
+    b = _batch(kg, structure)
+    er = jnp.asarray(b.edge_rel)
+    ne = jnp.asarray(b.node_entity)
+    tgt = jnp.asarray(b.target)
+    neg = jnp.asarray(b.negatives)
+    pos, negs = gqe_mod.score_pos_neg(params, cfg, structure, ne, er,
+                                      tgt, neg)
+    sq_pos = gqe_mod.score_queries(params, cfg, structure, ne, er, tgt)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(sq_pos),
+                               rtol=1e-5, atol=1e-6)
+    box = gqe_mod.encode_dense(params, cfg, structure, ne, None, er, None)
+    all_sc = gqe_mod.box_score_all(params, cfg, box, chunk=32)
+    np.testing.assert_allclose(
+        np.asarray(all_sc[np.arange(len(b.target)), b.target]),
+        np.asarray(pos), rtol=1e-5, atol=1e-6)
+
+
+def test_box_softand_is_min_of_branch_scores(kg):
+    cfg = _cfg(kg, decoder="box", soft_and=True)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(2), cfg)
+    b = _batch(kg, "2-inter")
+    ne, er = jnp.asarray(b.node_entity), jnp.asarray(b.edge_rel)
+    pos, _ = gqe_mod.score_pos_neg(params, cfg, "2-inter", ne, er,
+                                   jnp.asarray(b.target),
+                                   jnp.asarray(b.negatives))
+    branches = gqe_mod.branch_vectors(params, cfg, "2-inter", ne, er)
+    ent = params["emb"]["ent"]
+    want = jnp.min(jnp.stack(
+        [gqe_mod.box_score(cfg, c, o, ent[jnp.asarray(b.target)])
+         for c, o in branches], 0), axis=0)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_box_trains_and_separates(kg):
+    # margin loss decreases and held-out-free sanity: pos > mean neg
+    import optax
+
+    cfg = _cfg(kg, decoder="box")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(3), cfg)
+    b = _batch(kg, "2-inter", B=32)
+    args = (jnp.asarray(b.node_entity), None, jnp.asarray(b.edge_rel),
+            None, jnp.asarray(b.target), jnp.asarray(b.negatives),
+            jnp.asarray(b.neg_mask), jnp.asarray(b.query_mask))
+    opt = optax.adam(0.01)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(
+            lambda pp: gqe_mod.dense_batch_loss(pp, cfg, "2-inter", *args)
+        )(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    l0 = None
+    for _ in range(60):
+        params, st, l = step(params, st)
+        l0 = l0 if l0 is not None else float(l)
+    assert float(l) < 0.5 * l0, (l0, float(l))
+
+
+def test_box_evaluate_batched_and_ranking(kg):
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.train import evaluation
+
+    cfg = _cfg(kg, decoder="box")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(4), cfg)
+    sampler = QuerySampler(kg, seed=9)
+    qs = group_queries_by_formula(
+        sampler.sample_queries("2-inter", 24, n_neg=8))
+    es = evaluation.make_eval_set(qs)
+    res = evaluation.evaluate_batched(params, cfg, es)
+    assert np.isfinite(res.macro_auc)
+    fr = evaluation.full_ranking(params, cfg, qs, kg.entity_mode)
+    mrr = fr["2-inter"]["mrr"]
+    assert np.isfinite(mrr) and 0.0 < mrr <= 1.0
+
+
+def test_box_serving(kg):
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.serve import QueryServer
+
+    cfg = _cfg(kg, decoder="box")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(5), cfg)
+    sampler = QuerySampler(kg, seed=11)
+    qs = sampler.sample_queries("2-chain", 6, n_neg=4)
+    srv = QueryServer(params, cfg, kg.entity_mode)
+    out = srv.answer(qs, k=5)
+    assert len(out) == 6
+    assert all(o.entity_ids.shape == (5,) for o in out)
+    # ranking agrees with the box scorer + mode mask
+    b = _batch(kg, "2-chain", B=8)
+    with pytest.raises(ValueError, match="box-decoder serving"):
+        QueryServer(params, cfg, kg.entity_mode, table_dtype="int8")

@@ -293,6 +293,11 @@ def main():
     ap.add_argument("--model", default="rgcn", choices=["rgcn", "gqe"],
                     help="rgcn = MPQE; gqe = the bilinear+deepsets "
                          "baseline under the identical protocol/banks")
+    ap.add_argument("--gqe_decoder", default="bilinear",
+                    choices=["bilinear", "transe", "distmult", "box"],
+                    help="GQE arm decoder; 'box' = Query2Box geometry "
+                         "(round-5 extension targeting the measured "
+                         "hard-negative generalization limit)")
     ap.add_argument("--batch_size", type=int, default=65_536)
     ap.add_argument("--n_neg", type=int, default=4)
     ap.add_argument("--n_neg_eval", type=int, default=64)
@@ -405,7 +410,7 @@ def main():
         cfg = gqe_mod.GQEConfig(
             n_entities=kg.n_entities, n_modes=kg.n_modes,
             n_rels=kg.n_rels, embed_dim=args.dim,
-            decoder="bilinear", intersection="deepsets",
+            decoder=args.gqe_decoder, intersection="deepsets",
         )
         params = gqe_mod.init_gqe(jax.random.PRNGKey(args.seed), cfg)
     else:
@@ -458,6 +463,13 @@ def main():
         def encode_for_sweep(p, structure, ne, nm, er):
             return gqe_mod.encode_dense_multi(p, cfg, structure,
                                               ne, nm, er, None)
+
+        def sweep_scores(q, rows):
+            # box decoder: L1 box distances against the candidate rows
+            # (no cosine normalization — box scores are distances)
+            if cfg.decoder == "box":
+                return gqe_mod.box_score_rows(cfg, q, rows)
+            return _cosine_sweep(cfg, q, rows)
     else:
         def pos_neg(p, structure, ne, nm, er, tgt, neg):
             en = jnp.ones(er.shape, jnp.float32)
@@ -472,6 +484,19 @@ def main():
             return mpqe_mod.encode_dense_multi(p, cfg, structure,
                                                ne, nm, er, en)
 
+        def sweep_scores(q, rows):
+            return _cosine_sweep(cfg, q, rows)
+
+    def _cosine_sweep(cfg_, q, rows):
+        qf = q.astype(jnp.float32)
+        rf = rows.astype(jnp.float32)
+        if cfg_.scale_scores:
+            qf = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True)
+                       + 1e-12)
+            rf = rf / (jnp.linalg.norm(rf, axis=-1, keepdims=True)
+                       + 1e-12)
+        return jnp.dot(qf, rf.T, preferred_element_type=jnp.float32)
+
     def _margin_pn(pos, neg):  # all-real masks
         return jnp.mean(jax.nn.relu(cfg.margin - pos[:, None] + neg))
 
@@ -483,15 +508,8 @@ def main():
             # mask candidates that ARE some query's positive target
             q = encode_for_sweep(p, structure, ne, nm, er)
             rows = p["emb"]["ent"][shared]
-            qf = q.astype(jnp.float32)
-            rf = rows.astype(jnp.float32)
-            if cfg.scale_scores:
-                qf = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True)
-                           + 1e-12)
-                rf = rf / (jnp.linalg.norm(rf, axis=-1, keepdims=True)
-                           + 1e-12)
             pos2 = pos[:, None]
-            sc = jnp.dot(qf, rf.T, preferred_element_type=jnp.float32)
+            sc = sweep_scores(q, rows)
             viol = jax.nn.relu(cfg.margin - pos2 + sc)
             w = (shared[None, :] != tgt[:, None]).astype(viol.dtype)
             if args.train_self_adv > 0.0:

@@ -147,7 +147,7 @@ def main(argv=None):
                     help="MPQE readout (the paper's readout-comparison "
                          "axis; TGT is its headline)")
     ap.add_argument("--gqe_decoder", default="bilinear",
-                    choices=["bilinear", "transe", "distmult"])
+                    choices=["bilinear", "transe", "distmult", "box"])
     ap.add_argument("--gqe_intersection", default="deepsets",
                     choices=["min", "mean", "deepsets"])
     ap.add_argument("--holdout", default="",

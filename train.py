@@ -46,7 +46,11 @@ def parse_args(argv=None):
                    choices=["rgcn", "gqe", "gqe_softand"],
                    help="rgcn = MPQE; gqe / gqe_softand = GQE baselines")
     p.add_argument("--decoder", default="bilinear",
-                   choices=["bilinear", "transe", "distmult"])
+                   choices=["bilinear", "transe", "distmult", "box"],
+                   help="GQE metapath decoder; 'box' = Query2Box "
+                        "geometry (round-5 extension beyond the "
+                        "reference — box intersection targets the "
+                        "measured hard-negative generalization limit)")
     p.add_argument("--intersection", default="deepsets",
                    choices=["min", "mean", "deepsets"])
     p.add_argument("--gqe_encoder", default="direct",
