@@ -7,7 +7,9 @@
 # tables (r5), self_adv/strat 2M (r4 negative), hard-negative training
 # at 2M (r5 null with mechanism), GQE bilinear 2M arm (r5), the GEMM
 # floor attribution (r5), and the fused-step breakdown + touched-row
-# Adam refutation (r5).
+# Adam refutation (r5), and the full 7-structure mixed-curriculum
+# quality at 2M/64M (macro APR 87.80 = 0.878 of ceiling, r5 —
+# docs/quality/quality5_seven_2m.md).
 #
 # Run when `timeout 100 python -c "<small jit>"` succeeds; each step is
 # independent.  Record results in BASELINE.md.
@@ -15,7 +17,7 @@
 # Usage: bash tools/run_tpu_pending.sh [step...]   (default: all)
 set -u
 cd "$(dirname "$0")/.."
-steps=${*:-probe smoke seven_2m box_2m bench}
+steps=${*:-probe smoke gqe_2m box_2m bench}
 
 run() { echo "=== $* ==="; timeout 9000 "$@"; echo "=== rc=$? ==="; }
 
@@ -32,15 +34,13 @@ smoke)
   # compiled-mode Pallas parity (slow: remote compiles)
   run timeout 2400 python tools/tpu_smoke.py
   ;;
-seven_2m)
-  # round 5: full 7-structure mixed curriculum at 2M/64M edges with
-  # per-structure oracle ceilings + hard APR (BASELINE.json config 3
-  # analog).  NOTE: compiles 7 full-phase programs over the relay —
-  # expect a long compile phase before the first full-step line.
-  run python tools/am_scale_quality.py --kg band_seg \
-      --edge_bank 64000000 --burn_in_steps 8000 --structure all \
-      --train_queries 250000 --val_queries 8192 --steps 14000 \
-      --steps_per_call 250 --train_shared_negs 512 --eval_oracle
+gqe_2m)
+  # GQE bilinear arm of the AM-scale protocol (the r5 first run was
+  # killed at step 7100/12000 by a session crash — rerun).
+  # steps_per_call 100 keeps dispatches <60 s (relay hazard).
+  run python tools/am_scale_quality.py --kg band_seg --model gqe \
+      --edge_bank 64000000 --burn_in_steps 8000 \
+      --train_shared_negs 512 --steps_per_call 100 --eval_oracle
   ;;
 box_2m)
   # round 5: the Query2Box-geometry arm at 2M (box decoder, lr from
@@ -48,7 +48,7 @@ box_2m)
   run python tools/am_scale_quality.py --kg band_seg --model gqe \
       --gqe_decoder box --lr 0.01 --edge_bank 64000000 \
       --burn_in_steps 8000 --train_shared_negs 512 \
-      --steps_per_call 250 --eval_oracle
+      --steps_per_call 100 --eval_oracle
   ;;
 bench)
   # headline JSON line (driver format) — also confirms nothing regressed
