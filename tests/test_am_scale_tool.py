@@ -99,3 +99,25 @@ def test_am_scale_multi_structure_mix():
     assert ps["2-inter"]["hard_queries"] > 0
     assert np.isfinite(res["apr"])  # macro
     assert res["hard_apr"] is not None
+
+
+def test_am_scale_structure_weights():
+    # round 5: weighted mixed curriculum (--structure_weights) — the
+    # chain-upweighting lever; the run must complete with a weighted
+    # dispatch schedule and still eval every structure
+    res = run_tool(["--structure", "2-chain,2-inter",
+                    "--train_shared_negs", "64",
+                    "--structure_weights", "2-chain=3"])
+    assert set(res["per_structure"]) == {"2-chain", "2-inter"}
+    assert np.isfinite(res["apr"])
+
+
+def test_am_scale_structure_weights_unknown_rejected():
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        BASE + ["--structure", "2-chain",
+                "--structure_weights", "definitely-not-a-structure=2"],
+        capture_output=True, text=True, env=env, timeout=900, cwd=ROOT)
+    assert out.returncode != 0
+    assert "not in the trained structure set" in (out.stderr + out.stdout)

@@ -308,6 +308,14 @@ def main():
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--bases", type=int, default=16)
     ap.add_argument("--lr", type=float, default=0.003)
+    ap.add_argument("--structure_weights", default="",
+                    help="full-phase dispatch weights for the mixed "
+                         "curriculum, e.g. '3-chain=3,2-chain=2' "
+                         "(unlisted structures weight 1): structure s "
+                         "gets w_s dispatches per round-robin cycle. "
+                         "Round-5 lever for the chain-depth weakness "
+                         "in the 2M mix (3-chain 0.76 of ceiling with "
+                         "1/7 of the steps)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -660,10 +668,29 @@ def main():
     # after burn-in, SURVEY.md §A.4; distinct query shapes compile to
     # distinct programs, so the mix granularity is the dispatch)
     fulls = {s: make_multi_phase(s) for s in structures}
+    # weighted dispatch schedule: one round-robin cycle holds w_s
+    # dispatches of structure s, interleaved (…a b a b a… rather than
+    # …a a b b…) so no structure goes stale within a cycle
+    weights = {s: 1 for s in structures}
+    if args.structure_weights:
+        for item in args.structure_weights.split(","):
+            name, _, w = item.partition("=")
+            name = name.strip()
+            if name not in weights:
+                raise SystemExit(
+                    f"--structure_weights: {name!r} not in the trained "
+                    f"structure set {sorted(weights)}")
+            weights[name] = max(1, int(w))
+        cyc = max(weights.values())
+        # Bresenham spread: s appears exactly weights[s] times per cycle
+        schedule = [s for i in range(cyc) for s in structures
+                    if (i + 1) * weights[s] // cyc > i * weights[s] // cyc]
+    else:
+        schedule = list(structures)
     t0 = time.perf_counter()
     step, si = 0, 0
     while step < args.steps:
-        s = structures[si % len(structures)]
+        s = schedule[si % len(schedule)]
         si += 1
         n = min(args.steps_per_call, args.steps - step)
         params, opt_state, l = fulls[s](
