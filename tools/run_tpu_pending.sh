@@ -17,7 +17,7 @@
 # Usage: bash tools/run_tpu_pending.sh [step...]   (default: all)
 set -u
 cd "$(dirname "$0")/.."
-steps=${*:-probe smoke box_2m bench}
+steps=${*:-probe smoke bench}
 
 run() { echo "=== $* ==="; timeout 9000 "$@"; echo "=== rc=$? ==="; }
 
