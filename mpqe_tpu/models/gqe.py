@@ -29,7 +29,7 @@ from mpqe_tpu.models import embeddings as emb_mod
 from mpqe_tpu.models import mpqe as mpqe_mod
 from mpqe_tpu.queries import STRUCTURES
 
-DECODERS = ("bilinear", "transe", "distmult", "box")
+DECODERS = ("bilinear", "transe", "distmult", "box", "bibox")
 INTERSECTIONS = ("min", "mean", "deepsets")
 ENCODERS = ("direct", "neighborhood")
 
@@ -56,6 +56,13 @@ class GQEConfig:
     # generalization limit of vector+cosine scoring, docs/quality/
     # quality5_hard_train.md): weight of the inside-box distance term
     box_alpha: float = 0.02
+    # hybrid decoder "bibox" (round 5): one model carries BOTH a
+    # bilinear point head (plain-APR strength, quality5 GQE 2M arm) and
+    # a box head (hard-negative robustness, quality5 box 2M arm) over a
+    # SHARED entity table; the fused score is
+    #   cosine(vec, e) + bibox_w * box_affinity(c, o, e)
+    # bibox_w weights the box-distance term against the cosine term
+    bibox_w: float = 1.0
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -85,14 +92,16 @@ def init_gqe(key: jax.Array, cfg: GQEConfig) -> Dict[str, Any]:
         params["nbr"] = agg_mod.init_neighborhood_encoder(
             k_nbr, d, cfg.aggregator, cfg.dtype)
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, cfg.dtype))
-    if cfg.decoder == "bilinear":
+    if cfg.decoder in ("bilinear", "bibox"):
         # near-identity init keeps deep compositions stable
+        k_bil = (jax.random.fold_in(k_dec, 1)
+                 if cfg.decoder == "bibox" else k_dec)
         eye = jnp.eye(d, dtype=cfg.dtype)
-        noise = jax.random.normal(k_dec, (r, d, d), cfg.dtype) * (0.1 * scale)
+        noise = jax.random.normal(k_bil, (r, d, d), cfg.dtype) * (0.1 * scale)
         params["rel_mat"] = eye[None, :, :] + noise
-    elif cfg.decoder == "transe":
+    if cfg.decoder == "transe":
         params["rel_vec"] = jax.random.normal(k_dec, (r, d), cfg.dtype) * scale
-    elif cfg.decoder == "box":
+    if cfg.decoder in ("box", "bibox"):
         # Query2Box geometry: a relation hop translates the box center
         # and widens the (nonnegative) offset; anchors are zero-volume
         # boxes at their embedding.  Offsets init small relative to the
@@ -114,7 +123,7 @@ def init_gqe(key: jax.Array, cfg: GQEConfig) -> Dict[str, Any]:
         params["box_ds1_b"] = jnp.zeros((d,), cfg.dtype)
         params["box_ds2"] = jax.random.normal(k_d2, (d, d), cfg.dtype) * s2
         params["box_ds2_b"] = jnp.zeros((d,), cfg.dtype)
-    else:  # distmult
+    if cfg.decoder == "distmult":
         params["rel_diag"] = 1.0 + jax.random.normal(
             k_dec, (r, d), cfg.dtype
         ) * (0.1 * scale)
@@ -134,7 +143,7 @@ def _compose(
     either a traced scalar relation id (shared across a same-formula
     batch) or a per-query ``[B]`` vector (mixed-formula batches — the
     batched eval/serving sweep)."""
-    if cfg.decoder == "bilinear":
+    if cfg.decoder in ("bilinear", "bibox"):
         w = params["rel_mat"][rel]  # [d, d] or [B, d, d]
         if w.ndim == 3:
             return jnp.einsum(
@@ -195,6 +204,52 @@ def _intersect_box(cfg, params, boxes):
         jnp.dot(jnp.mean(h, axis=0), params["box_ds2"])
         + params["box_ds2_b"])
     return (c, jnp.min(os_, axis=0) * g)
+
+
+def _compose_bibox(cfg, params, rep, rel):
+    """One relation hop on a batch of hybrid ``(vec, (center, offset))``
+    representations: the bilinear head and the box head advance in
+    lockstep over the shared query structure."""
+    vec, box = rep
+    return (_compose(cfg, params, vec, rel),
+            _compose_box(cfg, params, box, rel))
+
+
+def _intersect_bibox(cfg, params, reps):
+    """Hybrid intersection: DeepSets on the point head, Query2Box
+    attention/shrink on the box head — each head keeps its own native
+    conjunction geometry."""
+    if len(reps) == 1:
+        return reps[0]
+    return (_intersect(cfg, params, [r[0] for r in reps]),
+            _intersect_box(cfg, params, [r[1] for r in reps]))
+
+
+def bibox_score(cfg: GQEConfig, rep, e: jax.Array) -> jax.Array:
+    """Fused hybrid affinity: ``cosine(vec, e) + bibox_w * box(c,o,e)``.
+    ``e`` may carry one extra leading candidate axis relative to the
+    ``[B, d]`` representation (``[B, K, d]`` / ``[1, K, d]`` sweeps) —
+    the query side broadcasts over it, matching ``box_score_rows``."""
+    vec, (c, o) = rep
+    if e.ndim == vec.ndim + 1:
+        vec, c, o = vec[:, None, :], c[:, None, :], o[:, None, :]
+    return (mpqe_mod.score(_score_cfg(cfg), vec, e)
+            + cfg.bibox_w * box_score(cfg, c, o, e))
+
+
+def bibox_score_rows(cfg: GQEConfig, rep, rows: jax.Array) -> jax.Array:
+    """Hybrid scores of a ``(vec, box)`` batch against shared candidate
+    rows ``[K, d]`` → ``[B, K]`` (batch-shared sweep analog)."""
+    return bibox_score(cfg, rep, rows[None, :, :])
+
+
+def bibox_score_all(params, cfg: GQEConfig, rep, chunk: int = 8192
+                    ) -> jax.Array:
+    """``[B, n_entities]`` hybrid affinities: one MXU cosine matmul for
+    the point head + the chunk-scanned box distance for the box head."""
+    vec, box = rep
+    return (mpqe_mod.score_all_entities(params, _score_cfg(cfg), vec)
+            + cfg.bibox_w * box_score_all(params, cfg, box, chunk))
 
 
 def box_score(cfg: GQEConfig, c: jax.Array, o: jax.Array,
@@ -279,11 +334,16 @@ def branch_vectors(
     conjunct branches), each ``[B, d]``."""
     spec = STRUCTURES[structure]
     is_box = cfg.decoder == "box"
-    compose = _compose_box if is_box else _compose
-    intersect = _intersect_box if is_box else _intersect
+    is_bibox = cfg.decoder == "bibox"
+    compose = (_compose_bibox if is_bibox
+               else _compose_box if is_box else _compose)
+    intersect = (_intersect_bibox if is_bibox
+                 else _intersect_box if is_box else _intersect)
 
     def anchor(ids):
         e = _anchor_embed(params, cfg, ids, neighbor_table)
+        if is_bibox:
+            return (e, (e, jnp.zeros_like(e)))
         return (e, jnp.zeros_like(e)) if is_box else e
 
     # per-node list of composed branch representations (vectors, or
@@ -328,6 +388,8 @@ def encode_dense(
         params, cfg, structure, node_entity, edge_rel, neighbor_table)
     if cfg.decoder == "box":
         return _intersect_box(cfg, params, branches)
+    if cfg.decoder == "bibox":
+        return _intersect_bibox(cfg, params, branches)
     return _intersect(cfg, params, branches)
 
 
@@ -367,6 +429,16 @@ def score_pos_neg(
     m_cfg = _score_cfg(cfg)
     branches = branch_vectors(
         params, cfg, structure, node_entity, edge_rel, neighbor_table)
+    if cfg.decoder == "bibox":
+        if cfg.soft_and:
+            def min_bibox(cand):
+                scores = [bibox_score(cfg, b, cand) for b in branches]
+                return jnp.min(jnp.stack(scores, 0), axis=0)
+
+            return min_bibox(ent[target]), min_bibox(ent[negatives])
+        rep = _intersect_bibox(cfg, params, branches)
+        return (bibox_score(cfg, rep, ent[target]),
+                bibox_score(cfg, rep, ent[negatives]))
     if cfg.decoder == "box":
         if cfg.soft_and:
             def min_box(cand, expand):
@@ -410,6 +482,14 @@ def score_queries(
     ent = params["emb"]["ent"]
     cand = ent[targets]
     m_cfg = _score_cfg(cfg)
+    if cfg.decoder == "bibox":
+        branches = branch_vectors(
+            params, cfg, structure, node_entity, edge_rel, neighbor_table)
+        if cfg.soft_and:
+            return jnp.min(jnp.stack(
+                [bibox_score(cfg, b, cand) for b in branches], 0), axis=0)
+        return bibox_score(
+            cfg, _intersect_bibox(cfg, params, branches), cand)
     if cfg.decoder == "box":
         branches = branch_vectors(
             params, cfg, structure, node_entity, edge_rel, neighbor_table)

@@ -142,7 +142,26 @@ class QueryServer:
             else:  # GQE baselines
                 from mpqe_tpu.models import gqe as gqe_mod
 
-                if getattr(cfg, "decoder", None) == "box":
+                if getattr(cfg, "decoder", None) == "bibox":
+                    # hybrid: cosine rank rides the (possibly quantized)
+                    # normalized table; the box head reads the raw f32
+                    # params table inside bibox_score_all
+                    branches = gqe_mod.branch_vectors(
+                        params, cfg, structure, ne, er, nbr)
+
+                    def fused(rep):
+                        vec, box = rep
+                        return (all_scores(vec, ent_norm_t)
+                                + cfg.bibox_w * gqe_mod.box_score_all(
+                                    params, cfg, box))
+
+                    if cfg.soft_and:
+                        scores = jnp.min(jnp.stack(
+                            [fused(b) for b in branches], 0), axis=0)
+                    else:
+                        scores = fused(gqe_mod._intersect_bibox(
+                            cfg, params, branches))
+                elif getattr(cfg, "decoder", None) == "box":
                     branches = gqe_mod.branch_vectors(
                         params, cfg, structure, ne, er, nbr)
                     if cfg.soft_and:

@@ -451,6 +451,15 @@ def _rank_all_impl(params, cfg, structure, ne, nm, er, en, nbr=None):
     from mpqe_tpu.models import gqe as gqe_mod
 
     m_cfg = gqe_mod._score_cfg(cfg)
+    if cfg.decoder == "bibox":
+        branches = gqe_mod.branch_vectors(
+            params, cfg, structure, ne, er, nbr)
+        if cfg.soft_and:
+            return jnp.min(jnp.stack(
+                [gqe_mod.bibox_score_all(params, cfg, b)
+                 for b in branches], 0), axis=0)
+        return gqe_mod.bibox_score_all(
+            params, cfg, gqe_mod._intersect_bibox(cfg, params, branches))
     if cfg.decoder == "box":
         branches = gqe_mod.branch_vectors(
             params, cfg, structure, ne, er, nbr)

@@ -429,3 +429,135 @@ def test_box_serving(kg):
     b = _batch(kg, "2-chain", B=8)
     with pytest.raises(ValueError, match="box-decoder serving"):
         QueryServer(params, cfg, kg.entity_mode, table_dtype="int8")
+
+
+# ---- bibox hybrid decoder (round-5 extension: bilinear point head +
+# Query2Box box head over one shared entity table; fused score =
+# cosine + bibox_w * box affinity — docs/quality/quality5_bibox.md) ---
+
+def test_bibox_score_is_sum_of_heads(kg):
+    cfg = _cfg(kg, decoder="bibox", bibox_w=0.7)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(6), cfg)
+    b = _batch(kg, "2-inter")
+    ne, er = jnp.asarray(b.node_entity), jnp.asarray(b.edge_rel)
+    vec, (c, o) = gqe_mod.encode_dense(params, cfg, "2-inter", ne, None,
+                                       er, None)
+    ent = params["emb"]["ent"]
+    tgt = jnp.asarray(b.target)
+    pos, _ = gqe_mod.score_pos_neg(params, cfg, "2-inter", ne, er, tgt,
+                                   jnp.asarray(b.negatives))
+    from mpqe_tpu.models import mpqe as mpqe_mod
+
+    want = (mpqe_mod.score(gqe_mod._score_cfg(cfg), vec, ent[tgt])
+            + 0.7 * gqe_mod.box_score(cfg, c, o, ent[tgt]))
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # bibox_w=0 degenerates to the pure cosine point head
+    cfg0 = _cfg(kg, decoder="bibox", bibox_w=0.0)
+    pos0, _ = gqe_mod.score_pos_neg(params, cfg0, "2-inter", ne, er, tgt,
+                                    jnp.asarray(b.negatives))
+    want0 = mpqe_mod.score(gqe_mod._score_cfg(cfg), vec, ent[tgt])
+    np.testing.assert_allclose(np.asarray(pos0), np.asarray(want0),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("structure", ["2-chain", "2-inter",
+                                       "3-chain_inter"])
+def test_bibox_scoring_paths_consistent(kg, structure):
+    cfg = _cfg(kg, decoder="bibox")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(7), cfg)
+    b = _batch(kg, structure)
+    ne, er = jnp.asarray(b.node_entity), jnp.asarray(b.edge_rel)
+    tgt, neg = jnp.asarray(b.target), jnp.asarray(b.negatives)
+    pos, negs = gqe_mod.score_pos_neg(params, cfg, structure, ne, er,
+                                      tgt, neg)
+    sq_pos = gqe_mod.score_queries(params, cfg, structure, ne, er, tgt)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(sq_pos),
+                               rtol=1e-5, atol=1e-6)
+    rep = gqe_mod.encode_dense(params, cfg, structure, ne, None, er, None)
+    all_sc = gqe_mod.bibox_score_all(params, cfg, rep, chunk=32)
+    np.testing.assert_allclose(
+        np.asarray(all_sc[np.arange(len(b.target)), b.target]),
+        np.asarray(pos), rtol=1e-5, atol=1e-6)
+    # shared-row sweep (the training-protocol path) agrees too
+    rows = params["emb"]["ent"][jnp.asarray(b.target)]
+    sw = gqe_mod.bibox_score_rows(cfg, rep, rows)
+    np.testing.assert_allclose(
+        np.asarray(sw[np.arange(len(b.target)), np.arange(len(b.target))]),
+        np.asarray(pos), rtol=1e-5, atol=1e-6)
+
+
+def test_bibox_softand_is_min_of_branch_scores(kg):
+    cfg = _cfg(kg, decoder="bibox", soft_and=True)
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(8), cfg)
+    b = _batch(kg, "2-inter")
+    ne, er = jnp.asarray(b.node_entity), jnp.asarray(b.edge_rel)
+    pos, _ = gqe_mod.score_pos_neg(params, cfg, "2-inter", ne, er,
+                                   jnp.asarray(b.target),
+                                   jnp.asarray(b.negatives))
+    branches = gqe_mod.branch_vectors(params, cfg, "2-inter", ne, er)
+    ent = params["emb"]["ent"]
+    want = jnp.min(jnp.stack(
+        [gqe_mod.bibox_score(cfg, r, ent[jnp.asarray(b.target)])
+         for r in branches], 0), axis=0)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_bibox_trains_and_separates(kg):
+    import optax
+
+    cfg = _cfg(kg, decoder="bibox")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(9), cfg)
+    b = _batch(kg, "2-inter", B=32)
+    args = (jnp.asarray(b.node_entity), None, jnp.asarray(b.edge_rel),
+            None, jnp.asarray(b.target), jnp.asarray(b.negatives),
+            jnp.asarray(b.neg_mask), jnp.asarray(b.query_mask))
+    opt = optax.adam(0.01)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(
+            lambda pp: gqe_mod.dense_batch_loss(pp, cfg, "2-inter", *args)
+        )(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    l0 = None
+    for _ in range(60):
+        params, st, l = step(params, st)
+        l0 = l0 if l0 is not None else float(l)
+    assert float(l) < 0.5 * l0, (l0, float(l))
+    # both heads received gradient: rel_mat moved AND rel_off moved
+    fresh = gqe_mod.init_gqe(jax.random.PRNGKey(9), cfg)
+    assert not np.allclose(np.asarray(params["rel_mat"]),
+                           np.asarray(fresh["rel_mat"]))
+    assert not np.allclose(np.asarray(params["rel_off"]),
+                           np.asarray(fresh["rel_off"]))
+
+
+def test_bibox_evaluate_batched_ranking_and_serving(kg):
+    from mpqe_tpu.queries import group_queries_by_formula
+    from mpqe_tpu.serve import QueryServer
+    from mpqe_tpu.train import evaluation
+
+    cfg = _cfg(kg, decoder="bibox")
+    params = gqe_mod.init_gqe(jax.random.PRNGKey(10), cfg)
+    sampler = QuerySampler(kg, seed=13)
+    qs = group_queries_by_formula(
+        sampler.sample_queries("2-inter", 24, n_neg=8))
+    es = evaluation.make_eval_set(qs)
+    res = evaluation.evaluate_batched(params, cfg, es)
+    assert np.isfinite(res.macro_auc)
+    fr = evaluation.full_ranking(params, cfg, qs, kg.entity_mode)
+    mrr = fr["2-inter"]["mrr"]
+    assert np.isfinite(mrr) and 0.0 < mrr <= 1.0
+    # serving: cosine head rides the quantized table, box head the raw
+    # f32 params — int8 tables are ALLOWED (unlike pure box serving)
+    for dt in ("float32", "int8"):
+        srv = QueryServer(params, cfg, kg.entity_mode, table_dtype=dt)
+        out = srv.answer(sampler.sample_queries("2-chain", 6, n_neg=4),
+                         k=5)
+        assert len(out) == 6
+        assert all(o.entity_ids.shape == (5,) for o in out)

@@ -294,10 +294,13 @@ def main():
                     help="rgcn = MPQE; gqe = the bilinear+deepsets "
                          "baseline under the identical protocol/banks")
     ap.add_argument("--gqe_decoder", default="bilinear",
-                    choices=["bilinear", "transe", "distmult", "box"],
+                    choices=["bilinear", "transe", "distmult", "box",
+                             "bibox"],
                     help="GQE arm decoder; 'box' = Query2Box geometry "
                          "(round-5 extension targeting the measured "
-                         "hard-negative generalization limit)")
+                         "hard-negative generalization limit); "
+                         "'bibox' = bilinear point head + box head over "
+                         "a shared entity table, fused score")
     ap.add_argument("--batch_size", type=int, default=65_536)
     ap.add_argument("--n_neg", type=int, default=4)
     ap.add_argument("--n_neg_eval", type=int, default=64)
@@ -477,6 +480,8 @@ def main():
             # (no cosine normalization — box scores are distances)
             if cfg.decoder == "box":
                 return gqe_mod.box_score_rows(cfg, q, rows)
+            if cfg.decoder == "bibox":
+                return gqe_mod.bibox_score_rows(cfg, q, rows)
             return _cosine_sweep(cfg, q, rows)
     else:
         def pos_neg(p, structure, ne, nm, er, tgt, neg):

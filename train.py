@@ -46,7 +46,8 @@ def parse_args(argv=None):
                    choices=["rgcn", "gqe", "gqe_softand"],
                    help="rgcn = MPQE; gqe / gqe_softand = GQE baselines")
     p.add_argument("--decoder", default="bilinear",
-                   choices=["bilinear", "transe", "distmult", "box"],
+                   choices=["bilinear", "transe", "distmult", "box",
+                            "bibox"],
                    help="GQE metapath decoder; 'box' = Query2Box "
                         "geometry (round-5 extension beyond the "
                         "reference — box intersection targets the "
