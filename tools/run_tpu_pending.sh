@@ -50,6 +50,18 @@ box_2m)
       --burn_in_steps 8000 --train_shared_negs 512 \
       --steps_per_call 100 --eval_oracle
   ;;
+bibox_2m)
+  # round 5: the HYBRID decoder at 2M — the decisive arm. 20k pinned
+  # protocol already measured (BASELINE.md): bibox 98.62 APR / 79.29
+  # hard APR beats bilinear (98.54/76.93) AND box (87.89/73.40) on
+  # both axes. At 2M, bilinear holds APR 99.36 but hard collapses to
+  # 54.5; box holds hard 74.05 at APR 95.03. If bibox ~= 99 APR with
+  # hard >= 74 it dominates the measured frontier in one model.
+  run python tools/am_scale_quality.py --kg band_seg --model gqe \
+      --gqe_decoder bibox --edge_bank 64000000 \
+      --burn_in_steps 8000 --train_shared_negs 512 \
+      --steps_per_call 100 --eval_oracle
+  ;;
 bench)
   # headline JSON line (driver format) — also confirms nothing regressed
   run timeout 2400 python bench.py
