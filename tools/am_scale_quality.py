@@ -301,6 +301,9 @@ def main():
                          "hard-negative generalization limit); "
                          "'bibox' = bilinear point head + box head over "
                          "a shared entity table, fused score")
+    ap.add_argument("--bibox_w", type=float, default=1.0,
+                    help="bibox: weight of the box-affinity term in "
+                         "the fused cosine+box score")
     ap.add_argument("--batch_size", type=int, default=65_536)
     ap.add_argument("--n_neg", type=int, default=4)
     ap.add_argument("--n_neg_eval", type=int, default=64)
@@ -422,6 +425,7 @@ def main():
             n_entities=kg.n_entities, n_modes=kg.n_modes,
             n_rels=kg.n_rels, embed_dim=args.dim,
             decoder=args.gqe_decoder, intersection="deepsets",
+            bibox_w=args.bibox_w,
         )
         params = gqe_mod.init_gqe(jax.random.PRNGKey(args.seed), cfg)
     else:

@@ -62,6 +62,9 @@ def parse_args(argv=None):
                         "(models/aggregators.py)")
     p.add_argument("--gqe_aggregator", default="mean",
                    choices=["mean", "max", "pool"])
+    p.add_argument("--bibox_w", type=float, default=1.0,
+                   help="decoder='bibox': weight of the box-affinity "
+                        "term in the fused cosine+box score")
     p.add_argument("--gqe_fanout", type=int, default=8)
     p.add_argument("--embed_dim", type=int, default=128)
     p.add_argument("--n_layers", type=int, default=3)
@@ -335,6 +338,7 @@ def main(argv=None):
             soft_and=args.model == "gqe_softand",
             encoder=args.gqe_encoder,
             aggregator=args.gqe_aggregator,
+            bibox_w=args.bibox_w,
             margin=args.margin,
             dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
         )
